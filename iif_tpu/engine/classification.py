@@ -1,0 +1,213 @@
+"""Classification trainer — TPU-native rebuild of
+``classification/train.py`` (epoch loop, warmup, mixup, eval with
+inference-time IIF, checkpointing).
+
+Design: one jitted SPMD train step per iteration. The step consumes the raw
+uint8 global batch (sharded over the 'data' mesh axis), runs the fused
+device-side augmentation, forward, loss, backward and optimizer update in a
+single XLA program; gradients all-reduce over ICI automatically because the
+batch is sharded and the params are replicated. There is no DDP, no
+gradient bucketing, no host sync per step.
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+from jax.sharding import Mesh
+
+from iif_tpu.losses.mixup import mixup_batch, mixup_criterion
+from iif_tpu.parallel.mesh import data_sharding, replicated, shard_batch
+from iif_tpu.utils.metrics import MetricLogger, SmoothedValue
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+class ClassificationTrainer:
+    """Owns the jitted train/eval steps.
+
+    Parameters
+    ----------
+    model: flax Module with ``__call__(x, train)`` -> logits
+    criterion: loss callable (IIFLoss / FocalLoss / CrossEntropyLoss)
+    tx: optax GradientTransformation
+    mesh: device mesh ('data'[, 'model'])
+    train_augment: fn(key, uint8_images) -> float inputs (device-side)
+    eval_transform: fn(uint8_images) -> float inputs
+    mixup_alpha: enable mixup when not None (reference `--mixup`)
+    num_classes: for per-class eval accumulators (shot accuracy)
+    compute_dtype: bf16 by default — TPU-native mixed precision replacing
+      the reference's apex AMP (`classification/train.py:73-75`); params and
+      the loss stay fp32.
+    """
+
+    def __init__(
+        self,
+        model,
+        criterion,
+        tx: optax.GradientTransformation,
+        mesh: Mesh,
+        train_augment: Callable,
+        eval_transform: Callable,
+        num_classes: int,
+        mixup_alpha: Optional[float] = None,
+        compute_dtype=jnp.bfloat16,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.criterion = criterion
+        self.tx = tx
+        self.mesh = mesh
+        self.train_augment = train_augment
+        self.eval_transform = eval_transform
+        self.num_classes = num_classes
+        self.mixup_alpha = mixup_alpha
+        self.compute_dtype = compute_dtype
+        self.base_rng = jax.random.PRNGKey(seed)
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, sample_shape: Tuple[int, ...], seed: int = 0
+                   ) -> TrainState:
+        rng = jax.random.PRNGKey(seed)
+        dummy = jnp.zeros((1,) + tuple(sample_shape), self.compute_dtype)
+        variables = self.model.init(rng, dummy, train=False)
+        params = variables.get("params", {})
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           batch_stats=batch_stats, opt_state=opt_state)
+        return jax.device_put(state, replicated(self.mesh))
+
+    # ------------------------------------------------------------ train step
+    def _forward(self, params, batch_stats, x, train: bool):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            logits, mutated = self.model.apply(
+                variables, x, train=True, mutable=["batch_stats"])
+            return logits, mutated.get("batch_stats", batch_stats)
+        logits = self.model.apply(variables, x, train=False)
+        return logits, batch_stats
+
+    def _train_step_impl(self, state: TrainState, batch: Dict[str, jnp.ndarray]
+                         ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        step_key = jax.random.fold_in(self.base_rng, state.step)
+        k_aug, k_mix = jax.random.split(step_key)
+        x = self.train_augment(k_aug, batch["image"]).astype(self.compute_dtype)
+        y = batch["label"]
+
+        if self.mixup_alpha is not None:
+            x, y_a, y_b, lam = mixup_batch(k_mix, x, y, self.mixup_alpha)
+
+        def loss_fn(params):
+            logits, new_bs = self._forward(params, state.batch_stats, x, True)
+            logits32 = logits.astype(jnp.float32)
+            if self.mixup_alpha is not None:
+                loss = mixup_criterion(self.criterion, logits32, y_a, y_b, lam)
+            else:
+                loss = self.criterion(logits32, y)
+            return loss, (logits32, new_bs)
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        _, top5 = jax.lax.top_k(logits, 5)
+        correct = top5 == y[:, None]
+        metrics = {
+            "loss": loss,
+            "acc1": correct[:, :1].any(1).mean() * 100.0,
+            "acc5": correct.any(1).mean() * 100.0,
+        }
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_bs, opt_state=new_opt)
+        return new_state, metrics
+
+    def _eval_step_impl(self, state: TrainState, batch: Dict[str, jnp.ndarray]
+                        ) -> Dict[str, jnp.ndarray]:
+        x = self.eval_transform(batch["image"]).astype(self.compute_dtype)
+        y = batch["label"]
+        valid = batch["valid"].astype(jnp.float32)
+        logits, _ = self._forward(state.params, state.batch_stats, x, False)
+        logits = logits.astype(jnp.float32)
+        # inference-time IIF (reference train.py:104-105)
+        if getattr(self.criterion, "iif", False):
+            logits = self.criterion.transform(logits)
+        _, top5 = jax.lax.top_k(logits, 5)
+        hit = top5 == y[:, None]
+        c1 = hit[:, :1].any(1).astype(jnp.float32) * valid
+        c5 = hit.any(1).astype(jnp.float32) * valid
+        onehot = jax.nn.one_hot(y, self.num_classes, dtype=jnp.float32)
+        return {
+            "correct1": c1.sum(),
+            "correct5": c5.sum(),
+            "count": valid.sum(),
+            "percls_correct": (onehot * (c1 * valid)[:, None]).sum(0),
+            "percls_total": (onehot * valid[:, None]).sum(0),
+            "pred": top5[:, 0],
+        }
+
+    # ----------------------------------------------------------------- loops
+    def train_one_epoch(self, state: TrainState, loader, epoch: int,
+                        print_freq: int = 100, print_fn=print
+                        ) -> Tuple[TrainState, MetricLogger]:
+        logger = MetricLogger(print_fn=print_fn)
+        logger.add_meter("img/s", SmoothedValue(window_size=10, fmt="{value:.1f}"))
+        loader.set_epoch(epoch)
+        header = f"Epoch: [{epoch}]"
+        for batch in logger.log_every(iter(loader), print_freq, header,
+                                      total=len(loader)):
+            t0 = time.time()
+            gbatch = shard_batch(
+                {"image": batch["image"], "label": batch["label"]}, self.mesh)
+            state, metrics = self._train_step(state, gbatch)
+            metrics = jax.device_get(metrics)
+            bsz = batch["image"].shape[0] * max(jax.process_count(), 1)
+            logger.update(loss=metrics["loss"], acc1=metrics["acc1"],
+                          acc5=metrics["acc5"])
+            logger.meters["img/s"].update(bsz / max(time.time() - t0, 1e-9))
+        return state, logger
+
+    def evaluate(self, state: TrainState, batches, print_fn=print
+                 ) -> Dict[str, Any]:
+        tot = {"correct1": 0.0, "correct5": 0.0, "count": 0.0}
+        percls_c = np.zeros(self.num_classes)
+        percls_t = np.zeros(self.num_classes)
+        preds, labels = [], []
+        for batch in batches:
+            gbatch = shard_batch(batch, self.mesh)
+            out = jax.device_get(self._eval_step(state, gbatch))
+            for k in tot:
+                tot[k] += float(out[k])
+            percls_c += out["percls_correct"]
+            percls_t += out["percls_total"]
+            m = np.asarray(batch["valid"], dtype=bool)
+            preds.append(np.asarray(out["pred"])[:len(m)][m])
+            labels.append(np.asarray(batch["label"])[m])
+        acc1 = 100.0 * tot["correct1"] / max(tot["count"], 1)
+        acc5 = 100.0 * tot["correct5"] / max(tot["count"], 1)
+        print_fn(f" * Acc@1 {acc1:.3f} Acc@5 {acc5:.3f}")
+        return {
+            "acc1": acc1,
+            "acc5": acc5,
+            "count": tot["count"],
+            "percls_correct": percls_c,
+            "percls_total": percls_t,
+            "preds": np.concatenate(preds) if preds else np.empty(0, np.int64),
+            "labels": np.concatenate(labels) if labels else np.empty(0, np.int64),
+        }

@@ -1,0 +1,136 @@
+"""LR schedules + optimizer builders matching the reference trainer.
+
+Schedule semantics (reference ``classification/train.py:51-56,223-228,261``
+and ``utils.py:182-189``):
+- epoch-0 linear warmup from ``lr/1000`` over ``min(1000, steps_per_epoch-1)``
+  iterations;
+- then either MultiStepLR (gamma at epoch milestones, stepped per epoch) or
+  CosineAnnealingLR over ``epochs`` (eta_min=0), both expressed here as pure
+  functions of the global step so the whole schedule jits.
+
+Optimizers (``train.py:196-210``): sgd / nesterov / rmsprop, with torch
+coupled weight decay (wd added to the gradient before the momentum buffer).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def build_lr_schedule(
+    base_lr: float,
+    steps_per_epoch: int,
+    epochs: int,
+    milestones: Sequence[int] = (),
+    lr_gamma: float = 0.1,
+    cosine: bool = False,
+    warmup: bool = True,
+    warmup_factor: float = 1.0 / 1000,
+) -> optax.Schedule:
+    milestones = np.asarray(sorted(milestones), dtype=np.int32)
+    warmup_iters = min(1000, max(steps_per_epoch - 1, 1)) if warmup else 0
+
+    def schedule(step):
+        step = jnp.asarray(step)
+        epoch = step // steps_per_epoch
+        if cosine:
+            # torch CosineAnnealingLR stepped per epoch, eta_min=0
+            factor = 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / epochs))
+        else:
+            n_decays = jnp.sum(epoch >= jnp.asarray(milestones)[None].reshape(-1)) \
+                if len(milestones) else 0
+            factor = lr_gamma ** n_decays
+        if warmup_iters > 0:
+            alpha = jnp.clip(step / warmup_iters, 0.0, 1.0)
+            wfac = warmup_factor * (1 - alpha) + alpha
+            factor = jnp.where(step < warmup_iters, factor * wfac, factor)
+        return base_lr * factor
+
+    return schedule
+
+
+def build_optimizer(
+    opt_name: str,
+    lr_schedule: optax.Schedule,
+    momentum: float = 0.9,
+    weight_decay: float = 1e-4,
+    trainable_mask=None,
+) -> optax.GradientTransformation:
+    """torch-style coupled weight decay + SGD momentum (buf = m*buf + g;
+    update = -lr*buf == torch SGD dampening=0)."""
+    opt_name = opt_name.lower()
+    chain = []
+    if trainable_mask is not None:
+        # decoupled training (`--decoup`): zero grads of frozen params
+        chain.append(optax.masked(optax.set_to_zero(),
+                                  lambda p: _invert_mask(trainable_mask, p)))
+    if weight_decay:
+        chain.append(optax.add_decayed_weights(weight_decay))
+    if opt_name == "sgd":
+        chain += [optax.trace(decay=momentum),
+                  optax.scale_by_learning_rate(lr_schedule)]
+    elif opt_name == "nesterov":
+        chain += [optax.trace(decay=momentum, nesterov=True),
+                  optax.scale_by_learning_rate(lr_schedule)]
+    elif opt_name == "rmsprop":
+        # reference: RMSprop(momentum, eps=0.0316, alpha=0.9)
+        chain += [optax.scale_by_rms(decay=0.9, eps=0.0316),
+                  optax.trace(decay=momentum),
+                  optax.scale_by_learning_rate(lr_schedule)]
+    else:
+        raise ValueError(
+            f"Invalid optimizer {opt_name}. Only SGD and RMSprop are supported.")
+    return optax.chain(*chain)
+
+
+def _invert_mask(mask_tree, params):
+    import jax
+
+    return jax.tree_util.tree_map(lambda m: not m, mask_tree)
+
+
+HEAD_NAMES = ("linear", "Dense_0", "NormedLinear_0", "CosNormClassifier_0")
+
+
+def classifier_mask(params, head_names=HEAD_NAMES):
+    """Boolean pytree: True for classifier-head params (trainable under
+    `--decoup`, reference ``train.py:123-145``)."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def _is_head(path):
+        return any(getattr(k, "key", None) in head_names for k in path)
+
+    treedef = jax.tree_util.tree_structure(params)
+    mask_flat = [_is_head(path) for path, _ in flat]
+    return jax.tree_util.tree_unflatten(treedef, mask_flat)
+
+
+def reinit_classifier_head(params, seed: int = 0, head_names=HEAD_NAMES):
+    """Re-initialize the classifier head for decoupled retraining
+    (reference ``train.py:123-145``: xavier-uniform weight, bias 0.01)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(seed)
+    flat = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    new_flat = {}
+    for path, leaf in flat.items():
+        in_head = any(getattr(k, "key", None) in head_names for k in path)
+        name = getattr(path[-1], "key", "")
+        if in_head and name in ("kernel", "weight") and leaf.ndim >= 2:
+            key, sub = jax.random.split(key)
+            new_flat[path] = jax.nn.initializers.xavier_uniform()(
+                sub, leaf.shape, leaf.dtype)
+        elif in_head and name == "bias":
+            new_flat[path] = jnp.full_like(leaf, 0.01)
+        else:
+            new_flat[path] = leaf
+    treedef = jax.tree_util.tree_structure(params)
+    leaves = [new_flat[p] for p, _ in
+              jax.tree_util.tree_flatten_with_path(params)[0]]
+    return jax.tree_util.tree_unflatten(treedef, leaves)

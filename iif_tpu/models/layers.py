@@ -1,0 +1,107 @@
+"""Shared model layers: normalized / cosine classifier heads, SE block.
+
+Functional flax reimplementations of the reference's head options
+(``classification/resnet_cifar.py:38-78``, ``resnet_pytorch.py:212-219``)
+selected by ``--classif_norm in {None, norm, cosine, lr_cosine}``.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# He-normal matches torch's kaiming_normal_ default (fan_in, ReLU gain).
+kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+class NormedLinear(nn.Module):
+    """Cosine classifier: ``normalize(x) @ normalize(W, axis=0)``.
+
+    Reference ``resnet_cifar.py:38-48``. The torch init (uniform(-1,1) then
+    renorm columns to unit L2) is equivalent to column-normalized uniform
+    vectors; we initialize uniform then normalize in the forward pass, which
+    yields the same function (the head is scale-invariant in W columns).
+    An optional fixed temperature multiplies the cosine similarity
+    (detection variant, ``mmdet/models/utils/normed_predictor.py:11-40``).
+    """
+
+    features: int
+    temperature: float = 1.0
+    eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param(
+            "kernel",
+            nn.initializers.uniform(scale=2.0),  # ~U(0, 2); centered below
+            (x.shape[-1], self.features),
+            jnp.float32,
+        ) - 1.0
+        w = w / (jnp.linalg.norm(w, axis=0, keepdims=True) + self.eps)
+        x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + self.eps)
+        return self.temperature * (x @ w.astype(x.dtype))
+
+
+class CosNormClassifier(nn.Module):
+    """Scaled cosine classifier with ``‖x‖/(1+‖x‖)`` feature squashing.
+
+    Reference ``resnet_cifar.py:50-78``: ``out = s * (‖x‖/(1+‖x‖)) *
+    (x/‖x‖) @ normalize(W, rows).T``; with ``lr_scale`` the scale is a
+    learned parameter initialized at 5.0 and squared in the forward.
+    """
+
+    features: int
+    scale: float = 16.0
+    lr_scale: bool = False
+    eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_dims = x.shape[-1]
+        stdv = 1.0 / jnp.sqrt(in_dims)
+        w = self.param(
+            "kernel",
+            lambda key, shape, dtype: (jnp.asarray(
+                nn.initializers.uniform(scale=2.0)(key, shape, dtype)) - 1.0) * stdv,
+            (self.features, in_dims),
+            jnp.float32,
+        )
+        norm_x = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        ex = (norm_x / (1.0 + norm_x)) * (x / (norm_x + self.eps))
+        ew = w / (jnp.linalg.norm(w, axis=-1, keepdims=True) + self.eps)
+        if self.lr_scale:
+            s = self.param("scale", nn.initializers.constant(5.0), (1,), jnp.float32)
+            return (s.astype(x.dtype) ** 2) * (ex @ ew.T.astype(x.dtype))
+        return self.scale * (ex @ ew.T.astype(x.dtype))
+
+
+class SEBlock(nn.Module):
+    """Squeeze-and-excitation (reference ``resnet_cifar.py:89-106``, r=4;
+    ``resnet_pytorch.py`` SE bottlenecks use r=16)."""
+
+    reduction: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        y = x.mean(axis=(1, 2))  # NHWC global average pool
+        y = nn.Dense(c // self.reduction, use_bias=False,
+                     kernel_init=kaiming_normal, name="fc1")(y)
+        y = nn.relu(y)
+        y = nn.Dense(c, use_bias=False, kernel_init=kaiming_normal, name="fc2")(y)
+        y = nn.sigmoid(y)
+        return x * y[:, None, None, :]
+
+
+def make_classifier_head(num_classes: int, use_norm: Optional[str]) -> nn.Module:
+    """Head dispatch mirroring ``resnet_cifar.py:185-192``."""
+    if use_norm == "norm":
+        return NormedLinear(num_classes)
+    if use_norm == "cosine":
+        return CosNormClassifier(num_classes)
+    if use_norm == "lr_cosine":
+        return CosNormClassifier(num_classes, lr_scale=True)
+    if use_norm in (None, "None", "", "linear"):
+        return nn.Dense(num_classes, kernel_init=kaiming_normal, name="linear")
+    raise ValueError(f"unknown classifier norm {use_norm!r}")

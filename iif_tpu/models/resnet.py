@@ -1,0 +1,215 @@
+"""ImageNet ResNet family (v1.5), flax/NHWC, TPU-native.
+
+Rebuild of the reference's forked torchvision ResNet
+(``classification/resnet_pytorch.py``): resnet18/34/50/101/152,
+resnext50_32x4d / resnext101_32x8d, wide variants, SE-bottleneck variants
+(`resnet_pytorch.py:320-381,472-551`), with the same classifier-head options
+(`:212-219`) and zero-init of the last BN gamma in each residual branch.
+
+The backbone doubles as the detection backbone: ``__call__`` with
+``return_features=True`` yields the four stage outputs (C2..C5) for FPN,
+honouring ``frozen_stages`` / ``norm_eval`` semantics of the detection
+config (reference ``mmdet/models/backbones/resnet.py``) via the
+``train_backbone`` flag.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from iif_tpu.models.layers import SEBlock, make_classifier_head
+
+# torch kaiming_normal_(mode='fan_out', relu) for convs.
+conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+BatchNorm = partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5)
+
+
+class BasicBlockV1(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    use_se: bool = False
+
+    expansion = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        identity = x
+        out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
+                      use_bias=False, kernel_init=conv_init, name="conv1")(x)
+        out = BatchNorm(use_running_average=not train, name="bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                      kernel_init=conv_init, name="conv2")(out)
+        out = BatchNorm(use_running_average=not train,
+                        scale_init=nn.initializers.zeros, name="bn2")(out)
+        if self.use_se:
+            out = SEBlock(reduction=16, name="se")(out)
+        if self.downsample:
+            identity = nn.Conv(self.planes, (1, 1), strides=self.stride,
+                               use_bias=False, kernel_init=conv_init,
+                               name="downsample_conv")(x)
+            identity = BatchNorm(use_running_average=not train,
+                                 name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    """torchvision v1.5 bottleneck: stride on the 3x3 conv."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
+    use_se: bool = False
+
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        identity = x
+        out = nn.Conv(width, (1, 1), use_bias=False, kernel_init=conv_init,
+                      name="conv1")(x)
+        out = BatchNorm(use_running_average=not train, name="bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(width, (3, 3), strides=self.stride, padding=1,
+                      feature_group_count=self.groups, use_bias=False,
+                      kernel_init=conv_init, name="conv2")(out)
+        out = BatchNorm(use_running_average=not train, name="bn2")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
+                      kernel_init=conv_init, name="conv3")(out)
+        # zero-init last BN gamma (zero_init_residual, Goyal et al.)
+        out = BatchNorm(use_running_average=not train,
+                        scale_init=nn.initializers.zeros, name="bn3")(out)
+        if self.use_se:
+            out = SEBlock(reduction=16, name="se")(out)
+        if self.downsample:
+            identity = nn.Conv(self.planes * self.expansion, (1, 1),
+                               strides=self.stride, use_bias=False,
+                               kernel_init=conv_init, name="downsample_conv")(x)
+            identity = BatchNorm(use_running_average=not train,
+                                 name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """ResNet v1.5 trunk + classifier head (or multi-scale features)."""
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+    block: str = "bottleneck"  # 'basic' | 'bottleneck'
+    num_classes: int = 1000
+    use_norm: Optional[str] = None
+    groups: int = 1
+    width_per_group: int = 64
+    use_se: bool = False
+    # Detection-backbone knobs (reference mmdet ResNet: frozen_stages=1,
+    # norm_eval=True in every IIF config).
+    frozen_stages: int = -1
+
+    def stage_widths(self) -> List[int]:
+        return [64, 128, 256, 512]
+
+    @property
+    def expansion(self) -> int:
+        return 4 if self.block == "bottleneck" else 1
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        return_features: bool = False,
+    ) -> Union[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+        block_cls = Bottleneck if self.block == "bottleneck" else BasicBlockV1
+        # Stem: 7x7/2 + maxpool 3x3/2.
+        stem_train = train and self.frozen_stages < 0
+        out = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                      kernel_init=conv_init, name="conv1")(x)
+        out = BatchNorm(use_running_average=not stem_train, name="bn1")(out)
+        out = nn.relu(out)
+        out = nn.max_pool(out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        feats = []
+        for stage, (planes, n_blocks) in enumerate(
+                zip(self.stage_widths(), self.layers), start=1):
+            stage_train = train and stage > self.frozen_stages
+            stride = 1 if stage == 1 else 2
+            for i in range(n_blocks):
+                first = i == 0
+                downsample = first and (
+                    stride != 1 or out.shape[-1] != planes * self.expansion)
+                if self.block == "bottleneck":
+                    blk = Bottleneck(
+                        planes, stride if first else 1, downsample,
+                        groups=self.groups, base_width=self.width_per_group,
+                        use_se=self.use_se, name=f"layer{stage}_{i}")
+                else:
+                    blk = BasicBlockV1(
+                        planes, stride if first else 1, downsample,
+                        use_se=self.use_se, name=f"layer{stage}_{i}")
+                out = blk(out, stage_train)
+            feats.append(out)
+
+        if return_features:
+            return tuple(feats)
+
+        out = out.mean(axis=(1, 2))
+        head = make_classifier_head(self.num_classes, self.use_norm)
+        return head(out)
+
+
+# ------------------------------------------------------------- constructors
+def resnet18(num_classes=1000, use_norm=None, **kw):
+    return ResNet((2, 2, 2, 2), "basic", num_classes, use_norm, **kw)
+
+
+def resnet34(num_classes=1000, use_norm=None, **kw):
+    return ResNet((3, 4, 6, 3), "basic", num_classes, use_norm, **kw)
+
+
+def resnet50(num_classes=1000, use_norm=None, **kw):
+    return ResNet((3, 4, 6, 3), "bottleneck", num_classes, use_norm, **kw)
+
+
+def resnet101(num_classes=1000, use_norm=None, **kw):
+    return ResNet((3, 4, 23, 3), "bottleneck", num_classes, use_norm, **kw)
+
+
+def resnet152(num_classes=1000, use_norm=None, **kw):
+    return ResNet((3, 8, 36, 3), "bottleneck", num_classes, use_norm, **kw)
+
+
+def resnext50_32x4d(num_classes=1000, use_norm=None, **kw):
+    return ResNet((3, 4, 6, 3), "bottleneck", num_classes, use_norm,
+                  groups=32, width_per_group=4, **kw)
+
+
+def resnext101_32x8d(num_classes=1000, use_norm=None, **kw):
+    return ResNet((3, 4, 23, 3), "bottleneck", num_classes, use_norm,
+                  groups=32, width_per_group=8, **kw)
+
+
+def wide_resnet50_2(num_classes=1000, use_norm=None, **kw):
+    return ResNet((3, 4, 6, 3), "bottleneck", num_classes, use_norm,
+                  width_per_group=128, **kw)
+
+
+def wide_resnet101_2(num_classes=1000, use_norm=None, **kw):
+    return ResNet((3, 4, 23, 3), "bottleneck", num_classes, use_norm,
+                  width_per_group=128, **kw)
+
+
+def se_resnet50(num_classes=1000, use_norm=None, **kw):
+    return ResNet((3, 4, 6, 3), "bottleneck", num_classes, use_norm,
+                  use_se=True, **kw)
+
+
+def se_resnext50_32x4d(num_classes=1000, use_norm=None, **kw):
+    return ResNet((3, 4, 6, 3), "bottleneck", num_classes, use_norm,
+                  groups=32, width_per_group=4, use_se=True, **kw)

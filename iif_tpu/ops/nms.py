@@ -1,0 +1,101 @@
+"""Static-shape NMS for TPU.
+
+Replaces the mmcv CUDA ``nms``/``batched_nms`` kernels used by the
+reference at RPN proposal time (``mmdet/models/dense_heads/rpn_head.py:7``)
+and final detection (``mmdet/core/post_processing/bbox_nms.py:8-97``).
+
+Algorithm: sort by score, build the (N, N) IoU matrix once (one MXU-friendly
+batched computation), then a fixed-iteration ``lax.scan``/``fori_loop`` over
+boxes in score order marking suppression — O(N^2) data-parallel work with
+static shapes instead of the CUDA bitmask kernel's dynamic output. Outputs
+are fixed-size (``max_out``) with a validity mask; suppressed slots carry
+score -inf so downstream top-k handles padding for free.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from iif_tpu.ops.boxes import bbox_overlaps
+
+
+def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float = 0.5,
+        score_threshold: float = float("-inf"),
+        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (keep_mask, order): ``keep_mask[i]`` marks survivors of the
+    score-sorted suppression sweep, aligned with the *sorted* order array."""
+    n = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    boxes_s = boxes[order]
+    scores_s = scores[order]
+    iou = bbox_overlaps(boxes_s, boxes_s)
+
+    valid0 = scores_s > score_threshold
+
+    def body(i, keep):
+        # keep[i] is final by iteration i (rows above can no longer change)
+        suppress = (iou[i] > iou_threshold) & keep[i]
+        idx = jnp.arange(n)
+        new_keep = jnp.where((idx > i) & suppress, False, keep)
+        return new_keep
+
+    keep = jax.lax.fori_loop(0, n, body, valid0)
+    return keep, order
+
+
+def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, idxs: jnp.ndarray,
+                iou_threshold: float = 0.5,
+                class_agnostic: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Category-aware NMS via the coordinate-offset trick (same as
+    torchvision/mmcv ``batched_nms``): boxes of different ``idxs`` never
+    overlap after offsetting by idx * (max_coord + 1)."""
+    if class_agnostic:
+        return nms(boxes, scores, iou_threshold)
+    max_coord = jnp.max(boxes) + 1.0
+    offsets = idxs.astype(boxes.dtype) * max_coord
+    shifted = boxes + offsets[:, None]
+    return nms(shifted, scores, iou_threshold)
+
+
+def multiclass_nms(
+    multi_bboxes: jnp.ndarray,   # (N, C*4) or (N, 4)
+    multi_scores: jnp.ndarray,   # (N, C+1), last column = background
+    score_thr: float = 0.05,
+    iou_threshold: float = 0.5,
+    max_per_img: int = 100,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Reference ``bbox_nms.py:8-97``: flatten N x C candidates, filter by
+    score_thr, class-offset NMS, keep top ``max_per_img``.
+
+    Returns fixed-shape (dets (K,4), scores (K,), labels (K,), valid (K,))
+    with K = max_per_img; invalid slots have score 0.
+    """
+    num_classes = multi_scores.shape[1] - 1
+    n = multi_scores.shape[0]
+    if multi_bboxes.shape[-1] > 4:
+        boxes = multi_bboxes.reshape(n, num_classes, 4)
+    else:
+        boxes = jnp.broadcast_to(multi_bboxes[:, None, :], (n, num_classes, 4))
+    scores = multi_scores[:, :num_classes]
+
+    boxes_flat = boxes.reshape(-1, 4)
+    scores_flat = scores.reshape(-1)
+    labels_flat = jnp.tile(jnp.arange(num_classes), (n,))
+
+    valid = scores_flat > score_thr
+    scores_masked = jnp.where(valid, scores_flat, -jnp.inf)
+
+    keep, order = batched_nms(boxes_flat, scores_masked, labels_flat,
+                              iou_threshold)
+    # survivors in score order
+    kept_scores = jnp.where(keep, scores_masked[order], -jnp.inf)
+    top_scores, top_idx = jax.lax.top_k(kept_scores, max_per_img)
+    sel = order[top_idx]
+    out_valid = top_scores > score_thr
+    dets = jnp.where(out_valid[:, None], boxes_flat[sel], 0.0)
+    out_scores = jnp.where(out_valid, scores_flat[sel], 0.0)
+    out_labels = jnp.where(out_valid, labels_flat[sel], -1)
+    return dets, out_scores, out_labels, out_valid

@@ -1,0 +1,11 @@
+from iif_tpu.parallel.mesh import (  # noqa: F401
+    initialize_distributed,
+    make_mesh,
+    data_sharding,
+    replicated,
+    shard_batch,
+    local_batch_slice,
+    is_main_process,
+    process_count,
+    process_index,
+)

@@ -1,0 +1,108 @@
+"""Device mesh & SPMD helpers — the TPU-native replacement for the
+reference's NCCL/DDP layer.
+
+Reference equivalents being replaced (see SURVEY.md §2.5):
+- ``torch.distributed`` init (`classification/utils.py:243-266`) -> JAX
+  single-controller SPMD: ``jax.distributed.initialize()`` (multi-host) and a
+  ``jax.sharding.Mesh`` over all devices; XLA inserts all-reduces over ICI.
+- DDP gradient buckets -> compiler-inserted ``psum`` from jit-sharded steps.
+- ``DistributedSampler`` per-rank shards -> per-process slices of the global
+  batch (`local_batch_slice`).
+- rank/world helpers (`utils.py:214-236`) -> ``process_index/process_count/
+  is_main_process``.
+
+The canonical layout is a 1-D ``('data',)`` mesh for pure data parallelism
+(the only strategy the reference implements); ``make_mesh`` also supports an
+optional model axis for tensor-parallel experiments.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def initialize_distributed() -> None:
+    """Initialize multi-host JAX if launched under a multi-process runtime.
+
+    Safe to call unconditionally: single-process runs are a no-op. This is
+    the analogue of `init_distributed_mode` (`classification/utils.py:243`)
+    but with zero env plumbing — JAX discovers the coordinator from its own
+    standard env vars on TPU pods.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized by the runtime
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coord:
+        jax.distributed.initialize()
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    *,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ('data', 'model') mesh. ``model=1`` (default) is pure DP."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Sharding that splits axis 0 over the data axis, replicates the rest."""
+    spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device-put a pytree of host arrays with axis-0 sharded over 'data'.
+
+    In multi-host runs each process passes its local shard; we assemble the
+    global array from per-process shards via
+    ``jax.make_array_from_process_local_data``.
+    """
+
+    def _put(x):
+        x = np.asarray(x)
+        sh = data_sharding(mesh, x.ndim)
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sh, x)
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
+def local_batch_slice(global_batch: int) -> Tuple[int, int]:
+    """(start, size) of this process's slice of a global batch — the
+    replacement for DistributedSampler rank sharding."""
+    per = global_batch // jax.process_count()
+    start = per * jax.process_index()
+    return start, per
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0

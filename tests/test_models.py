@@ -1,0 +1,83 @@
+"""Model-brick tests: param counts vs the reference table, head options,
+feature pyramid shapes."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iif_tpu.models import (
+    CosNormClassifier,
+    NormedLinear,
+    build_classifier,
+    resnet32,
+    resnet50,
+)
+
+
+def _n_params(model, shape=(1, 32, 32, 3)):
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros(shape), train=False)
+    return sum(np.prod(p.shape) for p in
+               jax.tree_util.tree_leaves(variables["params"]))
+
+
+def test_resnet32_param_count_matches_reference():
+    # exact torch count of the reference model (resnet_cifar.resnet32)
+    assert _n_params(resnet32(num_classes=10)) == 464_154
+
+
+def test_resnet20_param_count():
+    # exact torch count of the reference model (resnet_cifar.resnet20)
+    assert _n_params(build_classifier("resnet20", 10)) == 269_722
+
+
+def test_resnet50_param_count():
+    # torchvision resnet50: 25,557,032 params (1000 classes)
+    n = _n_params(resnet50(num_classes=1000), shape=(1, 64, 64, 3))
+    assert abs(n - 25_557_032) / 25_557_032 < 0.01, n
+
+
+@pytest.mark.parametrize("use_norm", [None, "norm", "cosine", "lr_cosine"])
+def test_head_options_forward(use_norm):
+    model = resnet32(num_classes=10, use_norm=use_norm)
+    x = jnp.ones((2, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 10)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_normed_linear_is_cosine():
+    layer = NormedLinear(5)
+    x = jnp.asarray(np.random.RandomState(0).randn(3, 8), jnp.float32)
+    v = layer.init(jax.random.PRNGKey(0), x)
+    out = np.asarray(layer.apply(v, x))
+    assert np.all(np.abs(out) <= 1.0 + 1e-5)  # cosine similarity bound
+    out2 = np.asarray(layer.apply(v, 10.0 * x))  # scale-invariant in x
+    np.testing.assert_allclose(out, out2, atol=1e-5)
+
+
+def test_cosnorm_squashing():
+    layer = CosNormClassifier(5, scale=16.0)
+    x = jnp.asarray(np.random.RandomState(0).randn(3, 8), jnp.float32)
+    v = layer.init(jax.random.PRNGKey(0), x)
+    out = np.asarray(layer.apply(v, x))
+    assert np.all(np.abs(out) <= 16.0 + 1e-4)  # |s * squash * cos| <= s
+
+
+def test_resnet50_feature_pyramid():
+    model = resnet50(num_classes=10)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    feats = model.apply(variables, x, train=False, return_features=True)
+    assert [f.shape for f in feats] == [
+        (1, 16, 16, 256), (1, 8, 8, 512), (1, 4, 4, 1024), (1, 2, 2, 2048)]
+
+
+def test_train_mode_updates_batch_stats():
+    model = resnet32(num_classes=10)
+    x = jnp.ones((4, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    _, mutated = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(not np.allclose(b, a) for b, a in zip(before, after))
