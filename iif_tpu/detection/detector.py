@@ -1,0 +1,286 @@
+"""MaskRCNN two-stage detector, fully static-shape.
+
+Rebuild of ``mmdet/models/detectors/two_stage.py`` / ``mask_rcnn.py`` +
+``StandardRoIHead`` (``standard_roi_head.py``): backbone -> FPN -> RPN
+(+proposals) -> RoIAlign -> bbox head (IIF) -> mask head.
+
+TPU-first structure: the flax module only holds the parameterized layers;
+all orchestration (anchor targets, proposal NMS, RoI sampling, losses)
+lives in pure functions that jit into ONE XLA program per train step —
+there is no per-image python loop, no dynamic shape, no host sync.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from iif_tpu.detection.bbox_head import (
+    BBoxTargets,
+    Shared2FCBBoxHead,
+    bbox_head_get_bboxes,
+    bbox_head_loss,
+    bbox_targets,
+)
+from iif_tpu.detection.mask_head import (
+    FCNMaskHead,
+    mask_head_loss,
+    mask_targets,
+)
+from iif_tpu.detection.necks import FPN
+from iif_tpu.detection.roi_extractor import SingleRoIExtractor
+from iif_tpu.detection.rpn import RPNHead, rpn_loss, rpn_proposals
+from iif_tpu.models.resnet import ResNet
+from iif_tpu.ops.anchors import AnchorGenerator
+
+_DEPTH_LAYERS = {18: ((2, 2, 2, 2), "basic"), 34: ((3, 4, 6, 3), "basic"),
+                 50: ((3, 4, 6, 3), "bottleneck"),
+                 101: ((3, 4, 23, 3), "bottleneck"),
+                 152: ((3, 8, 36, 3), "bottleneck")}
+
+
+class MaskRCNN(nn.Module):
+    num_classes: int = 1203
+    depth: int = 50
+    with_mask: bool = True
+    cls_predictor: str = "linear"     # 'linear' | 'normed' (cos-norm head)
+    mask_predictor: str = "conv"      # 'conv' | 'normed'
+    frozen_stages: int = 1            # reference config: frozen_stages=1
+
+    def setup(self):
+        layers, block = _DEPTH_LAYERS[self.depth]
+        self.backbone = ResNet(layers=layers, block=block,
+                               frozen_stages=self.frozen_stages,
+                               name="backbone")
+        self.neck = FPN(out_channels=256, num_outs=5, name="neck")
+        self.rpn_head = RPNHead(num_anchors=3, name="rpn_head")
+        self.bbox_head = Shared2FCBBoxHead(
+            self.num_classes, cls_predictor=self.cls_predictor,
+            name="bbox_head")
+        if self.with_mask:
+            self.mask_head = FCNMaskHead(
+                self.num_classes, predictor=self.mask_predictor,
+                name="mask_head")
+
+    # ----------------------------------------------------------- sub-passes
+    def extract_feat(self, images: jnp.ndarray, train: bool = False):
+        feats = self.backbone(images, train=train, return_features=True)
+        return self.neck(feats)
+
+    def forward_rpn(self, fpn_feats):
+        return self.rpn_head(fpn_feats)
+
+    def forward_bbox(self, roi_feats):
+        return self.bbox_head(roi_feats)
+
+    def forward_mask(self, roi_feats):
+        return self.mask_head(roi_feats)
+
+    def __call__(self, images: jnp.ndarray, train: bool = False):
+        """Init/trace path touching every submodule."""
+        feats = self.extract_feat(images, train=train)
+        rpn_out = self.rpn_head(feats)
+        c = feats[0].shape[-1]
+        dummy7 = jnp.zeros((1, 7, 7, c), feats[0].dtype)
+        bbox_out = self.bbox_head(dummy7)
+        if self.with_mask:
+            dummy14 = jnp.zeros((1, 14, 14, c), feats[0].dtype)
+            self.mask_head(dummy14)
+        return rpn_out, bbox_out
+
+
+# ------------------------------------------------------------------- config
+class DetTrainCfg(NamedTuple):
+    rpn_num_samples: int = 256
+    rpn_pos_fraction: float = 0.5
+    rpn_nms_pre: int = 1000          # candidates/level before NMS
+    rpn_max_per_img: int = 1000
+    rpn_nms_iou: float = 0.7
+    rcnn_num_samples: int = 512
+    rcnn_pos_fraction: float = 0.25
+    mask_size: int = 28
+    num_mask_rois: int = 128         # = rcnn_num_samples * pos_fraction
+
+
+class DetTestCfg(NamedTuple):
+    rpn_nms_pre: int = 1000
+    rpn_max_per_img: int = 1000
+    rpn_nms_iou: float = 0.7
+    score_thr: float = 0.05          # LVIS configs use 1e-4
+    nms_iou: float = 0.5
+    max_per_img: int = 100           # LVIS: 300
+
+
+def make_anchor_generator() -> AnchorGenerator:
+    """RPN anchors of every IIF config: scales [8], ratios [0.5,1,2],
+    strides [4, 8, 16, 32, 64]."""
+    return AnchorGenerator(strides=[4, 8, 16, 32, 64],
+                           ratios=[0.5, 1.0, 2.0], scales=[8.0])
+
+
+def fpn_shapes(img_hw: Tuple[int, int], num_levels: int = 5):
+    h, w = img_hw
+    return [(-(-h // s), -(-w // s)) for s in (4, 8, 16, 32, 64)][:num_levels]
+
+
+def maskrcnn_loss(
+    model: MaskRCNN,
+    variables: Dict[str, Any],
+    batch: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    loss_cls,                       # DetIIFLoss / DetCrossEntropyLoss
+    cfg: DetTrainCfg = DetTrainCfg(),
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, Any]]:
+    """Full forward + all losses for one global batch.
+
+    batch keys: image (B,H,W,3) normalized float; gt_boxes (B,G,4);
+    gt_labels (B,G); gt_valid (B,G); gt_masks (B,G,H',W') if with_mask;
+    img_shape (2,) static padded shape is taken from image.
+    Returns (total_loss, loss_dict, new_batch_stats).
+    """
+    images = batch["image"]
+    b, img_h, img_w, _ = images.shape
+    k_rpn, k_rcnn = jax.random.split(key)
+
+    feats, mutated = model.apply(
+        variables, images, True, method=MaskRCNN.extract_feat,
+        mutable=["batch_stats"])
+    cls_scores, bbox_preds = model.apply(
+        variables, feats, method=MaskRCNN.forward_rpn)
+
+    gen = make_anchor_generator()
+    shapes = fpn_shapes((img_h, img_w))
+    anchors_np = gen.grid_anchors(shapes)
+    anchors = jnp.asarray(np.concatenate(anchors_np, axis=0))
+    valid = jnp.asarray(np.concatenate(
+        gen.valid_flags(shapes, (img_h, img_w)), axis=0))
+
+    l_rpn_cls, l_rpn_bbox = rpn_loss(
+        cls_scores, bbox_preds, anchors, valid, batch["gt_boxes"],
+        batch["gt_valid"], k_rpn, num_samples=cfg.rpn_num_samples,
+        pos_fraction=cfg.rpn_pos_fraction)
+
+    proposals, prop_scores, prop_valid = rpn_proposals(
+        [jax.lax.stop_gradient(s) for s in cls_scores],
+        [jax.lax.stop_gradient(d) for d in bbox_preds],
+        [jnp.asarray(a) for a in anchors_np], (img_h, img_w),
+        nms_pre=cfg.rpn_nms_pre, max_per_img=cfg.rpn_max_per_img,
+        nms_iou=cfg.rpn_nms_iou)
+
+    tgts = bbox_targets(
+        k_rcnn, proposals, prop_valid, batch["gt_boxes"],
+        batch["gt_labels"], batch["gt_valid"], model.num_classes,
+        num_samples=cfg.rcnn_num_samples,
+        pos_fraction=cfg.rcnn_pos_fraction)
+
+    # flatten (B, R) rois into batch-indexed (B*R, 5)
+    r = cfg.rcnn_num_samples
+    batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.float32), r)
+    rois5 = jnp.concatenate(
+        [batch_idx[:, None], tgts.rois.reshape(-1, 4)], axis=1)
+
+    extractor = SingleRoIExtractor((7, 7))
+    roi_feats = extractor(feats[:4], rois5)
+    cls_score, bbox_pred, _ = model.apply(
+        variables, roi_feats, method=MaskRCNN.forward_bbox)
+
+    l_cls, l_bbox = bbox_head_loss(
+        cls_score, bbox_pred, tgts, loss_cls, model.num_classes)
+
+    losses = {"loss_rpn_cls": l_rpn_cls, "loss_rpn_bbox": l_rpn_bbox,
+              "loss_cls": l_cls, "loss_bbox": l_bbox}
+
+    if model.with_mask:
+        # positives live in the leading slots of each image's slate
+        m = cfg.num_mask_rois
+        pos_rois5 = rois5.reshape(b, r, 5)[:, :m].reshape(-1, 5)
+        pos_w = tgts.bbox_weights[:, :m].reshape(-1)
+        pos_gt = tgts.pos_gt_inds[:, :m].reshape(-1)
+        pos_labels = tgts.labels[:, :m].reshape(-1)
+
+        mask_extractor = SingleRoIExtractor((14, 14))
+        mask_feats = mask_extractor(feats[:4], pos_rois5)
+        mask_pred = model.apply(
+            variables, mask_feats, method=MaskRCNN.forward_mask)
+        mask_tgt = mask_targets(pos_rois5, pos_gt, batch["gt_masks"],
+                                cfg.mask_size)
+        losses["loss_mask"] = mask_head_loss(
+            mask_pred, mask_tgt, pos_labels, pos_w)
+
+    total = sum(losses.values())
+    return total, losses, mutated.get("batch_stats", {})
+
+
+def maskrcnn_simple_test(
+    model: MaskRCNN,
+    variables: Dict[str, Any],
+    images: jnp.ndarray,
+    loss_cls,
+    cfg: DetTestCfg = DetTestCfg(),
+    scale_factor: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Inference: returns fixed-shape per-image detections
+    (boxes (B,K,4), scores (B,K), labels (B,K), valid (B,K),
+    masks (B,K,28,28) probabilities for the predicted class)."""
+    b, img_h, img_w, _ = images.shape
+    feats = model.apply(variables, images, False,
+                        method=MaskRCNN.extract_feat)
+    cls_scores, bbox_preds = model.apply(
+        variables, feats, method=MaskRCNN.forward_rpn)
+
+    gen = make_anchor_generator()
+    anchors_np = gen.grid_anchors(fpn_shapes((img_h, img_w)))
+    proposals, _, prop_valid = rpn_proposals(
+        cls_scores, bbox_preds, [jnp.asarray(a) for a in anchors_np],
+        (img_h, img_w), nms_pre=cfg.rpn_nms_pre,
+        max_per_img=cfg.rpn_max_per_img, nms_iou=cfg.rpn_nms_iou)
+
+    p = proposals.shape[1]
+    batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.float32), p)
+    rois5 = jnp.concatenate(
+        [batch_idx[:, None], proposals.reshape(-1, 4)], axis=1)
+    extractor = SingleRoIExtractor((7, 7))
+    roi_feats = extractor(feats[:4], rois5)
+    cls_score, bbox_pred, _ = model.apply(
+        variables, roi_feats, method=MaskRCNN.forward_bbox)
+
+    cls_score = cls_score.reshape(b, p, -1)
+    bbox_pred = bbox_pred.reshape(b, p, -1)
+    # suppress padded proposals
+    neg_inf = jnp.full_like(cls_score, -1e9)
+    cls_score = jnp.where(prop_valid[..., None], cls_score, neg_inf)
+
+    def _one(props, cs, bp):
+        return bbox_head_get_bboxes(
+            props, cs, bp, (img_h, img_w), loss_cls,
+            scale_factor=None, score_thr=cfg.score_thr,
+            nms_iou=cfg.nms_iou, max_per_img=cfg.max_per_img,
+            num_classes=model.num_classes)
+
+    dets, scores, labels, det_valid = jax.vmap(_one)(
+        proposals, cls_score, bbox_pred)
+
+    out = {"boxes": dets, "scores": scores, "labels": labels,
+           "valid": det_valid}
+
+    if model.with_mask:
+        k = dets.shape[1]
+        batch_idx2 = jnp.repeat(jnp.arange(b, dtype=jnp.float32), k)
+        det_rois = jnp.concatenate(
+            [batch_idx2[:, None], dets.reshape(-1, 4)], axis=1)
+        mask_extractor = SingleRoIExtractor((14, 14))
+        mfeats = mask_extractor(feats[:4], det_rois)
+        mask_pred = model.apply(
+            variables, mfeats, method=MaskRCNN.forward_mask)  # (B*K,28,28,C)
+        cls_idx = jnp.clip(labels.reshape(-1), 0, model.num_classes - 1)
+        sel = jnp.take_along_axis(
+            mask_pred, cls_idx[:, None, None, None], axis=-1)[..., 0]
+        probs = jax.nn.sigmoid(sel.astype(jnp.float32))
+        out["masks"] = probs.reshape(b, k, *probs.shape[1:])
+
+    if scale_factor is not None:
+        out["boxes"] = out["boxes"] / scale_factor[:, None, :]
+    return out

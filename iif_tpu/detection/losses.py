@@ -1,0 +1,176 @@
+"""Detection-side IIF losses.
+
+Rebuild of ``mmdet/models/losses/iif_loss.py:13-202`` (and the FASA
+counter variants ``fasa_iif_loss.py`` / ``fasa_loss.py``):
+
+- per-class weights come from a precomputed CSV
+  (``lvis_files/idf_1204.csv``-format: header row with variant columns;
+  row 0 is a background placeholder). Loading drops row 0 and appends
+  1.0 for the background class (`iif_loss.py:49-50`);
+- training loss: ``CE(pred * iif_weights, label)`` (`:187-192`);
+- mmdet custom-loss protocol: ``custom_cls_channels`` -> C+1 channels
+  (`:58,80-90`), ``custom_activation`` -> ``softmax(iif * score)``
+  (`:65-78`), ``custom_accuracy`` (`:92-107`);
+- the FASA variants accumulate per-class summed losses between
+  ``open_cums``/``close_cums`` for adaptive sampling — here the
+  accumulation is *functional*: the loss returns per-class sums alongside
+  the scalar so the caller can fold them into train state (no global
+  mutable buffers inside jit).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iif_tpu.losses.ce import softmax_cross_entropy
+from iif_tpu.registry import LOSSES
+
+
+def load_iif_csv(path: str, variant: str = "raw") -> np.ndarray:
+    """Read a reference-format IDF csv column; drop the row-0 background
+    placeholder and append bg weight 1.0 (``iif_loss.py:47-50``).
+
+    Returns (C+1,) float32 where the last entry is the background class.
+    """
+    import pandas as pd
+
+    col = pd.read_csv(path)[variant].tolist()
+    weights = list(col[1:]) + [1.0]
+    return np.asarray(weights, dtype=np.float32)
+
+
+def compute_det_iif_from_counts(image_counts: Sequence[int],
+                                num_images_total: int,
+                                variant: str = "raw") -> np.ndarray:
+    """Generate detection IIF weights directly from per-class *image*
+    frequencies (what the reference precomputed offline into the CSVs —
+    SURVEY.md §3.5). Appends bg weight 1.0."""
+    from iif_tpu.losses.iif import compute_iif_weights
+
+    counts = np.asarray(image_counts, dtype=np.float64)
+    # detection IIF uses image frequency n_c / N over the image corpus
+    freqs = np.maximum(counts, 1.0)
+    fake_counts = freqs * (num_images_total / freqs.sum())
+    w = np.asarray(compute_iif_weights(fake_counts, variant))
+    return np.concatenate([w, [1.0]]).astype(np.float32)
+
+
+@LOSSES.register()
+@dataclasses.dataclass
+class DetIIFLoss:
+    """IIF CE for the (C+1)-way detection classifier."""
+
+    weights: jnp.ndarray          # (C+1,) incl. background
+    loss_weight: float = 1.0
+
+    # mmdet custom-loss protocol flags (`iif_loss.py:58-107`)
+    custom_cls_channels = True
+    custom_activation = True
+    custom_accuracy = True
+
+    @property
+    def num_classes(self) -> int:
+        return self.weights.shape[0] - 1
+
+    def get_cls_channels(self, num_classes: int) -> int:
+        return num_classes + 1
+
+    def __call__(self, cls_score: jnp.ndarray, labels: jnp.ndarray,
+                 weight: Optional[jnp.ndarray] = None,
+                 avg_factor: Optional[jnp.ndarray] = None,
+                 reduction: str = "mean") -> jnp.ndarray:
+        scaled = cls_score * self.weights.astype(cls_score.dtype)
+        per = softmax_cross_entropy(scaled, labels)
+        if weight is not None:
+            per = per * weight.astype(per.dtype)
+        if reduction == "none":
+            return self.loss_weight * per
+        total = per.sum()
+        if avg_factor is None:
+            avg_factor = (jnp.ones_like(per).sum() if weight is None
+                          else weight.sum())
+        return self.loss_weight * total / jnp.maximum(avg_factor, 1.0)
+
+    def per_class_sums(self, cls_score: jnp.ndarray, labels: jnp.ndarray,
+                       weight: Optional[jnp.ndarray] = None
+                       ) -> jnp.ndarray:
+        """FASA cum-loss counters (`fasa_iif_loss.py:154-161`): summed
+        per-sample loss bucketed by label, (C+1,)."""
+        per = self(cls_score, labels, weight=weight, reduction="none")
+        onehot = jax.nn.one_hot(labels, self.weights.shape[0],
+                                dtype=per.dtype)
+        return (onehot * per[:, None]).sum(axis=0)
+
+    def get_activation(self, cls_score: jnp.ndarray) -> jnp.ndarray:
+        """Inference scores = softmax(iif * score) (`iif_loss.py:65-78`)."""
+        return jax.nn.softmax(
+            cls_score.astype(jnp.float32)
+            * self.weights.astype(jnp.float32), axis=-1)
+
+    def get_accuracy(self, cls_score: jnp.ndarray, labels: jnp.ndarray
+                     ) -> jnp.ndarray:
+        pred = (cls_score * self.weights.astype(cls_score.dtype)).argmax(-1)
+        return (pred == labels).mean() * 100.0
+
+
+jax.tree_util.register_pytree_node(
+    DetIIFLoss,
+    lambda l: ((l.weights,), (l.loss_weight,)),
+    lambda aux, ch: DetIIFLoss(ch[0], aux[0]),
+)
+
+
+@LOSSES.register()
+@dataclasses.dataclass
+class DetCrossEntropyLoss:
+    """Plain (C+1)-way CE with the same calling convention (the baseline
+    ``CrossEntropyLoss`` of stock mmdet configs, plus the FASA counter
+    variant ``fasa_loss.py:10-101`` via ``per_class_sums``)."""
+
+    num_classes: int = 0
+    loss_weight: float = 1.0
+    custom_cls_channels = False
+    custom_activation = False
+    custom_accuracy = False
+
+    def __call__(self, cls_score, labels, weight=None, avg_factor=None,
+                 reduction: str = "mean"):
+        per = softmax_cross_entropy(cls_score, labels)
+        if weight is not None:
+            per = per * weight.astype(per.dtype)
+        if reduction == "none":
+            return self.loss_weight * per
+        if avg_factor is None:
+            avg_factor = (jnp.ones_like(per).sum() if weight is None
+                          else weight.sum())
+        return self.loss_weight * per.sum() / jnp.maximum(avg_factor, 1.0)
+
+    def per_class_sums(self, cls_score, labels, weight=None):
+        per = self(cls_score, labels, weight=weight, reduction="none")
+        onehot = jax.nn.one_hot(labels, cls_score.shape[-1], dtype=per.dtype)
+        return (onehot * per[:, None]).sum(axis=0)
+
+    def get_activation(self, cls_score):
+        return jax.nn.softmax(cls_score.astype(jnp.float32), axis=-1)
+
+
+jax.tree_util.register_pytree_node(
+    DetCrossEntropyLoss,
+    lambda l: ((), (l.num_classes, l.loss_weight)),
+    lambda aux, ch: DetCrossEntropyLoss(aux[0], aux[1]),
+)
+
+
+def smooth_l1_loss(pred: jnp.ndarray, target: jnp.ndarray,
+                   beta: float = 1.0) -> jnp.ndarray:
+    diff = jnp.abs(pred - target)
+    return jnp.where(diff < beta, 0.5 * diff * diff / beta,
+                     diff - 0.5 * beta)
+
+
+def l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.abs(pred - target)

@@ -1,0 +1,129 @@
+"""FCN mask head + mask targets + paste-back.
+
+Rebuild of ``mmdet/models/roi_heads/mask_heads/fcn_mask_head.py`` (4x conv
++ 2x deconv + 1x1 per-class mask logits at 28x28; BCE on positive RoIs)
+and ``mmdet/core/mask/mask_target.py:7-127`` (GT masks cropped to 28x28
+with roi_align). The optional cosine-normalized ``NormedConv2d`` predictor
+(``normed_predictor.py:78-124``) is the FASA cos-norm configuration.
+
+Mask pasting (``_do_paste_mask``, ``fcn_mask_head.py:179-343``) becomes a
+single fused scale-and-translate per detection — no GPU_MEM_LIMIT chunking
+needed; XLA tiles it.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from iif_tpu.ops.roi_align import roi_align
+
+
+class NormedConv2d(nn.Module):
+    """1x1 cosine conv: normalized features @ normalized kernels, scaled by
+    temperature (``normed_predictor.py:78-124``)."""
+
+    features: int
+    temperature: float = 20.0
+    eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (x.shape[-1], self.features), jnp.float32)
+        w = w / (jnp.linalg.norm(w, axis=0, keepdims=True) + self.eps)
+        xn = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + self.eps)
+        return self.temperature * (xn @ w.astype(x.dtype))
+
+
+class FCNMaskHead(nn.Module):
+    num_classes: int
+    num_convs: int = 4
+    conv_out_channels: int = 256
+    predictor: str = "conv"      # 'conv' | 'normed'
+    temperature: float = 20.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(R, 14, 14, C_in) -> mask logits (R, 28, 28, num_classes)."""
+        for i in range(self.num_convs):
+            x = nn.relu(nn.Conv(
+                self.conv_out_channels, (3, 3), padding=1,
+                kernel_init=nn.initializers.variance_scaling(
+                    2.0, "fan_out", "normal"),
+                name=f"conv{i}")(x))
+        x = nn.relu(nn.ConvTranspose(
+            self.conv_out_channels, (2, 2), strides=(2, 2),
+            name="upsample")(x))
+        if self.predictor == "normed":
+            return NormedConv2d(self.num_classes,
+                                temperature=self.temperature,
+                                name="conv_logits")(x)
+        return nn.Conv(self.num_classes, (1, 1),
+                       kernel_init=nn.initializers.normal(0.001),
+                       name="conv_logits")(x)
+
+
+def mask_targets(
+    pos_rois: jnp.ndarray,     # (R, 5) batch-indexed rois (positives)
+    pos_gt_inds: jnp.ndarray,  # (R,) matched gt index within image
+    gt_masks: jnp.ndarray,     # (B, G, H, W) binary
+    mask_size: int = 28,
+) -> jnp.ndarray:
+    """Crop each positive RoI's matched GT mask to mask_size^2 via the same
+    RoIAlign kernel (``mask_target.py:7-127``). Returns (R, S, S)."""
+    b, g, h, w = gt_masks.shape
+    flat = gt_masks.reshape(b * g, h, w, 1).astype(jnp.float32)
+    flat_idx = pos_rois[:, 0].astype(jnp.int32) * g + pos_gt_inds
+    rois = jnp.concatenate(
+        [flat_idx[:, None].astype(pos_rois.dtype), pos_rois[:, 1:]], axis=1)
+    crops = roi_align(flat, rois, (mask_size, mask_size), spatial_scale=1.0,
+                      sampling_ratio=0, aligned=True)
+    return (crops[..., 0] >= 0.5).astype(jnp.float32)
+
+
+def mask_head_loss(
+    mask_pred: jnp.ndarray,    # (R, S, S, C)
+    mask_tgt: jnp.ndarray,     # (R, S, S)
+    labels: jnp.ndarray,       # (R,)
+    pos_weight: jnp.ndarray,   # (R,) 1 for real positives
+) -> jnp.ndarray:
+    """Per-pixel BCE on the gt-class channel (``fcn_mask_head.py:148-178``),
+    averaged over positive RoIs."""
+    c = mask_pred.shape[-1]
+    cls = jnp.clip(labels, 0, c - 1)
+    pred = jnp.take_along_axis(
+        mask_pred, cls[:, None, None, None], axis=-1)[..., 0]
+    pred = pred.astype(jnp.float32)
+    bce = (jnp.maximum(pred, 0) - pred * mask_tgt
+           + jnp.log1p(jnp.exp(-jnp.abs(pred))))
+    per_roi = bce.mean(axis=(1, 2))
+    return (per_roi * pos_weight).sum() / jnp.maximum(pos_weight.sum(), 1.0)
+
+
+def paste_masks(
+    mask_pred: jnp.ndarray,    # (R, S, S) sigmoid probabilities (gt class)
+    boxes: jnp.ndarray,        # (R, 4) detection boxes in image coords
+    img_shape: Tuple[int, int],
+    threshold: float = 0.5,
+) -> jnp.ndarray:
+    """Paste each 28x28 mask into the full image (``_do_paste_mask``):
+    one scale_and_translate per RoI, fully batched. Returns (R, H, W) bool."""
+    h, w = img_shape
+    s = mask_pred.shape[-1]
+
+    def _one(m, box):
+        x1, y1, x2, y2 = box
+        bw = jnp.maximum(x2 - x1, 1.0)
+        bh = jnp.maximum(y2 - y1, 1.0)
+        scale = jnp.stack([bh / s, bw / s])
+        translation = jnp.stack([y1, x1])
+        out = jax.image.scale_and_translate(
+            m[..., None], (h, w, 1), (0, 1), scale, translation,
+            method="bilinear")[..., 0]
+        return out
+
+    pasted = jax.vmap(_one)(mask_pred, boxes)
+    return pasted >= threshold

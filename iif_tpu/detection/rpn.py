@@ -1,0 +1,161 @@
+"""RPN head: per-level objectness + box-delta convs, anchor-target loss,
+and static-shape proposal generation.
+
+Rebuild of ``mmdet/models/dense_heads/rpn_head.py`` (+ the AnchorHead
+train path ``anchor_head.py``): a 3x3 conv trunk then 1x1 objectness and
+4A-delta convs on every FPN level; training assigns anchors with MaxIoU
+(pos 0.7 / neg 0.3, low-quality 0.3) and samples 256 anchors at
+pos_fraction 0.5; proposals take per-level top-``nms_pre`` candidates,
+decode, then level-aware NMS and global top-``max_per_img``
+(``rpn_head.py:80-244``).
+
+TPU-first deltas: the per-image python loops become ``vmap`` over padded
+(B, A_total) tensors; NMS output is a fixed ``max_per_img`` slate with a
+validity mask; all anchors enter as closed-over constants.
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from iif_tpu.ops.assigner import max_iou_assign
+from iif_tpu.ops.boxes import bbox2delta, delta2bbox
+from iif_tpu.ops.nms import batched_nms
+from iif_tpu.ops.sampler import random_sample_pos_neg
+
+normal_init = nn.initializers.normal(stddev=0.01)
+
+
+class RPNHead(nn.Module):
+    feat_channels: int = 256
+    num_anchors: int = 3
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]
+                 ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+        conv = nn.Conv(self.feat_channels, (3, 3), padding=1,
+                       kernel_init=normal_init, name="rpn_conv")
+        cls_conv = nn.Conv(self.num_anchors, (1, 1), kernel_init=normal_init,
+                           name="rpn_cls")
+        reg_conv = nn.Conv(self.num_anchors * 4, (1, 1),
+                           kernel_init=normal_init, name="rpn_reg")
+        cls_scores, bbox_preds = [], []
+        for x in feats:
+            t = nn.relu(conv(x))
+            cls_scores.append(cls_conv(t))
+            bbox_preds.append(reg_conv(t))
+        return cls_scores, bbox_preds
+
+
+def _flatten_levels(cls_scores, bbox_preds):
+    """[(B,H,W,A)], [(B,H,W,A*4)] -> (B, A_tot), (B, A_tot, 4)."""
+    b = cls_scores[0].shape[0]
+    scores = jnp.concatenate(
+        [s.reshape(b, -1) for s in cls_scores], axis=1)
+    deltas = jnp.concatenate(
+        [d.reshape(b, -1, 4) for d in bbox_preds], axis=1)
+    return scores, deltas
+
+
+def rpn_loss(
+    cls_scores: Sequence[jnp.ndarray],
+    bbox_preds: Sequence[jnp.ndarray],
+    anchors: jnp.ndarray,        # (A_tot, 4) concat over levels
+    valid_mask: jnp.ndarray,     # (A_tot,) anchors inside image
+    gt_boxes: jnp.ndarray,       # (B, G, 4) padded
+    gt_valid: jnp.ndarray,       # (B, G)
+    key: jax.Array,
+    num_samples: int = 256,
+    pos_fraction: float = 0.5,
+    pos_iou_thr: float = 0.7,
+    neg_iou_thr: float = 0.3,
+    min_pos_iou: float = 0.3,
+    target_means=(0.0, 0.0, 0.0, 0.0),
+    target_stds=(1.0, 1.0, 1.0, 1.0),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (loss_cls, loss_bbox) — BCE objectness + L1 on positives,
+    both normalized by the number of sampled anchors (mmdet convention)."""
+    scores, deltas = _flatten_levels(cls_scores, bbox_preds)
+    b = scores.shape[0]
+    keys = jax.random.split(key, b)
+
+    def _one(score, delta, gtb, gtv, k):
+        assigned, _ = max_iou_assign(
+            anchors, gtb, gtv, pos_iou_thr, neg_iou_thr, min_pos_iou)
+        # anchors outside the image are ignored
+        assigned = jnp.where(valid_mask, assigned, -1)
+        inds, is_pos, sample_valid = random_sample_pos_neg(
+            k, assigned, num=num_samples, pos_fraction=pos_fraction)
+        labels = is_pos.astype(jnp.float32)
+        w = sample_valid.astype(jnp.float32)
+        s = score[inds]
+        # BCE with logits
+        cls = (jnp.maximum(s, 0) - s * labels
+               + jnp.log1p(jnp.exp(-jnp.abs(s))))
+        loss_cls = (cls * w).sum()
+
+        gt_idx = jnp.clip(assigned[inds] - 1, 0, gtb.shape[0] - 1)
+        tgt = bbox2delta(anchors[inds], gtb[gt_idx], target_means, target_stds)
+        l1 = jnp.abs(delta[inds] - tgt).sum(-1)
+        loss_bbox = (l1 * labels * w).sum()
+        return loss_cls, loss_bbox, w.sum()
+
+    lc, lb, n = jax.vmap(_one)(scores, deltas, gt_boxes, gt_valid, keys)
+    denom = jnp.maximum(n.sum(), 1.0)
+    return lc.sum() / denom, lb.sum() / denom
+
+
+def rpn_proposals(
+    cls_scores: Sequence[jnp.ndarray],
+    bbox_preds: Sequence[jnp.ndarray],
+    anchors_per_level: Sequence[jnp.ndarray],
+    img_shape: Tuple[int, int],
+    nms_pre: int = 1000,
+    max_per_img: int = 1000,
+    nms_iou: float = 0.7,
+    min_bbox_size: float = 0.0,
+    target_means=(0.0, 0.0, 0.0, 0.0),
+    target_stds=(1.0, 1.0, 1.0, 1.0),
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (proposals (B, P, 4), scores (B, P), valid (B, P)),
+    P = max_per_img. Fixed shapes throughout."""
+    b = cls_scores[0].shape[0]
+    cand_boxes, cand_scores, cand_lvl = [], [], []
+    for lvl, (s, d, anc) in enumerate(zip(cls_scores, bbox_preds,
+                                          anchors_per_level)):
+        s = jax.nn.sigmoid(s.reshape(b, -1).astype(jnp.float32))
+        d = d.reshape(b, -1, 4)
+        k = min(nms_pre, s.shape[1])
+        top_s, top_i = jax.lax.top_k(s, k)
+        anc_b = jnp.broadcast_to(anc[None], (b,) + anc.shape)
+        sel_anc = jnp.take_along_axis(anc_b, top_i[..., None], axis=1)
+        sel_d = jnp.take_along_axis(d, top_i[..., None], axis=1)
+        boxes = delta2bbox(sel_anc, sel_d, target_means, target_stds,
+                           max_shape=img_shape)
+        cand_boxes.append(boxes)
+        cand_scores.append(top_s)
+        cand_lvl.append(jnp.full((b, k), lvl, jnp.int32))
+    boxes = jnp.concatenate(cand_boxes, axis=1)
+    scores = jnp.concatenate(cand_scores, axis=1)
+    lvls = jnp.concatenate(cand_lvl, axis=1)
+
+    if min_bbox_size >= 0:
+        w = boxes[..., 2] - boxes[..., 0]
+        h = boxes[..., 3] - boxes[..., 1]
+        ok = (w > min_bbox_size) & (h > min_bbox_size)
+        scores = jnp.where(ok, scores, -jnp.inf)
+
+    def _one(bx, sc, lv):
+        keep, order = batched_nms(bx, sc, lv, nms_iou)
+        kept = jnp.where(keep, sc[order], -jnp.inf)
+        top_s, top_i = jax.lax.top_k(kept, max_per_img)
+        sel = order[top_i]
+        valid = jnp.isfinite(top_s)
+        return jnp.where(valid[:, None], bx[sel], 0.0), \
+            jnp.where(valid, sc[sel], 0.0), valid
+
+    return jax.vmap(_one)(boxes, scores, lvls)

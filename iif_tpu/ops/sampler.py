@@ -25,7 +25,12 @@ def _masked_topk_choice(key: jax.Array, mask: jnp.ndarray, k: int
     n = mask.shape[0]
     noise = jax.random.uniform(key, (n,))
     scores = jnp.where(mask, noise, -1.0)
-    top_scores, idx = jax.lax.top_k(scores, k)
+    k_eff = min(k, n)
+    top_scores, idx = jax.lax.top_k(scores, k_eff)
+    if k_eff < k:  # candidate pool smaller than request: pad
+        top_scores = jnp.concatenate(
+            [top_scores, jnp.full(k - k_eff, -1.0, top_scores.dtype)])
+        idx = jnp.concatenate([idx, jnp.zeros(k - k_eff, idx.dtype)])
     valid = top_scores >= 0.0
     idx = jnp.where(valid, idx, jnp.argmax(mask.astype(jnp.int32)))
     return idx, valid
