@@ -1,0 +1,189 @@
+"""COCO / LVIS detection datasets — pure-json, no pycocotools.
+
+Rebuild of ``mmdet/datasets/coco.py`` (ann loading + filtering) and
+``mmdet/datasets/lvis.py`` (LVIS v0.5/v1 specifics: ``neg_category_ids``,
+``not_exhaustive_category_ids``, image urls carrying file names), plus the
+``ClassBalancedDataset`` repeat-factor wrapper
+(``dataset_wrappers.py:175-287``) and the aspect-ratio ``GroupSampler``
+(``samplers/group_sampler.py``) expressed as a deterministic epoch-order
+function.
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from iif_tpu.registry import DATASETS
+
+
+class CocoStyleDataset:
+    """Annotation container for COCO-format json (incl. LVIS).
+
+    Exposes per-image records ``{file_name, width, height, ann}`` where
+    ``ann`` carries padded-ready numpy arrays (boxes xyxy, labels as
+    contiguous 0..C-1 ids, segmentation objects).
+    """
+
+    def __init__(self, ann_file: str, img_prefix: str = "",
+                 filter_empty_gt: bool = True, min_size: int = 32,
+                 lvis_style: bool = False):
+        self.img_prefix = img_prefix
+        self.lvis_style = lvis_style
+        with open(ann_file) as f:
+            data = json.load(f)
+
+        cats = sorted(data["categories"], key=lambda c: c["id"])
+        self.cat_ids = [c["id"] for c in cats]
+        self.CLASSES = [c["name"] for c in cats]
+        self.cat2label = {cid: i for i, cid in enumerate(self.cat_ids)}
+        # per-category image counts (drives IIF weights + repeat factors)
+        self.cat_image_counts = {c["id"]: c.get("image_count", 0)
+                                 for c in cats}
+
+        anns_by_img: Dict[int, List[dict]] = defaultdict(list)
+        for a in data.get("annotations", []):
+            anns_by_img[a["image_id"]].append(a)
+
+        self.img_infos: List[dict] = []
+        for img in data["images"]:
+            file_name = img.get("file_name")
+            if file_name is None and "coco_url" in img:  # LVIS v1
+                file_name = img["coco_url"].replace(
+                    "http://images.cocodataset.org/", "")
+            rec = {
+                "id": img["id"],
+                "file_name": file_name,
+                "width": img["width"],
+                "height": img["height"],
+                "neg_category_ids": img.get("neg_category_ids", []),
+                "not_exhaustive_category_ids":
+                    img.get("not_exhaustive_category_ids", []),
+                "anns": anns_by_img.get(img["id"], []),
+            }
+            self.img_infos.append(rec)
+
+        if filter_empty_gt:
+            self.img_infos = [
+                r for r in self.img_infos
+                if any(not a.get("iscrowd", 0) for a in r["anns"])
+                and min(r["width"], r["height"]) >= min_size]
+
+        self.flag = np.array(
+            [1 if r["width"] / r["height"] > 1 else 0
+             for r in self.img_infos], np.uint8)
+
+    def __len__(self) -> int:
+        return len(self.img_infos)
+
+    def get_ann(self, idx: int) -> Dict:
+        """Parsed annotations (``coco.py:38-96`` _parse_ann_info)."""
+        rec = self.img_infos[idx]
+        w, h = rec["width"], rec["height"]
+        boxes, labels, segms, crowd_boxes = [], [], [], []
+        for a in rec["anns"]:
+            x, y, bw, bh = a["bbox"]
+            x1, y1 = max(x, 0), max(y, 0)
+            x2, y2 = min(x + bw, w), min(y + bh, h)
+            if a.get("area", bw * bh) <= 0 or x2 <= x1 or y2 <= y1:
+                continue
+            if a.get("category_id") not in self.cat2label:
+                continue
+            if a.get("iscrowd", 0):
+                crowd_boxes.append([x1, y1, x2, y2])
+                continue
+            boxes.append([x1, y1, x2, y2])
+            labels.append(self.cat2label[a["category_id"]])
+            segms.append(a.get("segmentation"))
+        return {
+            "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+            "labels": np.asarray(labels, np.int64),
+            "segms": segms,
+            "crowd_boxes": np.asarray(crowd_boxes, np.float32).reshape(-1, 4),
+            "width": w,
+            "height": h,
+        }
+
+    def image_path(self, idx: int) -> str:
+        return os.path.join(self.img_prefix, self.img_infos[idx]["file_name"])
+
+    def class_image_counts(self) -> np.ndarray:
+        """Per-class image counts: from LVIS ``image_count`` metadata when
+        present, else counted from annotations."""
+        counts = np.zeros(len(self.CLASSES), np.int64)
+        meta = [self.cat_image_counts.get(cid, 0) for cid in self.cat_ids]
+        if any(meta):
+            return np.asarray(meta, np.int64)
+        for rec in self.img_infos:
+            seen = {self.cat2label[a["category_id"]] for a in rec["anns"]
+                    if a.get("category_id") in self.cat2label}
+            for l in seen:
+                counts[l] += 1
+        return counts
+
+
+DATASETS.register(name="CocoDataset", module=CocoStyleDataset)
+
+
+@DATASETS.register(name="LVISV1Dataset")
+class LVISV1Dataset(CocoStyleDataset):
+    def __init__(self, ann_file: str, img_prefix: str = "", **kw):
+        super().__init__(ann_file, img_prefix, lvis_style=True, **kw)
+
+
+def repeat_factors(dataset: CocoStyleDataset, oversample_thr: float
+                   ) -> np.ndarray:
+    """LVIS repeat-factor sampling (``ClassBalancedDataset``,
+    ``dataset_wrappers.py:230-276``): category factor
+    ``r(c) = max(1, sqrt(t / f(c)))`` with f(c) the fraction of images
+    containing c; image factor ``r(I) = max_{c in I} r(c)``."""
+    n = len(dataset)
+    cat_freq: Dict[int, float] = defaultdict(float)
+    img_cats: List[set] = []
+    for rec in dataset.img_infos:
+        cats = {a["category_id"] for a in rec["anns"]
+                if a.get("category_id") in dataset.cat2label}
+        img_cats.append(cats)
+        for c in cats:
+            cat_freq[c] += 1
+    for c in cat_freq:
+        cat_freq[c] /= n
+    cat_repeat = {
+        c: max(1.0, math.sqrt(oversample_thr / f)) for c, f in cat_freq.items()
+    }
+    out = np.ones(n)
+    for i, cats in enumerate(img_cats):
+        if cats:
+            out[i] = max(cat_repeat[c] for c in cats)
+    return out
+
+
+def expand_indices_by_repeat(factors: np.ndarray) -> np.ndarray:
+    """Stochastic-free expansion used by mmdet: ceil() the factors."""
+    out = []
+    for i, f in enumerate(factors):
+        out.extend([i] * int(math.ceil(f)))
+    return np.asarray(out, np.int64)
+
+
+def group_epoch_order(flags: np.ndarray, indices: np.ndarray, epoch: int,
+                      samples_per_gpu: int, seed: int = 0) -> np.ndarray:
+    """Aspect-ratio-homogeneous batch order (``GroupSampler`` /
+    ``DistributedGroupSampler``): shuffle within each aspect group, chunk
+    into GPU-batches, shuffle the chunks."""
+    rng = np.random.RandomState(seed + epoch)
+    chunks = []
+    for g in np.unique(flags[indices]):
+        members = indices[flags[indices] == g]
+        rng.shuffle(members)
+        pad = (-len(members)) % samples_per_gpu
+        if pad:
+            members = np.concatenate([members, members[:pad]])
+        chunks.extend(members.reshape(-1, samples_per_gpu))
+    order = np.arange(len(chunks))
+    rng.shuffle(order)
+    return np.concatenate([chunks[i] for i in order]) if chunks else indices

@@ -1,0 +1,285 @@
+"""COCO / LVIS detection & instance-segmentation evaluation, pure numpy.
+
+From-scratch replacement for pycocotools ``COCOeval`` and the lvis-api
+``LVISEval`` the reference invokes (``mmdet/datasets/lvis.py:309-470``,
+``coco.py:362``): greedy score-ordered matching per (category, image) at 10
+IoU thresholds, 101-point interpolated AP, area-range breakdowns, and the
+LVIS protocol extras — per-category evaluation restricted to images where
+the category is positively or negatively annotated, AP_r/AP_c/AP_f buckets
+by training image_count (rare <10, common 10-100, frequent >100), and
+max_dets=300.
+
+Detections arrive as a flat list of dicts:
+``{image_id, category_id, bbox [x,y,w,h], score, segmentation?}`` —
+exactly the COCO results-json schema the reference's ``results2json``
+emits, so dumps are interchangeable.
+"""
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from iif_tpu.detection.mask_utils import rle_iou
+
+IOU_THRS = np.linspace(0.5, 0.95, 10)
+REC_THRS = np.linspace(0.0, 1.0, 101)
+AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
+
+
+def _box_iou_xywh(dt: np.ndarray, gt: np.ndarray,
+                  iscrowd: np.ndarray) -> np.ndarray:
+    """(D, G) IoU for xywh boxes; crowd gt uses IoF (pycocotools)."""
+    if len(dt) == 0 or len(gt) == 0:
+        return np.zeros((len(dt), len(gt)))
+    dx1, dy1 = dt[:, 0], dt[:, 1]
+    dx2, dy2 = dt[:, 0] + dt[:, 2], dt[:, 1] + dt[:, 3]
+    gx1, gy1 = gt[:, 0], gt[:, 1]
+    gx2, gy2 = gt[:, 0] + gt[:, 2], gt[:, 1] + gt[:, 3]
+    ix1 = np.maximum(dx1[:, None], gx1[None])
+    iy1 = np.maximum(dy1[:, None], gy1[None])
+    ix2 = np.minimum(dx2[:, None], gx2[None])
+    iy2 = np.minimum(dy2[:, None], gy2[None])
+    inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+    d_area = dt[:, 2] * dt[:, 3]
+    g_area = gt[:, 2] * gt[:, 3]
+    union = np.where(iscrowd[None, :], d_area[:, None],
+                     d_area[:, None] + g_area[None] - inter)
+    return np.where(union > 0, inter / np.maximum(union, 1e-10), 0.0)
+
+
+class _ImgCatResult:
+    __slots__ = ("dt_scores", "dt_matched", "dt_ignore", "n_gt")
+
+    def __init__(self, dt_scores, dt_matched, dt_ignore, n_gt):
+        self.dt_scores = dt_scores      # (D,)
+        self.dt_matched = dt_matched    # (T, D) bool: matched a real gt
+        self.dt_ignore = dt_ignore      # (T, D) bool
+        self.n_gt = n_gt                # non-ignored gt count
+
+
+def _evaluate_img_cat(dts: List[dict], gts: List[dict], iou_type: str,
+                      area_rng: Tuple[float, float], max_dets: int
+                      ) -> Optional[_ImgCatResult]:
+    if not dts and not gts:
+        return None
+    # gt ignore flags: crowd or outside area range
+    g_ignore = np.array([
+        bool(g.get("iscrowd", 0)) or g.get("ignore", False)
+        or not (area_rng[0] <= g.get("area", g["bbox"][2] * g["bbox"][3])
+                < area_rng[1])
+        for g in gts], bool)
+    order_g = np.argsort(g_ignore, kind="stable")  # real gts first
+    gts = [gts[i] for i in order_g]
+    g_ignore = g_ignore[order_g]
+
+    dts = sorted(dts, key=lambda d: -d["score"])[:max_dets]
+    dt_scores = np.array([d["score"] for d in dts])
+
+    if iou_type == "segm":
+        iscrowd = [bool(g.get("iscrowd", 0)) for g in gts]
+        ious = rle_iou([d["segmentation"] for d in dts],
+                       [g["segmentation"] for g in gts], iscrowd)
+    else:
+        iscrowd = np.array([bool(g.get("iscrowd", 0)) for g in gts])
+        ious = _box_iou_xywh(
+            np.array([d["bbox"] for d in dts]).reshape(-1, 4),
+            np.array([g["bbox"] for g in gts]).reshape(-1, 4), iscrowd)
+
+    T, D, G = len(IOU_THRS), len(dts), len(gts)
+    dt_matched = np.zeros((T, D), bool)
+    dt_ignore = np.zeros((T, D), bool)
+    for t, thr in enumerate(IOU_THRS):
+        g_taken = np.zeros(G, bool)
+        for d in range(D):
+            best, best_g = min(thr, 1 - 1e-10), -1
+            for g in range(G):
+                if g_taken[g] and not g_ignore[g]:
+                    continue
+                # real matches found; don't switch to an ignored gt
+                if best_g > -1 and not g_ignore[best_g] and g_ignore[g]:
+                    break
+                if ious[d, g] < best:
+                    continue
+                best = ious[d, g]
+                best_g = g
+            if best_g == -1:
+                # unmatched dt outside the area range is ignored
+                a = dts[d]["bbox"][2] * dts[d]["bbox"][3]
+                if iou_type == "segm" and "area" in dts[d]:
+                    a = dts[d]["area"]
+                dt_ignore[t, d] = not (area_rng[0] <= a < area_rng[1])
+            else:
+                dt_matched[t, d] = not g_ignore[best_g]
+                dt_ignore[t, d] = g_ignore[best_g]
+                if not g_ignore[best_g]:
+                    g_taken[best_g] = True
+    return _ImgCatResult(dt_scores, dt_matched, dt_ignore,
+                         int((~g_ignore).sum()))
+
+
+def _accumulate(results: List[_ImgCatResult]) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-category precision (T, R) and recall (T,) arrays."""
+    T, R = len(IOU_THRS), len(REC_THRS)
+    precision = -np.ones((T, R))
+    recall = -np.ones(T)
+    results = [r for r in results if r is not None]
+    if not results:
+        return precision, recall
+    n_gt = sum(r.n_gt for r in results)
+    if n_gt == 0:
+        return precision, recall
+    scores = np.concatenate([r.dt_scores for r in results])
+    order = np.argsort(-scores, kind="mergesort")
+    matched = np.concatenate([r.dt_matched for r in results], axis=1)[:, order]
+    ignored = np.concatenate([r.dt_ignore for r in results], axis=1)[:, order]
+
+    for t in range(T):
+        m = matched[t][~ignored[t]]
+        tp = np.cumsum(m)
+        fp = np.cumsum(~m)
+        if len(tp) == 0:
+            precision[t] = 0.0
+            recall[t] = 0.0
+            continue
+        rc = tp / n_gt
+        pr = tp / np.maximum(tp + fp, 1e-10)
+        recall[t] = rc[-1]
+        # monotone non-increasing envelope
+        for i in range(len(pr) - 1, 0, -1):
+            pr[i - 1] = max(pr[i - 1], pr[i])
+        inds = np.searchsorted(rc, REC_THRS, side="left")
+        q = np.zeros(R)
+        valid = inds < len(pr)
+        q[valid] = pr[inds[valid]]
+        precision[t] = q
+    return precision, recall
+
+
+class DetEvaluator:
+    """COCO/LVIS-style evaluator.
+
+    Parameters
+    ----------
+    gt_images: list of dicts {id, width, height, neg_category_ids,
+        not_exhaustive_category_ids}
+    gt_anns: list of COCO-format annotation dicts (bbox xywh,
+        category_id, iscrowd, area, segmentation for segm eval)
+    cat_ids: evaluated category ids
+    lvis: enable the LVIS protocol (per-category image restriction +
+        rare/common/frequent buckets from ``cat_image_counts``)
+    """
+
+    def __init__(self, gt_images: List[dict], gt_anns: List[dict],
+                 cat_ids: Sequence[int], lvis: bool = False,
+                 cat_image_counts: Optional[Dict[int, int]] = None,
+                 max_dets: int = 100):
+        self.cat_ids = list(cat_ids)
+        self.lvis = lvis
+        self.max_dets = max_dets
+        self.cat_image_counts = cat_image_counts or {}
+        self.img_ids = [im["id"] for im in gt_images]
+        self.imgs = {im["id"]: im for im in gt_images}
+        self.gt_by_img_cat: Dict[Tuple, List[dict]] = defaultdict(list)
+        for a in gt_anns:
+            self.gt_by_img_cat[(a["image_id"], a["category_id"])].append(a)
+        if lvis:
+            # category c is evaluated on image I iff c is positively
+            # annotated in I or listed in I's neg_category_ids
+            self.pos_cats = defaultdict(set)
+            for a in gt_anns:
+                self.pos_cats[a["image_id"]].add(a["category_id"])
+
+    def _img_list(self, cat_id: int) -> List[int]:
+        if not self.lvis:
+            return self.img_ids
+        out = []
+        for iid in self.img_ids:
+            im = self.imgs[iid]
+            if cat_id in self.pos_cats.get(iid, ()) or \
+                    cat_id in im.get("neg_category_ids", ()):
+                out.append(iid)
+        return out
+
+    def evaluate(self, detections: List[dict], iou_type: str = "bbox"
+                 ) -> Dict[str, float]:
+        dt_by_img_cat: Dict[Tuple, List[dict]] = defaultdict(list)
+        for d in detections:
+            dt_by_img_cat[(d["image_id"], d["category_id"])].append(d)
+
+        per_cat_prec = {}   # cat -> (T, R) for area 'all'
+        per_area_prec = {a: [] for a in AREA_RANGES}
+        for cat in self.cat_ids:
+            imgs = self._img_list(cat)
+            for area_name, rng in AREA_RANGES.items():
+                res = [_evaluate_img_cat(
+                    dt_by_img_cat.get((iid, cat), []),
+                    self.gt_by_img_cat.get((iid, cat), []),
+                    iou_type, rng, self.max_dets) for iid in imgs]
+                prec, rec = _accumulate(res)
+                if area_name == "all":
+                    per_cat_prec[cat] = prec
+                per_area_prec[area_name].append(prec)
+
+        def _ap(precs: List[np.ndarray], t_slice=slice(None)) -> float:
+            vals = []
+            for p in precs:
+                v = p[t_slice]
+                v = v[v > -1]
+                if v.size:
+                    vals.append(v.mean())
+            return float(np.mean(vals)) if vals else float("nan")
+
+        out = {
+            "AP": _ap(list(per_cat_prec.values())),
+            "AP50": _ap(list(per_cat_prec.values()), slice(0, 1)),
+            "AP75": _ap(list(per_cat_prec.values()), slice(5, 6)),
+            "APs": _ap(per_area_prec["small"]),
+            "APm": _ap(per_area_prec["medium"]),
+            "APl": _ap(per_area_prec["large"]),
+        }
+        if self.lvis:
+            buckets = {"r": [], "c": [], "f": []}
+            for cat in self.cat_ids:
+                n = self.cat_image_counts.get(cat, 0)
+                b = "r" if n < 10 else ("c" if n <= 100 else "f")
+                buckets[b].append(per_cat_prec[cat])
+            out["APr"] = _ap(buckets["r"])
+            out["APc"] = _ap(buckets["c"])
+            out["APf"] = _ap(buckets["f"])
+        return out
+
+
+def detections_to_coco_results(
+    image_ids: Sequence[int],
+    boxes: np.ndarray,        # (B, K, 4) xyxy, input-image scale already undone
+    scores: np.ndarray,       # (B, K)
+    labels: np.ndarray,       # (B, K)
+    valid: np.ndarray,        # (B, K)
+    cat_ids: Sequence[int],
+    masks: Optional[Sequence] = None,   # (B, K) of RLE dicts (optional)
+) -> List[dict]:
+    """Fixed-shape device outputs -> COCO results-json records
+    (``results2json`` equivalent)."""
+    out = []
+    for b, iid in enumerate(image_ids):
+        for k in range(boxes.shape[1]):
+            if not valid[b, k]:
+                continue
+            x1, y1, x2, y2 = boxes[b, k].tolist()
+            rec = {
+                "image_id": int(iid),
+                "category_id": int(cat_ids[int(labels[b, k])]),
+                "bbox": [x1, y1, x2 - x1, y2 - y1],
+                "score": float(scores[b, k]),
+            }
+            if masks is not None:
+                rec["segmentation"] = masks[b][k]
+            out.append(rec)
+    return out

@@ -1,0 +1,225 @@
+"""Detection data layer: RLE codec, COCO dataset parsing, repeat-factor
+sampling, pipeline, and the from-scratch AP evaluator."""
+import json
+
+import numpy as np
+import pytest
+
+from iif_tpu.detection.datasets import (
+    CocoStyleDataset,
+    expand_indices_by_repeat,
+    group_epoch_order,
+    repeat_factors,
+)
+from iif_tpu.detection.evaluation import DetEvaluator, detections_to_coco_results
+from iif_tpu.detection.mask_utils import (
+    mask_area,
+    polygons_to_bitmap,
+    rle_decode,
+    rle_encode,
+    rle_iou,
+)
+from iif_tpu.detection.pipeline import DetectionPipeline
+
+
+# ------------------------------------------------------------ RLE codec
+def test_rle_roundtrip():
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        m = (rng.rand(37, 53) > 0.7).astype(np.uint8)
+        rle = rle_encode(m)
+        assert isinstance(rle["counts"], str)
+        back = rle_decode(rle)
+        np.testing.assert_array_equal(back, m)
+        assert mask_area(rle) == m.sum()
+
+
+def test_rle_empty_and_full():
+    z = np.zeros((8, 8), np.uint8)
+    np.testing.assert_array_equal(rle_decode(rle_encode(z)), z)
+    o = np.ones((8, 8), np.uint8)
+    np.testing.assert_array_equal(rle_decode(rle_encode(o)), o)
+
+
+def test_polygon_rasterization():
+    m = polygons_to_bitmap([[10, 10, 30, 10, 30, 30, 10, 30]], 40, 40)
+    assert m[20, 20] == 1
+    assert m[5, 5] == 0
+    assert 19 * 19 < m.sum() < 22 * 22
+
+
+def test_rle_iou():
+    a = np.zeros((20, 20), np.uint8)
+    a[:10] = 1
+    b = np.zeros((20, 20), np.uint8)
+    b[5:15] = 1
+    ra, rb = rle_encode(a), rle_encode(b)
+    iou = rle_iou([ra], [rb], [False])
+    assert iou[0, 0] == pytest.approx(100 / 300, rel=1e-6)
+
+
+# ---------------------------------------------------------- COCO dataset
+def _toy_coco(tmp_path, n_imgs=4):
+    cats = [{"id": 1, "name": "cat", "image_count": 3},
+            {"id": 2, "name": "dog", "image_count": 1}]
+    images = [{"id": i, "file_name": f"{i}.jpg", "width": 64, "height": 48,
+               "neg_category_ids": [2] if i == 0 else []}
+              for i in range(n_imgs)]
+    anns = []
+    aid = 1
+    for i in range(n_imgs - 1):  # last image empty
+        anns.append({"id": aid, "image_id": i, "category_id": 1,
+                     "bbox": [5, 5, 20, 20], "area": 400, "iscrowd": 0,
+                     "segmentation": [[5, 5, 25, 5, 25, 25, 5, 25]]})
+        aid += 1
+    anns.append({"id": aid, "image_id": 1, "category_id": 2,
+                 "bbox": [30, 10, 10, 10], "area": 100, "iscrowd": 0,
+                 "segmentation": [[30, 10, 40, 10, 40, 20, 30, 20]]})
+    path = tmp_path / "ann.json"
+    path.write_text(json.dumps(
+        {"categories": cats, "images": images, "annotations": anns}))
+    return str(path)
+
+
+def test_coco_dataset_parsing(tmp_path):
+    ds = CocoStyleDataset(_toy_coco(tmp_path), filter_empty_gt=True)
+    assert len(ds) == 3  # empty image filtered
+    assert ds.CLASSES == ["cat", "dog"]
+    ann = ds.get_ann(0)
+    assert ann["boxes"].shape == (1, 4)
+    np.testing.assert_allclose(ann["boxes"][0], [5, 5, 25, 25])
+    assert ann["labels"][0] == 0
+    counts = ds.class_image_counts()
+    assert counts.tolist() == [3, 1]  # from image_count metadata
+
+
+def test_repeat_factors(tmp_path):
+    ds = CocoStyleDataset(_toy_coco(tmp_path))
+    # dog appears in 1/3 images; with thr=0.5 its factor = sqrt(0.5/(1/3))
+    rf = repeat_factors(ds, oversample_thr=0.5)
+    assert rf.shape == (3,)
+    dog_factor = np.sqrt(0.5 / (1 / 3))
+    assert rf[1] == pytest.approx(max(1.0, dog_factor), rel=1e-6)
+    assert rf[0] == pytest.approx(max(1.0, np.sqrt(0.5 / 1.0)), rel=1e-6)
+    expanded = expand_indices_by_repeat(rf)
+    assert (expanded == 1).sum() == int(np.ceil(rf[1]))
+
+
+def test_group_epoch_order_homogeneous_batches():
+    flags = np.array([0, 0, 0, 0, 1, 1, 1, 1], np.uint8)
+    order = group_epoch_order(flags, np.arange(8), epoch=0, samples_per_gpu=2)
+    for b in range(0, len(order), 2):
+        grp = flags[order[b:b + 2]]
+        assert (grp == grp[0]).all()
+
+
+# --------------------------------------------------------------- pipeline
+def test_pipeline_static_canvas(tmp_path):
+    ds = CocoStyleDataset(_toy_coco(tmp_path))
+    pipe = DetectionPipeline(canvas=(96, 160), scales=[(160, 96)], max_gt=5)
+    rng = np.random.RandomState(0)
+    img = np.random.RandomState(1).randint(0, 255, (48, 64, 3), np.uint8)
+    out = pipe(img, ds.get_ann(0), rng, train=True)
+    assert out["image"].shape == (96, 160, 3)
+    assert out["gt_boxes"].shape == (5, 4)
+    assert out["gt_masks"].shape == (5, 96, 160)
+    assert out["gt_valid"].sum() == 1
+    # keep_ratio: min(max_long/long, max_short/short) = min(160/64, 96/48)
+    # = 2.0; canvas clamp leaves it at 2.0
+    assert out["scale_factor"] == pytest.approx(2.0)
+
+
+def test_evaluator_perfect_detections(tmp_path):
+    ds = CocoStyleDataset(_toy_coco(tmp_path), filter_empty_gt=False)
+    gt_anns = []
+    for rec in ds.img_infos:
+        gt_anns.extend(rec["anns"])
+    ev = DetEvaluator(ds.img_infos, gt_anns, ds.cat_ids)
+    dets = [dict(image_id=a["image_id"], category_id=a["category_id"],
+                 bbox=list(a["bbox"]), score=0.9) for a in gt_anns]
+    res = ev.evaluate(dets, "bbox")
+    assert res["AP"] == pytest.approx(1.0)
+    assert res["AP50"] == pytest.approx(1.0)
+
+
+def test_evaluator_missed_detection(tmp_path):
+    ds = CocoStyleDataset(_toy_coco(tmp_path), filter_empty_gt=False)
+    gt_anns = []
+    for rec in ds.img_infos:
+        gt_anns.extend(rec["anns"])
+    ev = DetEvaluator(ds.img_infos, gt_anns, ds.cat_ids)
+    dets = [dict(image_id=a["image_id"], category_id=a["category_id"],
+                 bbox=list(a["bbox"]), score=0.9)
+            for a in gt_anns if a["category_id"] == 1]
+    res = ev.evaluate(dets, "bbox")
+    # cat AP = 1, dog AP = 0 -> mean 0.5
+    assert res["AP"] == pytest.approx(0.5)
+
+
+def test_evaluator_localization_threshold(tmp_path):
+    ds = CocoStyleDataset(_toy_coco(tmp_path), filter_empty_gt=False)
+    gt_anns = [a for rec in ds.img_infos for a in rec["anns"]
+               if a["category_id"] == 1]
+    ev = DetEvaluator(ds.img_infos, gt_anns, [1])
+    # shifted boxes: IoU ~ 0.6 -> match at low thrs only
+    dets = [dict(image_id=a["image_id"], category_id=1,
+                 bbox=[a["bbox"][0] + 5, a["bbox"][1], a["bbox"][2],
+                       a["bbox"][3]], score=0.9) for a in gt_anns]
+    res = ev.evaluate(dets, "bbox")
+    assert res["AP50"] == pytest.approx(1.0)
+    assert res["AP75"] == pytest.approx(0.0)
+    assert 0.0 < res["AP"] < 1.0
+
+
+def test_evaluator_lvis_protocol(tmp_path):
+    """Detections of category c on images where c is neither positive nor
+    negative must be ignored (LVIS federated annotation rule)."""
+    ds = CocoStyleDataset(_toy_coco(tmp_path), filter_empty_gt=False)
+    gt_anns = [a for rec in ds.img_infos for a in rec["anns"]]
+    ev = DetEvaluator(ds.img_infos, gt_anns, ds.cat_ids, lvis=True,
+                      cat_image_counts=ds.cat_image_counts, max_dets=300)
+    dets = [dict(image_id=a["image_id"], category_id=a["category_id"],
+                 bbox=list(a["bbox"]), score=0.9) for a in gt_anns]
+    # spurious dog detection on image 2 (dog not pos/neg there) -> ignored
+    dets.append(dict(image_id=2, category_id=2, bbox=[0, 0, 10, 10],
+                     score=0.95))
+    res = ev.evaluate(dets, "bbox")
+    assert res["AP"] == pytest.approx(1.0)
+    assert "APr" in res and "APf" in res
+    # a false positive on image 0 (dog IS in neg_category_ids) must hurt
+    dets.append(dict(image_id=0, category_id=2, bbox=[0, 0, 10, 10],
+                     score=0.99))
+    res2 = ev.evaluate(dets, "bbox")
+    assert res2["AP"] < 1.0
+
+
+def test_evaluator_segm(tmp_path):
+    from iif_tpu.detection.mask_utils import rle_encode, segm_to_bitmap
+
+    ds = CocoStyleDataset(_toy_coco(tmp_path), filter_empty_gt=False)
+    gt_anns = []
+    for rec in ds.img_infos:
+        for a in rec["anns"]:
+            a = dict(a)
+            a["segmentation"] = rle_encode(segm_to_bitmap(
+                a["segmentation"], rec["height"], rec["width"]))
+            gt_anns.append(a)
+    ev = DetEvaluator(ds.img_infos, gt_anns, ds.cat_ids)
+    dets = [dict(image_id=a["image_id"], category_id=a["category_id"],
+                 bbox=list(a["bbox"]), score=0.9,
+                 segmentation=a["segmentation"]) for a in gt_anns]
+    res = ev.evaluate(dets, "segm")
+    assert res["AP"] == pytest.approx(1.0)
+
+
+def test_detections_to_coco_results():
+    boxes = np.array([[[0, 0, 10, 20], [0, 0, 0, 0]]])
+    scores = np.array([[0.8, 0.0]])
+    labels = np.array([[1, -1]])
+    valid = np.array([[True, False]])
+    out = detections_to_coco_results([42], boxes, scores, labels, valid,
+                                     cat_ids=[7, 9])
+    assert len(out) == 1
+    assert out[0]["image_id"] == 42
+    assert out[0]["category_id"] == 9
+    assert out[0]["bbox"] == [0, 0, 10, 20]
