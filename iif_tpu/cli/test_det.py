@@ -1,0 +1,176 @@
+"""Detection eval CLI — rebuild of ``instance_segmentation/tools/test.py``:
+load a checkpoint, run inference over the val split, compute
+bbox/segm AP (COCO or LVIS protocol), optionally dump results json
+(``--format-only``).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import List
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Test a detector")
+    p.add_argument("config")
+    p.add_argument("checkpoint", help="checkpoint dir (orbax)")
+    p.add_argument("--eval", nargs="+", default=["bbox"],
+                   help="metrics: bbox segm")
+    p.add_argument("--format-only", action="store_true")
+    p.add_argument("--out", default=None, help="results json path")
+    p.add_argument("--max-images", default=None, type=int)
+    p.add_argument("--cfg-options", nargs="+", default=[])
+    return p.parse_args()
+
+
+def run_inference(model, variables, loader, loss_cls, test_cfg, cat_ids,
+                  with_mask: bool, max_images=None) -> List[dict]:
+    import jax
+
+    from iif_tpu.detection.cascade import CascadeMaskRCNN, cascade_simple_test
+    from iif_tpu.detection.detector import maskrcnn_simple_test
+    from iif_tpu.detection.evaluation import detections_to_coco_results
+    from iif_tpu.detection.mask_utils import rle_encode
+    from iif_tpu.detection.mask_head import paste_masks
+
+    if isinstance(model, CascadeMaskRCNN):
+        run = jax.jit(lambda v, img: cascade_simple_test(
+            model, v, img, [loss_cls] * model.num_stages, test_cfg))
+    else:
+        run = jax.jit(lambda v, img: maskrcnn_simple_test(
+            model, v, img, loss_cls, test_cfg))
+
+    results: List[dict] = []
+    n_done = 0
+    for batch in loader:
+        out = jax.device_get(run(variables, batch["image"]))
+        # undo the resize: boxes back to original image coords
+        sf = batch["scale_factor"][:, None, None]
+        boxes = np.asarray(out["boxes"]) / sf
+        masks_rle = None
+        if with_mask and "masks" in out:
+            masks_rle = []
+            for b in range(boxes.shape[0]):
+                per_img = []
+                h, w = int(batch["orig_shape"][b][0]), \
+                    int(batch["orig_shape"][b][1])
+                import jax.numpy as jnp
+
+                pasted = np.asarray(paste_masks(
+                    jnp.asarray(out["masks"][b]), jnp.asarray(boxes[b]),
+                    (h, w)))
+                for k in range(pasted.shape[0]):
+                    per_img.append(rle_encode(pasted[k].astype(np.uint8)))
+                masks_rle.append(per_img)
+        results.extend(detections_to_coco_results(
+            batch["image_ids"], boxes, np.asarray(out["scores"]),
+            np.asarray(out["labels"]), np.asarray(out["valid"]), cat_ids,
+            masks=masks_rle))
+        n_done += boxes.shape[0]
+        if max_images and n_done >= max_images:
+            break
+    return results
+
+
+def main():
+    import jax
+
+    from iif_tpu.config import Config, parse_cfg_options
+    from iif_tpu.cli.train_det import build_loss_cls
+    from iif_tpu.detection.datasets import DATASETS
+    from iif_tpu.detection.detector import DetTestCfg, MaskRCNN
+    from iif_tpu.detection.evaluation import DetEvaluator
+    from iif_tpu.detection.pipeline import DetectionLoader, DetectionPipeline
+    from iif_tpu.utils.checkpoint import CheckpointManager
+
+    args = parse_args()
+    cfg = Config.fromfile(args.config)
+    cfg.merge_from_options(parse_cfg_options(args.cfg_options))
+
+    test_ds = DATASETS.build({k: v for k, v in cfg.data["test"].items()
+                              if k != "oversample_thr"})
+    pcfg = cfg.get("pipeline", {})
+    pipeline = DetectionPipeline(
+        canvas=tuple(pcfg.get("canvas", (800, 1344))),
+        scales=[tuple(s) for s in pcfg.get("scales", [(1333, 800)])],
+        flip_prob=0.0, max_gt=1)
+    loader = _EvalLoader(test_ds, pipeline,
+                         cfg.data.get("samples_per_gpu", 4))
+
+    num_classes = cfg.model["num_classes"]
+    loss_cls = build_loss_cls(cfg.loss_cls, test_ds, num_classes)
+    mtype = cfg.model.get("type", "MaskRCNN")
+    model_kw = {k: v for k, v in cfg.model.items() if k != "type"}
+    if mtype == "CascadeMaskRCNN":
+        from iif_tpu.detection.cascade import CascadeMaskRCNN
+
+        model = CascadeMaskRCNN(**model_kw)
+    else:
+        model = MaskRCNN(**model_kw)
+
+    mngr = CheckpointManager(args.checkpoint)
+    restored = mngr.restore()
+    variables = {"params": restored["state"]["params"],
+                 "batch_stats": restored["state"]["batch_stats"]}
+    test_cfg = DetTestCfg(**cfg.get("test_cfg", {}))
+
+    results = run_inference(model, variables, loader, loss_cls, test_cfg,
+                            test_ds.cat_ids, cfg.model.get("with_mask", True),
+                            max_images=args.max_images)
+    if args.out or args.format_only:
+        out = args.out or "results.json"
+        with open(out, "w") as f:
+            json.dump(results, f)
+        print(f"wrote {len(results)} detections to {out}")
+        if args.format_only:
+            return
+
+    gt_anns = [a for rec in test_ds.img_infos for a in rec["anns"]]
+    ev = DetEvaluator(test_ds.img_infos, gt_anns, test_ds.cat_ids,
+                      lvis=test_ds.lvis_style,
+                      cat_image_counts=test_ds.cat_image_counts,
+                      max_dets=cfg.get("test_cfg", {}).get("max_per_img", 100))
+    for metric in args.eval:
+        res = ev.evaluate(results, "segm" if metric == "segm" else "bbox")
+        print(metric, {k: round(v, 4) for k, v in res.items()})
+
+
+class _EvalLoader:
+    """Sequential eval batches carrying image ids + original shapes."""
+
+    def __init__(self, dataset, pipeline, batch_size):
+        self.dataset = dataset
+        self.pipeline = pipeline
+        self.batch_size = batch_size
+
+    def __iter__(self):
+        import cv2
+
+        rng = np.random.RandomState(0)
+        n = len(self.dataset)
+        for b0 in range(0, n, self.batch_size):
+            idxs = list(range(b0, min(b0 + self.batch_size, n)))
+            samples, ids, shapes = [], [], []
+            for i in idxs:
+                img = cv2.cvtColor(cv2.imread(self.dataset.image_path(i)),
+                                   cv2.COLOR_BGR2RGB)
+                ann = self.dataset.get_ann(i)
+                samples.append(self.pipeline(img, ann, rng, train=False))
+                ids.append(self.dataset.img_infos[i]["id"])
+                shapes.append([ann["height"], ann["width"]])
+            while len(samples) < self.batch_size:  # pad last batch
+                samples.append(samples[-1])
+                ids.append(-1)
+                shapes.append(shapes[-1])
+            batch = {k: np.stack([s[k] for s in samples])
+                     for k in samples[0]}
+            batch["image_ids"] = np.asarray(ids)
+            batch["orig_shape"] = np.asarray(shapes)
+            yield batch
+
+
+if __name__ == "__main__":
+    main()

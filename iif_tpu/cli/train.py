@@ -151,7 +151,7 @@ def record_result(result: float, args, path: str) -> None:
         w.writerow({k: str(v) for k, v in row.items()})
 
 
-def main(args):
+def main(args, qat=None):
     from iif_tpu.data import Loader, eval_batches
     from iif_tpu.data.augment import (
         cifar_eval_transform, cifar_train_augment, imagenet_eval_transform,
@@ -215,7 +215,7 @@ def main(args):
         train_augment=train_aug, eval_transform=eval_tf,
         num_classes=num_classes, mixup_alpha=args.mixup,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-        seed=args.seed)
+        seed=args.seed, qat=qat)
     state = trainer.init_state(sample_shape, seed=args.seed)
 
     if args.decoup:
@@ -245,9 +245,11 @@ def main(args):
                                   weights["state"]["batch_stats"]))
 
     def _eval():
-        return trainer.evaluate(
-            state, eval_batches(d["eval_data"], d["eval_targets"],
-                                args.batch_size))
+        batches = eval_batches(d["eval_data"], d["eval_targets"],
+                               args.batch_size)
+        if qat is not None and qat.enabled:
+            return trainer.evaluate_quantized(state, batches)
+        return trainer.evaluate(state, batches)
 
     if args.test_only:
         res = _eval()

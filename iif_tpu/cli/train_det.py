@@ -1,0 +1,210 @@
+"""Detection training CLI — rebuild of the reference's
+``instance_segmentation/tools/train.py`` (config file + --cfg-options,
+selectp decoupled finetuning, resume/load-from) on the TPU-native stack.
+
+Usage::
+
+    python -m iif_tpu.cli.train_det configs/iif/iif_r50_1x.py \
+        --work-dir runs/iif_r50 [--cfg-options data.samples_per_gpu=8]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a detector")
+    p.add_argument("config", help="config file path")
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--resume-from", default=None)
+    p.add_argument("--load-from", default=None)
+    p.add_argument("--selectp", default=0, type=int,
+                   help="decoupled finetune: 1=fc_cls 2=bbox head "
+                        "3=cascade fc_cls 4=bbox+mask heads")
+    p.add_argument("--seed", default=None, type=int)
+    p.add_argument("--cfg-options", nargs="+", default=[])
+    p.add_argument("--max-steps", default=None, type=int,
+                   help="cap train steps per epoch (smoke runs)")
+    return p.parse_args()
+
+
+def build_loss_cls(cfg_loss: Dict[str, Any], dataset, num_classes: int):
+    import jax.numpy as jnp
+
+    from iif_tpu.detection.losses import (
+        DetCrossEntropyLoss,
+        DetIIFLoss,
+        compute_det_iif_from_counts,
+        load_iif_csv,
+    )
+
+    t = cfg_loss.get("type", "DetCrossEntropyLoss")
+    if t == "DetIIFLoss":
+        path = cfg_loss.get("path")
+        variant = cfg_loss.get("variant", "raw")
+        if path:
+            w = load_iif_csv(path, variant)
+        else:
+            counts = dataset.class_image_counts()
+            w = compute_det_iif_from_counts(
+                counts, max(len(dataset), int(counts.sum())), variant)
+        assert len(w) == num_classes + 1, (len(w), num_classes)
+        return DetIIFLoss(weights=jnp.asarray(w))
+    return DetCrossEntropyLoss(num_classes=num_classes)
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from iif_tpu.config import Config, parse_cfg_options
+    from iif_tpu.detection.datasets import DATASETS
+    from iif_tpu.detection.detector import DetTestCfg, DetTrainCfg, MaskRCNN
+    from iif_tpu.detection.fasa import init_fasa_state
+    from iif_tpu.detection.pipeline import DetectionLoader, DetectionPipeline
+    from iif_tpu.engine.detection import DetectionTrainer, selectp_mask
+    from iif_tpu.engine.schedules import build_lr_schedule, build_optimizer
+    from iif_tpu.parallel import initialize_distributed, is_main_process, make_mesh
+    from iif_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = Config.fromfile(args.config)
+    cfg.merge_from_options(parse_cfg_options(args.cfg_options))
+    work_dir = args.work_dir or os.path.join(
+        "work_dirs", os.path.splitext(os.path.basename(args.config))[0])
+    os.makedirs(work_dir, exist_ok=True)
+    cfg.dump(os.path.join(work_dir, "config_dump.py"))
+
+    initialize_distributed()
+    mesh = make_mesh()
+    seed = args.seed if args.seed is not None else cfg.get("seed", 0)
+
+    # ------------------------------------------------------------------ data
+    dcfg = cfg.data
+    train_ds = DATASETS.build({k: v for k, v in dcfg["train"].items()
+                               if k != "oversample_thr"})
+    pcfg = cfg.get("pipeline", {})
+    pipeline = DetectionPipeline(
+        canvas=tuple(pcfg.get("canvas", (800, 1344))),
+        scales=[tuple(s) for s in pcfg.get("scales", [(1333, 800)])],
+        flip_prob=pcfg.get("flip_prob", 0.5),
+        max_gt=pcfg.get("max_gt", 100))
+    loader = DetectionLoader(
+        train_ds, pipeline, batch_size=dcfg.get("samples_per_gpu", 4)
+        * mesh.devices.size,
+        oversample_thr=dcfg["train"].get("oversample_thr", 0.0), seed=seed)
+
+    num_classes = cfg.model["num_classes"]
+    loss_cls = build_loss_cls(cfg.loss_cls, train_ds, num_classes)
+
+    # ----------------------------------------------------------------- model
+    mtype = cfg.model.get("type", "MaskRCNN")
+    model_kw = {k: v for k, v in cfg.model.items() if k != "type"}
+    if mtype == "CascadeMaskRCNN":
+        from iif_tpu.detection.cascade import CascadeMaskRCNN
+
+        model = CascadeMaskRCNN(**model_kw)
+    else:
+        model = MaskRCNN(**model_kw)
+
+    train_cfg = DetTrainCfg(**cfg.get("train_cfg", {}))
+    ocfg = cfg.optimizer
+    steps_per_epoch = max(len(loader), 1)
+    max_epochs = cfg.runner["max_epochs"]
+    lcfg = cfg.get("lr_config", {})
+    schedule = build_lr_schedule(
+        ocfg["lr"], steps_per_epoch, max_epochs,
+        milestones=lcfg.get("milestones", []), lr_gamma=lcfg.get("gamma", 0.1))
+    tx = build_optimizer(ocfg.get("type", "sgd"), schedule,
+                         ocfg.get("momentum", 0.9),
+                         ocfg.get("weight_decay", 1e-4))
+
+    fasa_cfg = cfg.get("fasa_cfg")
+    fasa_state = None
+    if fasa_cfg is not None:
+        inst_counts = np.zeros(num_classes, np.int64)
+        for rec in train_ds.img_infos:
+            for a in rec["anns"]:
+                cid = a.get("category_id")
+                if cid in train_ds.cat2label:
+                    inst_counts[train_ds.cat2label[cid]] += 1
+        fasa_state = init_fasa_state(
+            np.maximum(inst_counts, 1), feat_dim=1024,
+            instance_prob_power=fasa_cfg.get("instance_prob_power", 1.0),
+            instance_prob_scale=fasa_cfg.get("instance_prob_scale", 1.0))
+
+    trainer = DetectionTrainer(model, loss_cls, tx, mesh, train_cfg,
+                               fasa_cfg=fasa_cfg, seed=seed)
+    canvas = pipeline.canvas
+    state = trainer.init_state((canvas[0], canvas[1], 3),
+                               fasa_state=fasa_state, seed=seed)
+
+    if args.selectp:
+        import optax
+
+        mask = selectp_mask(state.params, args.selectp)
+        tx = build_optimizer(ocfg.get("type", "sgd"), schedule,
+                             ocfg.get("momentum", 0.9),
+                             ocfg.get("weight_decay", 1e-4),
+                             trainable_mask=mask)
+        trainer.tx = tx
+        state = state.replace(opt_state=tx.init(state.params))
+
+    mngr = CheckpointManager(os.path.join(work_dir, "checkpoints"))
+    start_epoch = 0
+    if args.resume_from or cfg.get("resume_from"):
+        restored = mngr.restore()
+        state = jax.device_put(restored["state"])
+        start_epoch = int(restored["epoch"]) + 1
+    if args.load_from or cfg.get("load_from"):
+        from iif_tpu.utils.checkpoint import load_weights
+
+        w = load_weights(args.load_from or cfg.get("load_from"))
+        state = state.replace(params=jax.device_put(w["state"]["params"]),
+                              batch_stats=jax.device_put(
+                                  w["state"]["batch_stats"]))
+
+    dynamic = cfg.runner.get("type") == "EpochBasedDynamicRunner"
+    print(f"Start training: {max_epochs} epochs, "
+          f"{steps_per_epoch} steps/epoch, dynamic={dynamic}")
+    for epoch in range(start_epoch, max_epochs):
+        if args.max_steps:
+            loader_iter = _capped(loader, args.max_steps)
+        else:
+            loader_iter = loader
+        state, logger = trainer.train_one_epoch(
+            state, loader_iter, epoch,
+            print_freq=cfg.get("log_config", {}).get("interval", 50))
+        if dynamic and state.fasa is not None:
+            state = trainer.fasa_val_epoch(state, _capped(loader, 50))
+        if is_main_process():
+            mngr.save(epoch, {"state": jax.device_get(state),
+                              "epoch": epoch})
+    print("done")
+
+
+class _capped:
+    def __init__(self, loader, n):
+        self.loader = loader
+        self.n = n
+
+    def __len__(self):
+        return min(len(self.loader), self.n)
+
+    def set_epoch(self, e):
+        self.loader.set_epoch(e)
+
+    def __iter__(self):
+        for i, b in enumerate(self.loader):
+            if i >= self.n:
+                break
+            yield b
+
+
+if __name__ == "__main__":
+    main()

@@ -38,27 +38,37 @@ class Shared2FCBBoxHead(nn.Module):
     cls_predictor: str = "linear"      # 'linear' | 'normed'
     cls_temperature: float = 8.0       # NormedLinear temperature
 
-    @nn.compact
+    def setup(self):
+        self.shared_fc1 = nn.Dense(self.fc_out_channels, name="shared_fc1")
+        self.shared_fc2 = nn.Dense(self.fc_out_channels, name="shared_fc2")
+        if self.cls_predictor == "normed":
+            self.fc_cls = NormedLinear(self.num_classes + 1,
+                                       temperature=self.cls_temperature,
+                                       name="fc_cls")
+        else:
+            self.fc_cls = nn.Dense(
+                self.num_classes + 1,
+                kernel_init=nn.initializers.normal(0.01), name="fc_cls")
+        reg_dim = 4 if self.reg_class_agnostic else self.num_classes * 4
+        self.fc_reg = nn.Dense(reg_dim,
+                               kernel_init=nn.initializers.normal(0.001),
+                               name="fc_reg")
+
     def __call__(self, roi_feats: jnp.ndarray
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """roi_feats (R, 7, 7, C) -> (cls_score (R, C+1),
         bbox_pred (R, C*4 or 4), embedding (R, 1024))."""
         x = roi_feats.reshape(roi_feats.shape[0], -1)
-        x = nn.relu(nn.Dense(self.fc_out_channels, name="shared_fc1")(x))
-        x = nn.relu(nn.Dense(self.fc_out_channels, name="shared_fc2")(x))
-        if self.cls_predictor == "normed":
-            cls_score = NormedLinear(self.num_classes + 1,
-                                     temperature=self.cls_temperature,
-                                     name="fc_cls")(x)
-        else:
-            cls_score = nn.Dense(
-                self.num_classes + 1,
-                kernel_init=nn.initializers.normal(0.01), name="fc_cls")(x)
-        reg_dim = 4 if self.reg_class_agnostic else self.num_classes * 4
-        bbox_pred = nn.Dense(reg_dim,
-                             kernel_init=nn.initializers.normal(0.001),
-                             name="fc_reg")(x)
+        x = nn.relu(self.shared_fc1(x))
+        x = nn.relu(self.shared_fc2(x))
+        cls_score = self.fc_cls(x)
+        bbox_pred = self.fc_reg(x)
         return cls_score, bbox_pred, x
+
+    def cls_only(self, embedding: jnp.ndarray) -> jnp.ndarray:
+        """Classifier on raw 1024-d embeddings (FASA virtual features go
+        through ``fc_cls`` only, ``fasa_bbox_head.py:283-287``)."""
+        return self.fc_cls(embedding)
 
 
 class BBoxTargets(NamedTuple):

@@ -181,8 +181,9 @@ def group_epoch_order(flags: np.ndarray, indices: np.ndarray, epoch: int,
         members = indices[flags[indices] == g]
         rng.shuffle(members)
         pad = (-len(members)) % samples_per_gpu
-        if pad:
-            members = np.concatenate([members, members[:pad]])
+        if pad:  # wrap-around padding (group may be smaller than a batch)
+            members = np.concatenate(
+                [members, np.resize(members, pad)])
         chunks.extend(members.reshape(-1, samples_per_gpu))
     order = np.arange(len(chunks))
     rng.shuffle(order)

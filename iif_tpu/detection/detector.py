@@ -76,6 +76,9 @@ class MaskRCNN(nn.Module):
     def forward_bbox(self, roi_feats):
         return self.bbox_head(roi_feats)
 
+    def forward_cls_only(self, embedding):
+        return self.bbox_head.cls_only(embedding)
+
     def forward_mask(self, roi_feats):
         return self.mask_head(roi_feats)
 
@@ -133,17 +136,21 @@ def maskrcnn_loss(
     key: jax.Array,
     loss_cls,                       # DetIIFLoss / DetCrossEntropyLoss
     cfg: DetTrainCfg = DetTrainCfg(),
+    fasa_state=None,                # FasaState -> enables FASA
+    fasa_cfg: Optional[Dict[str, float]] = None,
+    epoch: int = 0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, Any]]:
     """Full forward + all losses for one global batch.
 
     batch keys: image (B,H,W,3) normalized float; gt_boxes (B,G,4);
     gt_labels (B,G); gt_valid (B,G); gt_masks (B,G,H',W') if with_mask;
     img_shape (2,) static padded shape is taken from image.
-    Returns (total_loss, loss_dict, new_batch_stats).
+    Returns (total_loss, loss_dict, aux) with
+    aux = {batch_stats, fasa_state?}.
     """
     images = batch["image"]
     b, img_h, img_w, _ = images.shape
-    k_rpn, k_rcnn = jax.random.split(key)
+    k_rpn, k_rcnn, k_fasa = jax.random.split(key, 3)
 
     feats, mutated = model.apply(
         variables, images, True, method=MaskRCNN.extract_feat,
@@ -184,7 +191,7 @@ def maskrcnn_loss(
 
     extractor = SingleRoIExtractor((7, 7))
     roi_feats = extractor(feats[:4], rois5)
-    cls_score, bbox_pred, _ = model.apply(
+    cls_score, bbox_pred, embedding = model.apply(
         variables, roi_feats, method=MaskRCNN.forward_bbox)
 
     l_cls, l_bbox = bbox_head_loss(
@@ -192,6 +199,25 @@ def maskrcnn_loss(
 
     losses = {"loss_rpn_cls": l_rpn_cls, "loss_rpn_bbox": l_rpn_bbox,
               "loss_cls": l_cls, "loss_bbox": l_bbox}
+
+    aux: Dict[str, Any] = {}
+    if fasa_state is not None:
+        from iif_tpu.detection.fasa import fasa_aug_loss, fasa_update
+
+        fcfg = fasa_cfg or {}
+        labels_flat = tgts.labels.reshape(-1)
+        pos_w = tgts.bbox_weights.reshape(-1)
+        fasa_state = fasa_update(
+            fasa_state, embedding, labels_flat, pos_w,
+            decay_ratio=fcfg.get("decay_ratio", 0.1))
+        if epoch >= 1:  # virtual-feature aux CE from epoch >= 1
+            losses["loss_cls"] = losses["loss_cls"] + fasa_aug_loss(
+                fasa_state, k_fasa,
+                lambda e: model.apply(variables, e,
+                                      method=MaskRCNN.forward_cls_only),
+                loss_cls,
+                loss_aug_weight=fcfg.get("loss_aug_weight", 0.1))
+        aux["fasa_state"] = fasa_state
 
     if model.with_mask:
         # positives live in the leading slots of each image's slate
@@ -211,7 +237,8 @@ def maskrcnn_loss(
             mask_pred, mask_tgt, pos_labels, pos_w)
 
     total = sum(losses.values())
-    return total, losses, mutated.get("batch_stats", {})
+    aux["batch_stats"] = mutated.get("batch_stats", {})
+    return total, losses, aux
 
 
 def maskrcnn_simple_test(

@@ -196,6 +196,21 @@ class DetEvaluator:
             for a in gt_anns:
                 self.pos_cats[a["image_id"]].add(a["category_id"])
 
+    def _gt_segms_to_rle(self) -> None:
+        """Normalize gt segmentations (polygons / raw-counts RLE) to
+        compressed RLE once, in place."""
+        from iif_tpu.detection.mask_utils import rle_encode, segm_to_bitmap
+
+        for anns in self.gt_by_img_cat.values():
+            for a in anns:
+                segm = a.get("segmentation")
+                if segm is None or (isinstance(segm, dict)
+                                    and "size" in segm):
+                    continue
+                im = self.imgs[a["image_id"]]
+                a["segmentation"] = rle_encode(
+                    segm_to_bitmap(segm, im["height"], im["width"]))
+
     def _img_list(self, cat_id: int) -> List[int]:
         if not self.lvis:
             return self.img_ids
@@ -209,6 +224,8 @@ class DetEvaluator:
 
     def evaluate(self, detections: List[dict], iou_type: str = "bbox"
                  ) -> Dict[str, float]:
+        if iou_type == "segm":
+            self._gt_segms_to_rle()
         dt_by_img_cat: Dict[Tuple, List[dict]] = defaultdict(list)
         for d in detections:
             dt_by_img_cat[(d["image_id"], d["category_id"])].append(d)
@@ -269,6 +286,8 @@ def detections_to_coco_results(
     (``results2json`` equivalent)."""
     out = []
     for b, iid in enumerate(image_ids):
+        if iid < 0:  # padded eval-batch slot
+            continue
         for k in range(boxes.shape[1]):
             if not valid[b, k]:
                 continue

@@ -1,0 +1,152 @@
+"""Single-image inference API — rebuild of ``mmdet/apis/inference.py``
+(``init_detector`` / ``inference_detector`` / ``show_result_pyplot``).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+
+class Detector:
+    """Bundles model + variables + loss/test config for repeated calls."""
+
+    def __init__(self, model, variables, loss_cls, test_cfg, pipeline,
+                 classes: List[str]):
+        self.model = model
+        self.variables = variables
+        self.loss_cls = loss_cls
+        self.test_cfg = test_cfg
+        self.pipeline = pipeline
+        self.CLASSES = classes
+        self._run = None  # lazily-built jitted inference fn
+
+
+def init_detector(config: Union[str, Any], checkpoint: Optional[str] = None
+                  ) -> Detector:
+    """Build a detector from a config path (+ optional orbax checkpoint)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iif_tpu.cli.train_det import build_loss_cls
+    from iif_tpu.config import Config
+    from iif_tpu.detection.datasets import DATASETS
+    from iif_tpu.detection.detector import DetTestCfg, MaskRCNN
+    from iif_tpu.detection.pipeline import DetectionPipeline
+
+    cfg = config if not isinstance(config, str) else Config.fromfile(config)
+    model_kw = {k: v for k, v in cfg.model.items() if k != "type"}
+    if cfg.model.get("type") == "CascadeMaskRCNN":
+        from iif_tpu.detection.cascade import CascadeMaskRCNN
+
+        model = CascadeMaskRCNN(**model_kw)
+    else:
+        model = MaskRCNN(**model_kw)
+
+    ds_cfg = {k: v for k, v in cfg.data["test"].items()
+              if k != "oversample_thr"}
+    try:
+        test_ds = DATASETS.build(ds_cfg)
+        classes = test_ds.CLASSES
+        loss_cls = build_loss_cls(cfg.loss_cls, test_ds,
+                                  cfg.model["num_classes"])
+    except FileNotFoundError:
+        from iif_tpu.detection.losses import DetCrossEntropyLoss
+
+        classes = [str(i) for i in range(cfg.model["num_classes"])]
+        loss_cls = DetCrossEntropyLoss(num_classes=cfg.model["num_classes"])
+
+    pcfg = cfg.get("pipeline", {})
+    pipeline = DetectionPipeline(
+        canvas=tuple(pcfg.get("canvas", (800, 1344))),
+        scales=[tuple(s) for s in pcfg.get("scales", [(1333, 800)])],
+        flip_prob=0.0, max_gt=1)
+
+    canvas = pipeline.canvas
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.PRNGKey(0), jnp.zeros((1,) + canvas + (3,)), False)
+    if checkpoint:
+        from iif_tpu.utils.checkpoint import CheckpointManager
+
+        restored = CheckpointManager(checkpoint).restore()
+        variables = {"params": restored["state"]["params"],
+                     "batch_stats": restored["state"]["batch_stats"]}
+    return Detector(model, variables, loss_cls,
+                    DetTestCfg(**cfg.get("test_cfg", {})), pipeline, classes)
+
+
+def inference_detector(detector: Detector,
+                       image: Union[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Detect on one image (path or RGB array). Returns original-scale
+    boxes/scores/labels (+ full-size boolean masks when available)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iif_tpu.detection.cascade import CascadeMaskRCNN, cascade_simple_test
+    from iif_tpu.detection.detector import maskrcnn_simple_test
+    from iif_tpu.detection.mask_head import paste_masks
+
+    if isinstance(image, str):
+        import cv2
+
+        image = cv2.cvtColor(cv2.imread(image), cv2.COLOR_BGR2RGB)
+    h, w = image.shape[:2]
+    ann = {"boxes": np.zeros((0, 4), np.float32),
+           "labels": np.zeros(0, np.int64), "segms": [],
+           "width": w, "height": h}
+    sample = detector.pipeline(image, ann, np.random.RandomState(0),
+                               train=False)
+    batch_img = jnp.asarray(sample["image"][None])
+    if detector._run is None:
+        if isinstance(detector.model, CascadeMaskRCNN):
+            detector._run = jax.jit(lambda v, img: cascade_simple_test(
+                detector.model, v, img,
+                [detector.loss_cls] * detector.model.num_stages,
+                detector.test_cfg))
+        else:
+            detector._run = jax.jit(lambda v, img: maskrcnn_simple_test(
+                detector.model, v, img, detector.loss_cls,
+                detector.test_cfg))
+    out = jax.device_get(detector._run(detector.variables, batch_img))
+    f = float(sample["scale_factor"])
+    boxes = np.asarray(out["boxes"][0]) / f
+    result = {
+        "boxes": boxes,
+        "scores": np.asarray(out["scores"][0]),
+        "labels": np.asarray(out["labels"][0]),
+        "valid": np.asarray(out["valid"][0]),
+    }
+    if "masks" in out:
+        result["masks"] = np.asarray(paste_masks(
+            jnp.asarray(out["masks"][0]), jnp.asarray(boxes), (h, w)))
+    return result
+
+
+def show_result(image: Union[str, np.ndarray], result: Dict[str, np.ndarray],
+                classes: Optional[List[str]] = None,
+                score_thr: float = 0.3,
+                out_file: Optional[str] = None) -> np.ndarray:
+    """Draw detections (cv2) — ``show_result_pyplot`` equivalent."""
+    import cv2
+
+    if isinstance(image, str):
+        image = cv2.cvtColor(cv2.imread(image), cv2.COLOR_BGR2RGB)
+    img = image.copy()
+    keep = result["valid"] & (result["scores"] >= score_thr)
+    rng = np.random.RandomState(42)
+    colors = rng.randint(0, 255, (1 + int(result["labels"].max(initial=0)), 3))
+    for i in np.flatnonzero(keep):
+        x1, y1, x2, y2 = result["boxes"][i].astype(int)
+        c = tuple(int(v) for v in colors[int(result["labels"][i])])
+        cv2.rectangle(img, (x1, y1), (x2, y2), c, 2)
+        name = (classes[int(result["labels"][i])] if classes
+                else str(int(result["labels"][i])))
+        cv2.putText(img, f"{name} {result['scores'][i]:.2f}",
+                    (x1, max(y1 - 4, 10)), cv2.FONT_HERSHEY_SIMPLEX, 0.5,
+                    c, 1)
+        if "masks" in result:
+            m = result["masks"][i]
+            img[m] = (0.5 * img[m] + 0.5 * np.asarray(c)).astype(img.dtype)
+    if out_file:
+        cv2.imwrite(out_file, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    return img

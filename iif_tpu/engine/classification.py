@@ -65,6 +65,7 @@ class ClassificationTrainer:
         mixup_alpha: Optional[float] = None,
         compute_dtype=jnp.bfloat16,
         seed: int = 0,
+        qat=None,                      # iif_tpu.quant.QatConfig
     ):
         self.model = model
         self.criterion = criterion
@@ -76,8 +77,12 @@ class ClassificationTrainer:
         self.mixup_alpha = mixup_alpha
         self.compute_dtype = compute_dtype
         self.base_rng = jax.random.PRNGKey(seed)
+        self.qat = qat
+        self.frozen_scales = None      # set at the observer-freeze epoch
 
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._train_step = jax.jit(
+            self._train_step_impl, donate_argnums=(0,),
+            static_argnames=("quant_on", "freeze_bn"))
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # ------------------------------------------------------------------ init
@@ -85,7 +90,8 @@ class ClassificationTrainer:
                    ) -> TrainState:
         rng = jax.random.PRNGKey(seed)
         dummy = jnp.zeros((1,) + tuple(sample_shape), self.compute_dtype)
-        variables = self.model.init(rng, dummy, train=False)
+        variables = jax.jit(
+            lambda r, x: self.model.init(r, x, train=False))(rng, dummy)
         params = variables.get("params", {})
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.tx.init(params)
@@ -103,7 +109,9 @@ class ClassificationTrainer:
         logits = self.model.apply(variables, x, train=False)
         return logits, batch_stats
 
-    def _train_step_impl(self, state: TrainState, batch: Dict[str, jnp.ndarray]
+    def _train_step_impl(self, state: TrainState, batch: Dict[str, jnp.ndarray],
+                         frozen_scales=None, *, quant_on: bool = False,
+                         freeze_bn: bool = False
                          ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         step_key = jax.random.fold_in(self.base_rng, state.step)
         k_aug, k_mix = jax.random.split(step_key)
@@ -114,7 +122,15 @@ class ClassificationTrainer:
             x, y_a, y_b, lam = mixup_batch(k_mix, x, y, self.mixup_alpha)
 
         def loss_fn(params):
-            logits, new_bs = self._forward(params, state.batch_stats, x, True)
+            fwd_params = params
+            if quant_on:
+                from iif_tpu.quant import fake_quant_params
+
+                fwd_params = fake_quant_params(
+                    params, scales=frozen_scales,
+                    per_channel=self.qat.per_channel if self.qat else True)
+            logits, new_bs = self._forward(
+                fwd_params, state.batch_stats, x, not freeze_bn)
             logits32 = logits.astype(jnp.float32)
             if self.mixup_alpha is not None:
                 loss = mixup_criterion(self.criterion, logits32, y_a, y_b, lam)
@@ -170,18 +186,45 @@ class ClassificationTrainer:
         logger.add_meter("img/s", SmoothedValue(window_size=10, fmt="{value:.1f}"))
         loader.set_epoch(epoch)
         header = f"Epoch: [{epoch}]"
+
+        quant_on = bool(self.qat and self.qat.enabled)
+        freeze_bn = bool(self.qat and self.qat.enabled
+                         and epoch >= self.qat.freeze_bn_epoch)
+        if quant_on and epoch >= self.qat.freeze_observer_epoch \
+                and self.frozen_scales is None:
+            from iif_tpu.quant import observe_scales
+
+            self.frozen_scales = jax.jit(observe_scales)(state.params)
+
         for batch in logger.log_every(iter(loader), print_freq, header,
                                       total=len(loader)):
             t0 = time.time()
             gbatch = shard_batch(
                 {"image": batch["image"], "label": batch["label"]}, self.mesh)
-            state, metrics = self._train_step(state, gbatch)
+            state, metrics = self._train_step(
+                state, gbatch, self.frozen_scales, quant_on=quant_on,
+                freeze_bn=freeze_bn)
             metrics = jax.device_get(metrics)
             bsz = batch["image"].shape[0] * max(jax.process_count(), 1)
             logger.update(loss=metrics["loss"], acc1=metrics["acc1"],
                           acc5=metrics["acc5"])
             logger.meters["img/s"].update(bsz / max(time.time() - t0, 1e-9))
         return state, logger
+
+    def evaluate_quantized(self, state: TrainState, batches, print_fn=print
+                           ) -> Dict[str, Any]:
+        """Eval the converted-int8 model (reference evaluates both the QAT
+        model and an int8 CPU copy each epoch,
+        ``train_quantization.py:129-139``). fake-quant == int8-dequant
+        numerics, so this is the converted model's accuracy."""
+        from iif_tpu.quant import fake_quant_params
+
+        qparams = jax.jit(fake_quant_params)(state.params) \
+            if self.frozen_scales is None else jax.jit(
+                lambda p: fake_quant_params(p, self.frozen_scales)
+            )(state.params)
+        return self.evaluate(state.replace(params=qparams), batches,
+                             print_fn=print_fn)
 
     def evaluate(self, state: TrainState, batches, print_fn=print
                  ) -> Dict[str, Any]:

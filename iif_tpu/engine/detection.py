@@ -1,0 +1,231 @@
+"""Detection trainer — the runner layer for MaskRCNN/Cascade training.
+
+Rebuild of mmcv ``EpochBasedRunner`` + the fork's
+``EpochBasedDynamicRunner`` (``mmdet/apis/epoch_based_dynamic_runner.py``):
+epoch loop, checkpoint/eval hooks, and the FASA protocol — each train
+epoch pushes the epoch index into the loss (aug term active from epoch>=1),
+and after each val pass the cum-loss counters drive
+``fasa_dynamic_sampling`` (host-side clustering) before the next epoch.
+The reference's ``dist.barrier()+sleep`` deadlock dance disappears:
+single-controller SPMD has no divergent-graph hazard.
+
+Also ports the decoupled-training switches (``selectp``,
+``instance_segmentation/tools/train.py:87-128``) as optax masks.
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh
+
+from iif_tpu.detection.detector import (
+    DetTrainCfg,
+    MaskRCNN,
+    maskrcnn_loss,
+    maskrcnn_simple_test,
+)
+from iif_tpu.detection.fasa import (
+    FasaState,
+    fasa_accumulate_val,
+    fasa_dynamic_sampling,
+)
+from iif_tpu.parallel.mesh import replicated, shard_batch
+from iif_tpu.utils.metrics import MetricLogger
+
+
+class DetTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    fasa: Optional[FasaState] = None
+
+
+class DetectionTrainer:
+    def __init__(
+        self,
+        model: MaskRCNN,
+        loss_cls,
+        tx: optax.GradientTransformation,
+        mesh: Mesh,
+        train_cfg: DetTrainCfg = DetTrainCfg(),
+        fasa_cfg: Optional[Dict[str, float]] = None,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.loss_cls = loss_cls
+        self.tx = tx
+        self.mesh = mesh
+        self.train_cfg = train_cfg
+        self.fasa_cfg = fasa_cfg
+        self.base_rng = jax.random.PRNGKey(seed)
+        self._train_step = jax.jit(self._train_step_impl,
+                                   donate_argnums=(0,),
+                                   static_argnames=("epoch",))
+
+    def init_state(self, sample_shape, fasa_state: Optional[FasaState] = None,
+                   seed: int = 0) -> DetTrainState:
+        variables = jax.jit(self.model.init, static_argnums=(2,))(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1,) + tuple(sample_shape), jnp.float32), False)
+        params = variables["params"]
+        return jax.device_put(
+            DetTrainState(
+                step=jnp.zeros((), jnp.int32), params=params,
+                batch_stats=variables.get("batch_stats", {}),
+                opt_state=self.tx.init(params), fasa=fasa_state),
+            replicated(self.mesh))
+
+    def _train_step_impl(self, state: DetTrainState,
+                         batch: Dict[str, jnp.ndarray], *, epoch: int
+                         ) -> Tuple[DetTrainState, Dict[str, jnp.ndarray]]:
+        key = jax.random.fold_in(self.base_rng, state.step)
+
+        def loss_fn(params):
+            total, losses, aux = maskrcnn_loss(
+                self.model,
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, key, self.loss_cls, self.train_cfg,
+                fasa_state=state.fasa, fasa_cfg=self.fasa_cfg, epoch=epoch)
+            return total, (losses, aux)
+
+        (total, (losses, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = self.tx.update(grads, state.opt_state,
+                                          state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = DetTrainState(
+            step=state.step + 1, params=new_params,
+            batch_stats=aux["batch_stats"], opt_state=new_opt,
+            fasa=aux.get("fasa_state", state.fasa))
+        metrics = dict(losses)
+        metrics["loss"] = total
+        return new_state, metrics
+
+    def train_one_epoch(self, state: DetTrainState, loader, epoch: int,
+                        print_freq: int = 50, print_fn=print
+                        ) -> Tuple[DetTrainState, MetricLogger]:
+        logger = MetricLogger(print_fn=print_fn)
+        loader.set_epoch(epoch)
+        header = f"Epoch: [{epoch}]"
+        for batch in logger.log_every(iter(loader), print_freq, header,
+                                      total=len(loader)):
+            feed = {k: v for k, v in batch.items()
+                    if k in ("image", "gt_boxes", "gt_labels", "gt_valid",
+                             "gt_masks")}
+            gbatch = shard_batch(feed, self.mesh)
+            state, metrics = self._train_step(state, gbatch, epoch=epoch)
+            logger.update(**{k: float(v) for k, v in
+                             jax.device_get(metrics).items()})
+        return state, logger
+
+    # ------------------------------------------------- FASA dynamic runner
+    def fasa_val_epoch(self, state: DetTrainState, loader,
+                       print_fn=print) -> DetTrainState:
+        """The DynamicRunner val pass: accumulate per-class cum losses on
+        the val split, then host-side dynamic_sampling
+        (``epoch_based_dynamic_runner.py:57-84``)."""
+        assert state.fasa is not None
+
+        @jax.jit
+        def _accum(st: DetTrainState, batch):
+            key = jax.random.fold_in(self.base_rng, st.step + 1_000_000)
+            total, losses, aux = maskrcnn_loss(
+                self.model,
+                {"params": st.params, "batch_stats": st.batch_stats},
+                batch, key, self.loss_cls, self.train_cfg)
+            return aux  # unused; placeholder for symmetry
+
+        # accumulate cum losses through the bbox-head classifier on val
+        @jax.jit
+        def _accum_cls(fasa, cls_score, labels, weight):
+            return fasa_accumulate_val(fasa, self.loss_cls, cls_score,
+                                       labels, weight)
+
+        fasa = state.fasa
+        for batch in loader:
+            feed = {k: v for k, v in batch.items()
+                    if k in ("image", "gt_boxes", "gt_labels", "gt_valid",
+                             "gt_masks")}
+            gbatch = shard_batch(feed, self.mesh)
+            fasa = self._fasa_accumulate_batch(state, gbatch, fasa)
+        fasa = fasa_dynamic_sampling(
+            fasa,
+            dynamic_up=(self.fasa_cfg or {}).get("dynamic_up", 1.1),
+            dynamic_down=(self.fasa_cfg or {}).get("dynamic_down", 0.9))
+        print_fn("FASA dynamic sampling: probs updated")
+        return state.replace(fasa=fasa)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _fasa_accumulate_batch(self, state: DetTrainState, batch, fasa):
+        """One val batch: forward to bbox-head cls scores, fold per-class
+        losses into the FASA counters."""
+        from iif_tpu.detection.bbox_head import bbox_targets
+        from iif_tpu.detection.detector import fpn_shapes, make_anchor_generator
+        from iif_tpu.detection.roi_extractor import SingleRoIExtractor
+        from iif_tpu.detection.rpn import rpn_proposals
+
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        images = batch["image"]
+        b, img_h, img_w, _ = images.shape
+        feats = self.model.apply(variables, images, False,
+                                 method=MaskRCNN.extract_feat)
+        cls_scores, bbox_preds = self.model.apply(
+            variables, feats, method=MaskRCNN.forward_rpn)
+        gen = make_anchor_generator()
+        anchors_np = gen.grid_anchors(fpn_shapes((img_h, img_w)))
+        proposals, _, prop_valid = rpn_proposals(
+            cls_scores, bbox_preds, [jnp.asarray(a) for a in anchors_np],
+            (img_h, img_w), nms_pre=self.train_cfg.rpn_nms_pre,
+            max_per_img=self.train_cfg.rpn_max_per_img,
+            nms_iou=self.train_cfg.rpn_nms_iou)
+        key = jax.random.fold_in(self.base_rng, state.step + 999_983)
+        tgts = bbox_targets(
+            key, proposals, prop_valid, batch["gt_boxes"],
+            batch["gt_labels"], batch["gt_valid"], self.model.num_classes,
+            num_samples=self.train_cfg.rcnn_num_samples,
+            pos_fraction=self.train_cfg.rcnn_pos_fraction)
+        r = self.train_cfg.rcnn_num_samples
+        bidx = jnp.repeat(jnp.arange(b, dtype=jnp.float32), r)
+        rois5 = jnp.concatenate(
+            [bidx[:, None], tgts.rois.reshape(-1, 4)], axis=1)
+        roi_feats = SingleRoIExtractor((7, 7))(feats[:4], rois5)
+        cls_score, _, _ = self.model.apply(
+            variables, roi_feats, method=MaskRCNN.forward_bbox)
+        return fasa_accumulate_val(
+            fasa, self.loss_cls, cls_score, tgts.labels.reshape(-1),
+            tgts.label_weights.reshape(-1))
+
+
+# ---------------------------------------------------- selectp param freezing
+def selectp_mask(params: Any, selectp: int) -> Any:
+    """Trainable-param masks for decoupled detector finetuning
+    (``tools/train.py:87-128``): 1 = fc_cls only; 2 = whole bbox head;
+    3 = cascade fc_cls stages; 4 = bbox + mask heads."""
+    def _trainable(path) -> bool:
+        keys = [getattr(k, "key", "") for k in path]
+        in_bbox = any(str(k).startswith("bbox_head") for k in keys)
+        in_mask = any(str(k).startswith("mask_head") for k in keys)
+        has_cls = any(str(k) == "fc_cls" for k in keys)
+        if selectp == 1:
+            return in_bbox and has_cls
+        if selectp == 2:
+            return in_bbox
+        if selectp == 3:
+            return in_bbox and has_cls  # cascade heads share the prefix
+        if selectp == 4:
+            return in_bbox or in_mask
+        return True
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(
+        treedef, [_trainable(p) for p, _ in flat])

@@ -57,6 +57,33 @@ def load_weights(path_or_dir: str, template: Any = None) -> Any:
         mngr.close()
 
 
+def store_model_weights(state: Any, out_dir: str,
+                        prefix: str = "model") -> str:
+    """Release-weights export with sha256 content naming (reference
+    ``classification/utils.py:325-390``): strips training state down to
+    model weights, writes ``<prefix>-<sha256[:8]>.npz``."""
+    import hashlib
+    import io
+
+    weights = {}
+    flat = jax.tree_util.tree_flatten_with_path(
+        {"params": state["params"] if isinstance(state, dict)
+         else state.params,
+         "batch_stats": state.get("batch_stats", {})
+         if isinstance(state, dict) else state.batch_stats})[0]
+    for path, leaf in flat:
+        key = "/".join(str(getattr(k, "key", k)) for k in path)
+        weights[key] = np.asarray(leaf)
+    buf = io.BytesIO()
+    np.savez(buf, **weights)
+    digest = hashlib.sha256(buf.getvalue()).hexdigest()[:8]
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, f"{prefix}-{digest}.npz")
+    with open(out_path, "wb") as f:
+        f.write(buf.getvalue())
+    return out_path
+
+
 def average_checkpoints(trees) -> Any:
     """Average model weights across checkpoints (reference
     ``classification/utils.py:269-322``)."""

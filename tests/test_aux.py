@@ -1,0 +1,106 @@
+"""Aux subsystems: VOC mAP/recalls, profiling, weight export, EMA."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_voc_map_perfect_and_miss():
+    from iif_tpu.detection.voc_eval import eval_map
+
+    gt = {"bboxes": np.array([[0, 0, 10, 10], [20, 20, 40, 40]], float),
+          "labels": np.array([0, 1])}
+    dets_perfect = [[np.array([[0, 0, 10, 10, 0.9]]),
+                     np.array([[20, 20, 40, 40, 0.8]])]]
+    m, per = eval_map(dets_perfect, [gt])
+    assert m == pytest.approx(1.0)
+    dets_half = [[np.array([[0, 0, 10, 10, 0.9]]),
+                  np.empty((0, 5))]]
+    m2, _ = eval_map(dets_half, [gt])
+    assert m2 == pytest.approx(0.5)
+
+
+def test_voc_map_false_positive_hurts():
+    from iif_tpu.detection.voc_eval import eval_map
+
+    gt = {"bboxes": np.array([[0, 0, 10, 10]], float),
+          "labels": np.array([0])}
+    dets = [[np.array([[50, 50, 60, 60, 0.95], [0, 0, 10, 10, 0.9]])]]
+    m, _ = eval_map(dets, [gt])
+    assert 0.0 < m < 1.0
+
+
+def test_eval_recalls():
+    from iif_tpu.detection.voc_eval import eval_recalls
+
+    gts = [np.array([[0, 0, 10, 10], [20, 20, 30, 30]], float)]
+    props = [np.array([[0, 0, 10, 10], [100, 100, 110, 110]], float)]
+    r = eval_recalls(gts, props, proposal_nums=[1, 2], iou_thrs=[0.5])
+    assert r[0, 0] == pytest.approx(0.5)  # top-1 proposal hits 1 of 2 gts
+    assert r[1, 0] == pytest.approx(0.5)
+
+
+def test_profile_time_and_flops(capsys):
+    import jax.numpy as jnp
+
+    from iif_tpu.utils.profiling import flops_of, profile_time
+
+    with profile_time("block"):
+        _ = jnp.ones((4, 4)) @ jnp.ones((4, 4))
+    out = capsys.readouterr().out
+    assert "block elapsed_time" in out
+
+    fl = flops_of(lambda a, b: a @ b, jnp.ones((64, 128)), jnp.ones((128, 32)))
+    if fl is not None and np.isfinite(fl):
+        assert fl == pytest.approx(2 * 64 * 128 * 32, rel=0.5)
+
+
+def test_analyze_log_json(tmp_path):
+    from iif_tpu.utils.profiling import analyze_log_json
+
+    p = tmp_path / "x.log.json"
+    p.write_text('{"time": 0.5}\n{"time": 1.5}\nnot json\n{"other": 1}\n')
+    stats = analyze_log_json(str(p))
+    assert stats["mean"] == pytest.approx(1.0)
+    assert stats["n"] == 2
+
+
+def test_store_model_weights(tmp_path):
+    import jax.numpy as jnp
+
+    from iif_tpu.utils.checkpoint import store_model_weights
+
+    state = {"params": {"layer": {"kernel": jnp.ones((2, 2))}},
+             "batch_stats": {"bn": {"mean": jnp.zeros(2)}}}
+    path = store_model_weights(state, str(tmp_path))
+    assert os.path.exists(path)
+    base = os.path.basename(path)
+    assert base.startswith("model-") and base.endswith(".npz")
+    data = np.load(path)
+    assert "params/layer/kernel" in data.files
+    # content-addressed: same weights -> same name
+    assert store_model_weights(state, str(tmp_path)) == path
+
+
+def test_ema():
+    import jax.numpy as jnp
+
+    from iif_tpu.utils.ema import init_ema, update_ema
+
+    p = {"w": jnp.zeros(3)}
+    ema = init_ema(p)
+    ema = update_ema(ema, {"w": jnp.ones(3)}, momentum=0.1)
+    np.testing.assert_allclose(np.asarray(ema["w"]), 0.1)
+
+
+def test_checkpoint_averaging():
+    import jax.numpy as jnp
+
+    from iif_tpu.utils.checkpoint import average_checkpoints
+
+    t1 = {"w": np.ones(3), "step": np.int32(1)}
+    t2 = {"w": 3 * np.ones(3), "step": np.int32(2)}
+    avg = average_checkpoints([t1, t2])
+    np.testing.assert_allclose(avg["w"], 2.0)
+    assert avg["step"] == 1  # non-float leaves keep the first value

@@ -159,14 +159,14 @@ def test_maskrcnn_loss_positive_finite(model_and_vars, small_cfg):
     model, variables = model_and_vars
     batch = _demo_inputs()
     loss_cls = DetIIFLoss(weights=jnp.ones(NUM_CLASSES + 1))
-    total, losses, new_bs = maskrcnn_loss(
+    total, losses, aux = maskrcnn_loss(
         model, variables, batch, jax.random.PRNGKey(0), loss_cls, small_cfg)
     for k, v in losses.items():
         assert np.isfinite(float(v)), (k, float(v))
         assert float(v) >= 0, (k, float(v))
     assert float(losses["loss_cls"]) > 0
     assert float(losses["loss_mask"]) > 0
-    assert new_bs  # batch stats mutated
+    assert aux["batch_stats"]  # batch stats mutated
 
 
 def test_maskrcnn_loss_empty_gt(model_and_vars, small_cfg):

@@ -1,0 +1,113 @@
+"""End-to-end detection smoke: synthetic COCO dataset on disk -> config ->
+train CLI (few steps) -> checkpoint -> test CLI eval. Exercises the full
+user surface of the detection stack."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _make_dataset(root, n_imgs=4, size=(96, 128)):
+    import cv2
+
+    h, w = size
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.RandomState(0)
+    images, anns = [], []
+    aid = 1
+    for i in range(n_imgs):
+        img = rng.randint(0, 100, (h, w, 3), np.uint8)
+        # one bright square object per image
+        x1, y1 = rng.randint(5, w - 40), rng.randint(5, h - 40)
+        bw, bh = rng.randint(20, 32), rng.randint(20, 32)
+        img[y1:y1 + bh, x1:x1 + bw] = 230
+        cv2.imwrite(os.path.join(img_dir, f"{i}.jpg"),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        images.append({"id": i, "file_name": f"images/{i}.jpg",
+                       "width": w, "height": h})
+        anns.append({"id": aid, "image_id": i, "category_id": 1,
+                     "bbox": [int(x1), int(y1), int(bw), int(bh)],
+                     "area": int(bw * bh), "iscrowd": 0,
+                     "segmentation": [[x1, y1, x1 + bw, y1, x1 + bw,
+                                       y1 + bh, x1, y1 + bh]]})
+        aid += 1
+    ann = {"categories": [{"id": 1, "name": "square", "image_count": n_imgs}],
+           "images": images, "annotations": anns}
+    ann_path = os.path.join(root, "ann.json")
+    with open(ann_path, "w") as f:
+        json.dump(ann, f)
+    return ann_path
+
+
+def _write_config(root, ann_path):
+    cfg = f'''
+model = dict(type="MaskRCNN", depth=18, num_classes=1, with_mask=True,
+             frozen_stages=-1)
+loss_cls = dict(type="DetIIFLoss", variant="raw", path=None)
+train_cfg = dict(rpn_nms_pre=128, rpn_max_per_img=64, rcnn_num_samples=64,
+                 num_mask_rois=16)
+test_cfg = dict(rpn_nms_pre=128, rpn_max_per_img=64, score_thr=0.0,
+                max_per_img=5)
+data = dict(
+    samples_per_gpu=2,
+    train=dict(type="CocoDataset", ann_file="{ann_path}",
+               img_prefix="{root}", oversample_thr=0.0),
+    val=dict(type="CocoDataset", ann_file="{ann_path}",
+             img_prefix="{root}"),
+    test=dict(type="CocoDataset", ann_file="{ann_path}",
+              img_prefix="{root}"),
+)
+pipeline = dict(canvas=(96, 128), scales=[(128, 96)], max_gt=4)
+optimizer = dict(type="sgd", lr=0.01, momentum=0.9, weight_decay=1e-4)
+lr_config = dict(milestones=[10], gamma=0.1)
+runner = dict(type="EpochBasedRunner", max_epochs=1)
+checkpoint_config = dict(interval=1)
+log_config = dict(interval=1)
+seed = 0
+'''
+    path = os.path.join(root, "smoke_cfg.py")
+    with open(path, "w") as f:
+        f.write(cfg)
+    return path
+
+
+@pytest.mark.slow
+def test_detection_cli_train_and_eval(tmp_path):
+    root = str(tmp_path)
+    ann = _make_dataset(root)
+    cfg = _write_config(root, ann)
+    work = os.path.join(root, "work")
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    if "xla_force_host_platform_device_count" not in env.get("XLA_FLAGS", ""):
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8")
+    # the container sitecustomize dials the (exclusive) TPU tunnel when this
+    # is set, deadlocking if any other process holds the device — CPU
+    # subprocesses must not register the axon backend at all
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "iif_tpu.cli.train_det", cfg,
+         "--work-dir", work, "--max-steps", "2"],
+        capture_output=True, text=True, env=env, timeout=900,
+        cwd="/root/repo")
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    ckpt = os.path.join(work, "checkpoints")
+    assert os.path.isdir(ckpt)
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "iif_tpu.cli.test_det", cfg, ckpt,
+         "--eval", "bbox", "segm", "--out",
+         os.path.join(root, "res.json")],
+        capture_output=True, text=True, env=env, timeout=900,
+        cwd="/root/repo")
+    assert r2.returncode == 0, r2.stdout[-3000:] + r2.stderr[-3000:]
+    assert "bbox" in r2.stdout and "AP" in r2.stdout
+    res = json.load(open(os.path.join(root, "res.json")))
+    assert isinstance(res, list)
