@@ -58,16 +58,19 @@ def main():
     }
     gbatch = shard_batch(host_batch, mesh)
 
-    # warmup / compile
+    # warmup / compile. NOTE: jax.block_until_ready does not actually block
+    # on the axon tunnel backend — a host readback of a value that depends
+    # on the full computation is the only honest sync. The state chain
+    # makes the steps sequential, so reading the final loss times them all.
     for _ in range(3):
         state, metrics = trainer._train_step(state, gbatch)
-    jax.block_until_ready(metrics)
+    _ = float(metrics["loss"])
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = trainer._train_step(state, gbatch)
-    jax.block_until_ready(metrics)
+    _ = float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     img_s = batch * iters / dt

@@ -77,17 +77,23 @@ def main():
     test_cfg = DetTestCfg(**cfg.get("test_cfg", {}))
     x = jnp.zeros((args.batch_size,) + canvas + (3,))
 
-    run = jax.jit(lambda v, img: maskrcnn_simple_test(
-        model, v, img, loss_cls, test_cfg))
-    out = run(variables, x)
-    jax.block_until_ready(out)
+    # NOTE: block_until_ready is unreliable on tunneled TPU backends; a
+    # host readback of a value depending on the outputs is the only
+    # honest sync. Chain iterations through the input so they serialize.
+    def _one_iter(v, img):
+        out = maskrcnn_simple_test(model, v, img, loss_cls, test_cfg)
+        return out, out["scores"].sum()
+
+    run = jax.jit(_one_iter)
+    out, chk = run(variables, x)
+    _ = float(chk)
     for _ in range(args.warmup - 1):
-        out = run(variables, x)
-    jax.block_until_ready(out)
+        out, chk = run(variables, x)
+    _ = float(chk)
     t0 = time.perf_counter()
     for _ in range(args.num_iters):
-        out = run(variables, x)
-    jax.block_until_ready(out)
+        out, chk = run(variables, x + chk * 0)  # serialize on prev result
+    _ = float(chk)
     dt = time.perf_counter() - t0
     fps = args.batch_size * args.num_iters / dt
     print(f"Overall fps: {fps:.2f} img/s ({dt / args.num_iters * 1e3:.1f} "

@@ -66,9 +66,15 @@ def multiclass_nms(
     score_thr: float = 0.05,
     iou_threshold: float = 0.5,
     max_per_img: int = 100,
+    nms_pre: int = 2048,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Reference ``bbox_nms.py:8-97``: flatten N x C candidates, filter by
     score_thr, class-offset NMS, keep top ``max_per_img``.
+
+    The reference's dynamic score_thr filter becomes a static top-``nms_pre``
+    over the flattened N*C scores (at LVIS scale N*C is ~1.2M — a dense
+    IoU matrix there is impossible on any hardware; the per-image survivor
+    count after score_thr is far below 2048 in practice).
 
     Returns fixed-shape (dets (K,4), scores (K,), labels (K,), valid (K,))
     with K = max_per_img; invalid slots have score 0.
@@ -88,14 +94,29 @@ def multiclass_nms(
     valid = scores_flat > score_thr
     scores_masked = jnp.where(valid, scores_flat, -jnp.inf)
 
-    keep, order = batched_nms(boxes_flat, scores_masked, labels_flat,
+    # static pre-NMS cap over the flattened candidates
+    k_pre = min(nms_pre, scores_flat.shape[0])
+    pre_scores, pre_idx = jax.lax.top_k(scores_masked, k_pre)
+    boxes_pre = boxes_flat[pre_idx]
+    labels_pre = labels_flat[pre_idx]
+    scores_pre_raw = scores_flat[pre_idx]
+
+    keep, order = batched_nms(boxes_pre, pre_scores, labels_pre,
                               iou_threshold)
     # survivors in score order
-    kept_scores = jnp.where(keep, scores_masked[order], -jnp.inf)
-    top_scores, top_idx = jax.lax.top_k(kept_scores, max_per_img)
+    kept_scores = jnp.where(keep, pre_scores[order], -jnp.inf)
+    k_out = min(max_per_img, k_pre)
+    top_scores, top_idx = jax.lax.top_k(kept_scores, k_out)
     sel = order[top_idx]
     out_valid = top_scores > score_thr
-    dets = jnp.where(out_valid[:, None], boxes_flat[sel], 0.0)
-    out_scores = jnp.where(out_valid, scores_flat[sel], 0.0)
-    out_labels = jnp.where(out_valid, labels_flat[sel], -1)
+    dets = jnp.where(out_valid[:, None], boxes_pre[sel], 0.0)
+    out_scores = jnp.where(out_valid, scores_pre_raw[sel], 0.0)
+    out_labels = jnp.where(out_valid, labels_pre[sel], -1)
+    if k_out < max_per_img:  # pad to the fixed slate
+        pad = max_per_img - k_out
+        dets = jnp.concatenate([dets, jnp.zeros((pad, 4), dets.dtype)])
+        out_scores = jnp.concatenate([out_scores, jnp.zeros(pad)])
+        out_labels = jnp.concatenate(
+            [out_labels, jnp.full(pad, -1, out_labels.dtype)])
+        out_valid = jnp.concatenate([out_valid, jnp.zeros(pad, bool)])
     return dets, out_scores, out_labels, out_valid

@@ -25,13 +25,15 @@ import jax
 import jax.numpy as jnp
 
 
-def _bilinear_gather(feat: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray
-                     ) -> jnp.ndarray:
-    """feat (H, W, C); y, x (...,) float coords -> (..., C) bilinear taps.
-    Out-of-range coords clamp (matching the CUDA kernel's zero-pad then
-    clamp behaviour for the interior; fully-outside taps contribute the
-    border value, negligible for valid RoIs)."""
-    h, w, _ = feat.shape
+def _bilinear_gather_batched(features: jnp.ndarray, bidx: jnp.ndarray,
+                             y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """features (B, H, W, C); bidx (R,), y/x (R, ...) float coords ->
+    (R, ..., C) bilinear taps. Gathers only the four corner values (four
+    gathers total — nothing per-RoI-sized is ever materialized).
+    Out-of-range coords clamp (matching the CUDA kernel's behaviour for
+    the interior; fully-outside taps contribute the border value,
+    negligible for valid RoIs)."""
+    _, h, w, _ = features.shape
     y = jnp.clip(y, 0.0, h - 1.0)
     x = jnp.clip(x, 0.0, w - 1.0)
     y0 = jnp.floor(y).astype(jnp.int32)
@@ -40,10 +42,11 @@ def _bilinear_gather(feat: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray
     x1 = jnp.minimum(x0 + 1, w - 1)
     ly = (y - y0.astype(y.dtype))[..., None]
     lx = (x - x0.astype(x.dtype))[..., None]
-    v00 = feat[y0, x0]
-    v01 = feat[y0, x1]
-    v10 = feat[y1, x0]
-    v11 = feat[y1, x1]
+    b = bidx.reshape(bidx.shape + (1,) * (y.ndim - 1))
+    v00 = features[b, y0, x0]
+    v01 = features[b, y0, x1]
+    v10 = features[b, y1, x0]
+    v11 = features[b, y1, x1]
     return (v00 * (1 - ly) * (1 - lx) + v01 * (1 - ly) * lx
             + v10 * ly * (1 - lx) + v11 * ly * lx)
 
@@ -82,13 +85,9 @@ def roi_align(
     # (R, out_h*s), (R, out_w*s) absolute coordinates
     ys = y1[:, None] + bin_h[:, None] * iy[None, :]
     xs = x1[:, None] + bin_w[:, None] * ix[None, :]
-
-    def _one(b, ys_r, xs_r):
-        feat = features[b]
-        yy = jnp.broadcast_to(ys_r[:, None], (out_h * s, out_w * s))
-        xx = jnp.broadcast_to(xs_r[None, :], (out_h * s, out_w * s))
-        taps = _bilinear_gather(feat, yy, xx)          # (oh*s, ow*s, C)
-        taps = taps.reshape(out_h, s, out_w, s, -1)
-        return taps.mean(axis=(1, 3))                  # (oh, ow, C)
-
-    return jax.vmap(_one)(batch_idx, ys, xs)
+    r = rois.shape[0]
+    yy = jnp.broadcast_to(ys[:, :, None], (r, out_h * s, out_w * s))
+    xx = jnp.broadcast_to(xs[:, None, :], (r, out_h * s, out_w * s))
+    taps = _bilinear_gather_batched(features, batch_idx, yy, xx)
+    taps = taps.reshape(r, out_h, s, out_w, s, -1)
+    return taps.mean(axis=(2, 4))
