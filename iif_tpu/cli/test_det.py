@@ -22,6 +22,9 @@ def parse_args():
     p.add_argument("--format-only", action="store_true")
     p.add_argument("--out", default=None, help="results json path")
     p.add_argument("--max-images", default=None, type=int)
+    p.add_argument("--show-dir", default=None,
+                   help="draw detections onto images in this dir")
+    p.add_argument("--show-score-thr", default=0.3, type=float)
     p.add_argument("--cfg-options", nargs="+", default=[])
     return p.parse_args()
 
@@ -128,6 +131,9 @@ def main():
         if args.format_only:
             return
 
+    if args.show_dir:
+        _draw_results(args, test_ds, results)
+
     gt_anns = [a for rec in test_ds.img_infos for a in rec["anns"]]
     ev = DetEvaluator(test_ds.img_infos, gt_anns, test_ds.cat_ids,
                       lvis=test_ds.lvis_style,
@@ -136,6 +142,37 @@ def main():
     for metric in args.eval:
         res = ev.evaluate(results, "segm" if metric == "segm" else "bbox")
         print(metric, {k: round(v, 4) for k, v in res.items()})
+
+
+def _draw_results(args, test_ds, results):
+    """--show-dir: render detections per image (reference tools/test.py
+    --show-dir via show_result)."""
+    import os
+    from collections import defaultdict
+
+    from iif_tpu.detection.inference import show_result
+
+    os.makedirs(args.show_dir, exist_ok=True)
+    by_img = defaultdict(list)
+    for r in results:
+        by_img[r["image_id"]].append(r)
+    id2idx = {rec["id"]: i for i, rec in enumerate(test_ds.img_infos)}
+    for iid, recs in by_img.items():
+        idx = id2idx.get(iid)
+        if idx is None:
+            continue
+        res = {
+            "boxes": np.array([[r["bbox"][0], r["bbox"][1],
+                                r["bbox"][0] + r["bbox"][2],
+                                r["bbox"][1] + r["bbox"][3]] for r in recs]),
+            "scores": np.array([r["score"] for r in recs]),
+            "labels": np.array([test_ds.cat_ids.index(r["category_id"])
+                                for r in recs]),
+            "valid": np.ones(len(recs), bool),
+        }
+        show_result(test_ds.image_path(idx), res, classes=test_ds.CLASSES,
+                    score_thr=args.show_score_thr,
+                    out_file=os.path.join(args.show_dir, f"{iid}.jpg"))
 
 
 class _EvalLoader:

@@ -100,6 +100,11 @@ def main():
         oversample_thr=dcfg["train"].get("oversample_thr", 0.0), seed=seed)
 
     num_classes = cfg.model["num_classes"]
+    # NumClassCheckHook equivalent (reference mmdet/datasets/utils.py:116)
+    if len(train_ds.CLASSES) != num_classes:
+        raise ValueError(
+            f"model.num_classes={num_classes} != dataset classes "
+            f"{len(train_ds.CLASSES)} ({cfg.data['train'].get('ann_file')})")
     loss_cls = build_loss_cls(cfg.loss_cls, train_ds, num_classes)
 
     # ----------------------------------------------------------------- model
@@ -170,6 +175,8 @@ def main():
                                   w["state"]["batch_stats"]))
 
     dynamic = cfg.runner.get("type") == "EpochBasedDynamicRunner"
+    eval_cfg = cfg.get("evaluation", {})
+    eval_interval = eval_cfg.get("interval", 0)
     print(f"Start training: {max_epochs} epochs, "
           f"{steps_per_epoch} steps/epoch, dynamic={dynamic}")
     for epoch in range(start_epoch, max_epochs):
@@ -185,7 +192,39 @@ def main():
         if is_main_process():
             mngr.save(epoch, {"state": jax.device_get(state),
                               "epoch": epoch})
+        # EvalHook equivalent (reference core/evaluation/eval_hooks.py)
+        if eval_interval and (epoch + 1) % eval_interval == 0:
+            _run_eval(cfg, model, state, loss_cls, pipeline,
+                      eval_cfg.get("metric", ["bbox"]))
     print("done")
+
+
+def _run_eval(cfg, model, state, loss_cls, pipeline, metrics):
+    import jax
+
+    from iif_tpu.cli.test_det import _EvalLoader, run_inference
+    from iif_tpu.detection.datasets import DATASETS
+    from iif_tpu.detection.detector import DetTestCfg
+    from iif_tpu.detection.evaluation import DetEvaluator
+
+    val_ds = DATASETS.build({k: v for k, v in cfg.data["val"].items()
+                             if k != "oversample_thr"})
+    loader = _EvalLoader(val_ds, pipeline,
+                         cfg.data.get("samples_per_gpu", 4))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    results = run_inference(
+        model, variables, loader, loss_cls,
+        DetTestCfg(**cfg.get("test_cfg", {})), val_ds.cat_ids,
+        cfg.model.get("with_mask", True))
+    gt_anns = [a for rec in val_ds.img_infos for a in rec["anns"]]
+    ev = DetEvaluator(val_ds.img_infos, gt_anns, val_ds.cat_ids,
+                      lvis=val_ds.lvis_style,
+                      cat_image_counts=val_ds.cat_image_counts,
+                      max_dets=cfg.get("test_cfg", {}).get("max_per_img",
+                                                           100))
+    for m in metrics:
+        res = ev.evaluate(results, "segm" if m == "segm" else "bbox")
+        print("eval", m, {k: round(v, 4) for k, v in res.items()})
 
 
 class _capped:
