@@ -76,6 +76,9 @@ class CascadeMaskRCNN(nn.Module):
     def forward_mask_stage(self, roi_feats, stage: int):
         return self.mask_heads[stage](roi_feats)
 
+    def forward_mask_for_labels_stage(self, roi_feats, labels, stage: int):
+        return self.mask_heads[stage].logits_for_labels(roi_feats, labels)
+
     def forward_cls_only_stage(self, embedding, stage: int):
         return self.bbox_heads[stage].cls_only(embedding)
 
@@ -184,9 +187,10 @@ def cascade_loss(
             pos_gt = tgts.pos_gt_inds[:, :m].reshape(-1)
             pos_labels = tgts.labels[:, :m].reshape(-1)
             mfeats = mask_extractor(feats[:4], pos_rois5)
+            cls_idx = jnp.clip(pos_labels, 0, model.num_classes - 1)
             mask_pred = model.apply(
-                variables, mfeats, stage,
-                method=CascadeMaskRCNN.forward_mask_stage)
+                variables, mfeats, cls_idx, stage,
+                method=CascadeMaskRCNN.forward_mask_for_labels_stage)
             mt = mask_targets(pos_rois5, pos_gt, batch["gt_masks"],
                               cfg.mask_size)
             losses[f"s{stage}.loss_mask"] = sw * mask_head_loss(
@@ -266,14 +270,14 @@ def cascade_simple_test(
             [bidx[:, None], dets.reshape(-1, 4)], axis=1)
         mask_extractor = SingleRoIExtractor((14, 14))
         mfeats = mask_extractor(feats[:4], det_rois)
-        # average mask logits over stages (mmdet cascade test behaviour)
+        # average mask probs over stages (mmdet cascade test behaviour),
+        # computing only each detection's predicted-class channel
+        cls_idx = jnp.clip(labels.reshape(-1), 0, model.num_classes - 1)
         probs = 0.0
         for stage in range(model.num_stages):
-            mp = model.apply(variables, mfeats, stage,
-                             method=CascadeMaskRCNN.forward_mask_stage)
-            cls_idx = jnp.clip(labels.reshape(-1), 0, model.num_classes - 1)
-            sel = jnp.take_along_axis(
-                mp, cls_idx[:, None, None, None], axis=-1)[..., 0]
+            sel = model.apply(
+                variables, mfeats, cls_idx, stage,
+                method=CascadeMaskRCNN.forward_mask_for_labels_stage)
             probs = probs + jax.nn.sigmoid(sel.astype(jnp.float32))
         probs = probs / model.num_stages
         out["masks"] = probs.reshape(b, k, *probs.shape[1:])

@@ -82,6 +82,9 @@ class MaskRCNN(nn.Module):
     def forward_mask(self, roi_feats):
         return self.mask_head(roi_feats)
 
+    def forward_mask_for_labels(self, roi_feats, labels):
+        return self.mask_head.logits_for_labels(roi_feats, labels)
+
     def __call__(self, images: jnp.ndarray, train: bool = False):
         """Init/trace path touching every submodule."""
         feats = self.extract_feat(images, train=train)
@@ -229,8 +232,12 @@ def maskrcnn_loss(
 
         mask_extractor = SingleRoIExtractor((14, 14))
         mask_feats = mask_extractor(feats[:4], pos_rois5)
+        # per-label logits: avoids the (R, S, S, C) full-logit tensor
+        # whose backward scatter is multi-GB at LVIS scale
+        cls_idx = jnp.clip(pos_labels, 0, model.num_classes - 1)
         mask_pred = model.apply(
-            variables, mask_feats, method=MaskRCNN.forward_mask)
+            variables, mask_feats, cls_idx,
+            method=MaskRCNN.forward_mask_for_labels)
         mask_tgt = mask_targets(pos_rois5, pos_gt, batch["gt_masks"],
                                 cfg.mask_size)
         losses["loss_mask"] = mask_head_loss(
@@ -300,11 +307,10 @@ def maskrcnn_simple_test(
             [batch_idx2[:, None], dets.reshape(-1, 4)], axis=1)
         mask_extractor = SingleRoIExtractor((14, 14))
         mfeats = mask_extractor(feats[:4], det_rois)
-        mask_pred = model.apply(
-            variables, mfeats, method=MaskRCNN.forward_mask)  # (B*K,28,28,C)
         cls_idx = jnp.clip(labels.reshape(-1), 0, model.num_classes - 1)
-        sel = jnp.take_along_axis(
-            mask_pred, cls_idx[:, None, None, None], axis=-1)[..., 0]
+        # fast path: compute only the predicted class's mask channel
+        sel = model.apply(variables, mfeats, cls_idx,
+                          method=MaskRCNN.forward_mask_for_labels)
         probs = jax.nn.sigmoid(sel.astype(jnp.float32))
         out["masks"] = probs.reshape(b, k, *probs.shape[1:])
 

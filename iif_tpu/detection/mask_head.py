@@ -45,25 +45,58 @@ class FCNMaskHead(nn.Module):
     predictor: str = "conv"      # 'conv' | 'normed'
     temperature: float = 20.0
 
-    @nn.compact
+    def setup(self):
+        self.convs = [nn.Conv(
+            self.conv_out_channels, (3, 3), padding=1,
+            kernel_init=nn.initializers.variance_scaling(
+                2.0, "fan_out", "normal"),
+            name=f"conv{i}") for i in range(self.num_convs)]
+        self.upsample = nn.ConvTranspose(
+            self.conv_out_channels, (2, 2), strides=(2, 2), name="upsample")
+        if self.predictor == "normed":
+            self.conv_logits = NormedConv2d(
+                self.num_classes, temperature=self.temperature,
+                name="conv_logits")
+        else:
+            self.conv_logits = nn.Conv(
+                self.num_classes, (1, 1),
+                kernel_init=nn.initializers.normal(0.001),
+                name="conv_logits")
+
+    def features(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(R, 14, 14, C_in) -> pre-logit features (R, 28, 28, C)."""
+        for conv in self.convs:
+            x = nn.relu(conv(x))
+        return nn.relu(self.upsample(x))
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """(R, 14, 14, C_in) -> mask logits (R, 28, 28, num_classes)."""
-        for i in range(self.num_convs):
-            x = nn.relu(nn.Conv(
-                self.conv_out_channels, (3, 3), padding=1,
-                kernel_init=nn.initializers.variance_scaling(
-                    2.0, "fan_out", "normal"),
-                name=f"conv{i}")(x))
-        x = nn.relu(nn.ConvTranspose(
-            self.conv_out_channels, (2, 2), strides=(2, 2),
-            name="upsample")(x))
+        return self.conv_logits(self.features(x))
+
+    def logits_for_labels(self, x: jnp.ndarray, labels: jnp.ndarray
+                          ) -> jnp.ndarray:
+        """Inference fast path: compute ONLY each RoI's predicted-class
+        mask channel. At LVIS scale the full (R, 28, 28, 1203) logits are
+        ~1.1 GB and 72 GFLOPs of 1x1 conv; gathering the per-RoI class
+        filter first makes the final layer R x (28*28) x C dots."""
+        feats = self.features(x)                    # (R, S, S, C)
+        # both predictors expose a (.., C_in, num_classes) kernel
+        params = self.conv_logits.variables["params"]
+        kernel = params["kernel"]
+        if kernel.ndim == 4:          # plain 1x1 conv: (1, 1, C, num_cls)
+            kernel2d = kernel[0, 0]
+        else:                         # NormedConv2d: (C, num_cls)
+            kernel2d = kernel / (jnp.linalg.norm(
+                kernel, axis=0, keepdims=True) + 1e-12)
+        sel = kernel2d.T[labels]                    # (R, C)
         if self.predictor == "normed":
-            return NormedConv2d(self.num_classes,
-                                temperature=self.temperature,
-                                name="conv_logits")(x)
-        return nn.Conv(self.num_classes, (1, 1),
-                       kernel_init=nn.initializers.normal(0.001),
-                       name="conv_logits")(x)
+            feats = feats / (jnp.linalg.norm(
+                feats, axis=-1, keepdims=True) + 1e-12)
+            sel = sel * self.temperature
+        out = jnp.einsum("rhwc,rc->rhw", feats, sel.astype(feats.dtype))
+        if kernel.ndim == 4 and "bias" in params:
+            out = out + params["bias"][labels][:, None, None]
+        return out
 
 
 def mask_targets(
@@ -85,18 +118,23 @@ def mask_targets(
 
 
 def mask_head_loss(
-    mask_pred: jnp.ndarray,    # (R, S, S, C)
+    mask_pred: jnp.ndarray,    # (R, S, S) gt-class logits or (R, S, S, C)
     mask_tgt: jnp.ndarray,     # (R, S, S)
     labels: jnp.ndarray,       # (R,)
     pos_weight: jnp.ndarray,   # (R,) 1 for real positives
 ) -> jnp.ndarray:
     """Per-pixel BCE on the gt-class channel (``fcn_mask_head.py:148-178``),
-    averaged over positive RoIs."""
-    c = mask_pred.shape[-1]
-    cls = jnp.clip(labels, 0, c - 1)
-    pred = jnp.take_along_axis(
-        mask_pred, cls[:, None, None, None], axis=-1)[..., 0]
-    pred = pred.astype(jnp.float32)
+    averaged over positive RoIs.
+
+    Prefer passing the per-label logits from ``logits_for_labels`` — at
+    LVIS scale the (R, S, S, 1203) full-logit variant's take_along_axis
+    backward materializes a multi-GB scatter buffer."""
+    if mask_pred.ndim == 4:
+        c = mask_pred.shape[-1]
+        cls = jnp.clip(labels, 0, c - 1)
+        mask_pred = jnp.take_along_axis(
+            mask_pred, cls[:, None, None, None], axis=-1)[..., 0]
+    pred = mask_pred.astype(jnp.float32)
     bce = (jnp.maximum(pred, 0) - pred * mask_tgt
            + jnp.log1p(jnp.exp(-jnp.abs(pred))))
     per_roi = bce.mean(axis=(1, 2))

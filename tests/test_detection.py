@@ -228,3 +228,22 @@ def test_paste_masks_roundtrip():
     assert not out[0, 0, 0]        # outside
     area = out[0].sum()
     assert 30 * 30 < area < 34 * 34
+
+
+@pytest.mark.parametrize("predictor", ["conv", "normed"])
+def test_mask_logits_for_labels_matches_full(predictor):
+    from iif_tpu.detection.mask_head import FCNMaskHead
+
+    head = FCNMaskHead(num_classes=5, num_convs=1, conv_out_channels=8,
+                       predictor=predictor)
+    x = jnp.asarray(np.random.RandomState(0).randn(3, 14, 14, 8),
+                    jnp.float32)
+    variables = head.init(jax.random.PRNGKey(0), x)
+    labels = jnp.asarray([0, 2, 4])
+    full = head.apply(variables, x)
+    fast = head.apply(variables, x, labels,
+                      method=FCNMaskHead.logits_for_labels)
+    want = np.take_along_axis(
+        np.asarray(full), np.asarray(labels)[:, None, None, None],
+        axis=-1)[..., 0]
+    np.testing.assert_allclose(np.asarray(fast), want, atol=2e-5)
