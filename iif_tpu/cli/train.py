@@ -189,8 +189,10 @@ def main(args, qat=None):
     if d["kind"] == "cifar":
         mean, std = CIFAR10_MEAN, CIFAR10_STD
         use_policy = args.auto_augment == "cifar"
+        use_oneof = args.auto_augment == "oneof"
         train_aug = lambda k, x: cifar_train_augment(
-            k, x, mean, std, use_policy=use_policy)
+            k, x, mean, std, use_policy=use_policy, use_oneof=use_oneof,
+            random_erase=args.random_erase)
         eval_tf = lambda x: cifar_eval_transform(x, mean, std)
         sample_shape = (32, 32, 3)
     else:
@@ -201,7 +203,8 @@ def main(args, qat=None):
             mean, std = IMAGENET_MEAN, IMAGENET_STD
             hue = 0.0
         train_aug = lambda k, x: imagenet_train_augment(
-            k, x, mean, std, hue=hue, auto_augment=args.auto_augment)
+            k, x, mean, std, hue=hue, auto_augment=args.auto_augment,
+            random_erase=args.random_erase)
         eval_tf = lambda x: imagenet_eval_transform(x, mean, std)
         sample_shape = (224, 224, 3)
 

@@ -197,19 +197,31 @@ def random_grayscale(key: jax.Array, images: jnp.ndarray,
 # ------------------------------------------------------------ full pipelines
 def cifar_train_augment(key: jax.Array, images_u8: jnp.ndarray,
                         mean, std, use_policy: bool = False,
-                        cutout_len: int = 16) -> jnp.ndarray:
+                        cutout_len: int = 16, use_oneof: bool = False,
+                        random_erase: float = 0.0) -> jnp.ndarray:
     """RandomCrop(32,4) + HFlip [+ CIFAR policy + Cutout] + Normalize
-    (reference ``initialisers.py:120-133``)."""
-    k_crop, k_flip, k_pol, k_cut = jax.random.split(key, 4)
+    (reference ``initialisers.py:120-133``). ``use_oneof`` swaps in the
+    imgaug 10-branch pipeline (reference ``presets.py:46-103`` Augment,
+    which normalizes with CIFAR stats); ``random_erase`` appends
+    RandomErasing."""
+    k_crop, k_flip, k_pol, k_cut, k_re = jax.random.split(key, 5)
     x = to_float(images_u8)
-    x = random_crop(k_crop, x, padding=4)
-    x = random_hflip(k_flip, x)
-    if use_policy:
-        from iif_tpu.data.autoaugment import cifar10_policy_augment
+    if use_oneof:
+        from iif_tpu.data.branch_augment import one_of_augment
 
-        x = cifar10_policy_augment(k_pol, x)
-        x = cutout(k_cut, x, length=cutout_len)
-    return normalize(x, mean, std)
+        x = one_of_augment(k_pol, x)
+    else:
+        x = random_crop(k_crop, x, padding=4)
+        x = random_hflip(k_flip, x)
+        if use_policy:
+            from iif_tpu.data.autoaugment import cifar10_policy_augment
+
+            x = cifar10_policy_augment(k_pol, x)
+            x = cutout(k_cut, x, length=cutout_len)
+    x = normalize(x, mean, std)
+    if random_erase > 0:
+        x = random_erasing(k_re, x, prob=random_erase)
+    return x
 
 
 def cifar_eval_transform(images_u8: jnp.ndarray, mean, std) -> jnp.ndarray:
@@ -218,12 +230,15 @@ def cifar_eval_transform(images_u8: jnp.ndarray, mean, std) -> jnp.ndarray:
 
 def imagenet_train_augment(key: jax.Array, images_u8: jnp.ndarray, mean, std,
                            size: int = 224, hue: float = 0.0,
-                           auto_augment: str | None = None) -> jnp.ndarray:
+                           auto_augment: str | None = None,
+                           random_erase: float = 0.0) -> jnp.ndarray:
     """RandomResizedCrop(224) + HFlip + ColorJitter(0.4,0.4,0.4,hue) +
     Normalize (reference ``imbalanced_dataset.py:193-225``); hue=0.25 for
-    iNat18. ``auto_augment`` in {'imagenet','randaugment'} swaps ColorJitter
-    for a policy."""
-    k_rrc, k_flip, k_cj = jax.random.split(key, 3)
+    iNat18. ``auto_augment`` in {'imagenet','randaugment','oneof'} swaps
+    ColorJitter for a policy ('oneof' = the imgaug 10-branch pipeline);
+    ``random_erase`` > 0 adds RandomErasing after normalization (the
+    torchvision `--random-erase` recipe)."""
+    k_rrc, k_flip, k_cj, k_re = jax.random.split(key, 4)
     x = to_float(images_u8)
     x = random_resized_crop(k_rrc, x, size=size)
     x = random_hflip(k_flip, x)
@@ -235,9 +250,16 @@ def imagenet_train_augment(key: jax.Array, images_u8: jnp.ndarray, mean, std,
         from iif_tpu.data.autoaugment import imagenet_policy_augment
 
         x = imagenet_policy_augment(k_cj, x)
+    elif auto_augment == "oneof":
+        from iif_tpu.data.branch_augment import one_of_augment
+
+        x = one_of_augment(k_cj, x)
     else:
         x = color_jitter(k_cj, x, 0.4, 0.4, 0.4, hue)
-    return normalize(x, mean, std)
+    x = normalize(x, mean, std)
+    if random_erase > 0:
+        x = random_erasing(k_re, x, prob=random_erase)
+    return x
 
 
 def imagenet_eval_transform(images_u8: jnp.ndarray, mean, std,

@@ -49,14 +49,17 @@ class MaskRCNN(nn.Module):
     cls_predictor: str = "linear"     # 'linear' | 'normed' (cos-norm head)
     mask_predictor: str = "conv"      # 'conv' | 'normed'
     frozen_stages: int = 1            # reference config: frozen_stages=1
+    compute_dtype: object = None      # e.g. jnp.bfloat16 for backbone/FPN/RPN
 
     def setup(self):
         layers, block = _DEPTH_LAYERS[self.depth]
         self.backbone = ResNet(layers=layers, block=block,
                                frozen_stages=self.frozen_stages,
-                               name="backbone")
-        self.neck = FPN(out_channels=256, num_outs=5, name="neck")
-        self.rpn_head = RPNHead(num_anchors=3, name="rpn_head")
+                               dtype=self.compute_dtype, name="backbone")
+        self.neck = FPN(out_channels=256, num_outs=5,
+                        dtype=self.compute_dtype, name="neck")
+        self.rpn_head = RPNHead(num_anchors=3, dtype=self.compute_dtype,
+                                name="rpn_head")
         self.bbox_head = Shared2FCBBoxHead(
             self.num_classes, cls_predictor=self.cls_predictor,
             name="bbox_head")

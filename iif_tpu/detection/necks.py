@@ -20,13 +20,14 @@ class FPN(nn.Module):
     out_channels: int = 256
     num_outs: int = 5
     add_extra_convs: bool = False  # MaskRCNN uses maxpool extra level
+    dtype: object = None           # bf16 compute option (params fp32)
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
         n_in = len(inputs)
         laterals = [
             nn.Conv(self.out_channels, (1, 1), kernel_init=xavier_uniform,
-                    name=f"lateral_{i}")(x)
+                    dtype=self.dtype, name=f"lateral_{i}")(x)
             for i, x in enumerate(inputs)
         ]
         # top-down: upsample by 2 (nearest) and add
@@ -38,7 +39,8 @@ class FPN(nn.Module):
             laterals[i - 1] = laterals[i - 1] + up
         outs = [
             nn.Conv(self.out_channels, (3, 3), padding=1,
-                    kernel_init=xavier_uniform, name=f"fpn_conv_{i}")(l)
+                    kernel_init=xavier_uniform, dtype=self.dtype,
+                    name=f"fpn_conv_{i}")(l)
             for i, l in enumerate(laterals)
         ]
         # extra levels (P6 for RPN): stride-2 maxpool on the last output

@@ -33,12 +33,14 @@ normal_init = nn.initializers.normal(stddev=0.01)
 class RPNHead(nn.Module):
     feat_channels: int = 256
     num_anchors: int = 3
+    dtype: object = None
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]
                  ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
         conv = nn.Conv(self.feat_channels, (3, 3), padding=1,
-                       kernel_init=normal_init, name="rpn_conv")
+                       kernel_init=normal_init, dtype=self.dtype,
+                       name="rpn_conv")
         cls_conv = nn.Conv(self.num_anchors, (1, 1), kernel_init=normal_init,
                            name="rpn_cls")
         reg_conv = nn.Conv(self.num_anchors * 4, (1, 1),

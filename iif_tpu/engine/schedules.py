@@ -110,6 +110,29 @@ def classifier_mask(params, head_names=HEAD_NAMES):
     return jax.tree_util.tree_unflatten(treedef, mask_flat)
 
 
+def places_finetune_mask(params, head_names=HEAD_NAMES):
+    """Places-LT finetune (reference ``train.py:148-165`` finetune_places):
+    trainable = classifier head + the LAST block of stage 4."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    # find the highest block index in layer4
+    last_idx = -1
+    for path, _ in flat:
+        k = str(getattr(path[0], "key", ""))
+        if k.startswith("layer4_"):
+            last_idx = max(last_idx, int(k.split("_")[1]))
+    last_name = f"layer4_{last_idx}"
+
+    def _trainable(path):
+        keys = [str(getattr(k, "key", "")) for k in path]
+        return any(k in head_names for k in keys) or last_name in keys
+
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(
+        treedef, [_trainable(p) for p, _ in flat])
+
+
 def reinit_classifier_head(params, seed: int = 0, head_names=HEAD_NAMES):
     """Re-initialize the classifier head for decoupled retraining
     (reference ``train.py:123-145``: xavier-uniform weight, bias 0.01)."""

@@ -32,6 +32,7 @@ class BasicBlockV1(nn.Module):
     stride: int = 1
     downsample: bool = False
     use_se: bool = False
+    dtype: object = None
 
     expansion = 1
 
@@ -39,11 +40,13 @@ class BasicBlockV1(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         identity = x
         out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
-                      use_bias=False, kernel_init=conv_init, name="conv1")(x)
+                      use_bias=False, kernel_init=conv_init,
+                      dtype=self.dtype, name="conv1")(x)
         out = BatchNorm(use_running_average=not train, name="bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
-                      kernel_init=conv_init, name="conv2")(out)
+                      kernel_init=conv_init, dtype=self.dtype,
+                      name="conv2")(out)
         out = BatchNorm(use_running_average=not train,
                         scale_init=nn.initializers.zeros, name="bn2")(out)
         if self.use_se:
@@ -51,7 +54,7 @@ class BasicBlockV1(nn.Module):
         if self.downsample:
             identity = nn.Conv(self.planes, (1, 1), strides=self.stride,
                                use_bias=False, kernel_init=conv_init,
-                               name="downsample_conv")(x)
+                               dtype=self.dtype, name="downsample_conv")(x)
             identity = BatchNorm(use_running_average=not train,
                                  name="downsample_bn")(identity)
         return nn.relu(out + identity)
@@ -66,6 +69,7 @@ class Bottleneck(nn.Module):
     groups: int = 1
     base_width: int = 64
     use_se: bool = False
+    dtype: object = None
 
     expansion = 4
 
@@ -74,16 +78,18 @@ class Bottleneck(nn.Module):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         identity = x
         out = nn.Conv(width, (1, 1), use_bias=False, kernel_init=conv_init,
-                      name="conv1")(x)
+                      dtype=self.dtype, name="conv1")(x)
         out = BatchNorm(use_running_average=not train, name="bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(width, (3, 3), strides=self.stride, padding=1,
                       feature_group_count=self.groups, use_bias=False,
-                      kernel_init=conv_init, name="conv2")(out)
+                      kernel_init=conv_init, dtype=self.dtype,
+                      name="conv2")(out)
         out = BatchNorm(use_running_average=not train, name="bn2")(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
-                      kernel_init=conv_init, name="conv3")(out)
+                      kernel_init=conv_init, dtype=self.dtype,
+                      name="conv3")(out)
         # zero-init last BN gamma (zero_init_residual, Goyal et al.)
         out = BatchNorm(use_running_average=not train,
                         scale_init=nn.initializers.zeros, name="bn3")(out)
@@ -92,14 +98,19 @@ class Bottleneck(nn.Module):
         if self.downsample:
             identity = nn.Conv(self.planes * self.expansion, (1, 1),
                                strides=self.stride, use_bias=False,
-                               kernel_init=conv_init, name="downsample_conv")(x)
+                               kernel_init=conv_init, dtype=self.dtype,
+                               name="downsample_conv")(x)
             identity = BatchNorm(use_running_average=not train,
                                  name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
 
 class ResNet(nn.Module):
-    """ResNet v1.5 trunk + classifier head (or multi-scale features)."""
+    """ResNet v1.5 trunk + classifier head (or multi-scale features).
+
+    ``dtype``: computation dtype for convs (params stay fp32; BN stats
+    accumulate fp32) — bf16 is the TPU-native mixed precision replacing
+    the reference's apex AMP."""
 
     layers: Sequence[int] = (3, 4, 6, 3)
     block: str = "bottleneck"  # 'basic' | 'bottleneck'
@@ -111,6 +122,7 @@ class ResNet(nn.Module):
     # Detection-backbone knobs (reference mmdet ResNet: frozen_stages=1,
     # norm_eval=True in every IIF config).
     frozen_stages: int = -1
+    dtype: object = None
 
     def stage_widths(self) -> List[int]:
         return [64, 128, 256, 512]
@@ -127,10 +139,13 @@ class ResNet(nn.Module):
         return_features: bool = False,
     ) -> Union[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
         block_cls = Bottleneck if self.block == "bottleneck" else BasicBlockV1
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         # Stem: 7x7/2 + maxpool 3x3/2.
         stem_train = train and self.frozen_stages < 0
         out = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                      kernel_init=conv_init, name="conv1")(x)
+                      kernel_init=conv_init, dtype=self.dtype,
+                      name="conv1")(x)
         out = BatchNorm(use_running_average=not stem_train, name="bn1")(out)
         out = nn.relu(out)
         out = nn.max_pool(out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -148,11 +163,13 @@ class ResNet(nn.Module):
                     blk = Bottleneck(
                         planes, stride if first else 1, downsample,
                         groups=self.groups, base_width=self.width_per_group,
-                        use_se=self.use_se, name=f"layer{stage}_{i}")
+                        use_se=self.use_se, dtype=self.dtype,
+                        name=f"layer{stage}_{i}")
                 else:
                     blk = BasicBlockV1(
                         planes, stride if first else 1, downsample,
-                        use_se=self.use_se, name=f"layer{stage}_{i}")
+                        use_se=self.use_se, dtype=self.dtype,
+                        name=f"layer{stage}_{i}")
                 out = blk(out, stage_train)
             feats.append(out)
 

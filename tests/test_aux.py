@@ -104,3 +104,24 @@ def test_checkpoint_averaging():
     avg = average_checkpoints([t1, t2])
     np.testing.assert_allclose(avg["w"], 2.0)
     assert avg["step"] == 1  # non-float leaves keep the first value
+
+
+def test_places_finetune_mask():
+    import jax
+    import jax.numpy as jnp
+
+    from iif_tpu.engine.schedules import places_finetune_mask
+    from iif_tpu.models import resnet18
+
+    model = resnet18(num_classes=5)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    mask = places_finetune_mask(v["params"])
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    trainable = {tuple(str(getattr(k, "key", "")) for k in p)
+                 for p, m in flat if m}
+    # head + last block of layer4 only
+    assert any("linear" in t for t in trainable)
+    assert any("layer4_1" in t for t in trainable)
+    assert not any("layer4_0" in t for t in trainable)
+    assert not any("layer1_0" in t for t in trainable)
