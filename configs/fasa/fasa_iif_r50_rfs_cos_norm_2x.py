@@ -18,3 +18,4 @@ fasa_cfg = dict(decay_ratio=0.1, loss_aug_weight=0.1, dynamic_up=1.1,
 lr_config = dict(milestones=[16, 22])
 runner = dict(type="EpochBasedDynamicRunner", max_epochs=24)
 test_cfg = dict(score_thr=1e-4, max_per_img=300)
+optimizer_config = dict(grad_clip=dict(max_norm=35, norm_type=2))

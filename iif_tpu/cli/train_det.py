@@ -125,9 +125,12 @@ def main():
     schedule = build_lr_schedule(
         ocfg["lr"], steps_per_epoch, max_epochs,
         milestones=lcfg.get("milestones", []), lr_gamma=lcfg.get("gamma", 0.1))
+    grad_clip = cfg.get("optimizer_config", {}).get(
+        "grad_clip", {}) or {}
     tx = build_optimizer(ocfg.get("type", "sgd"), schedule,
                          ocfg.get("momentum", 0.9),
-                         ocfg.get("weight_decay", 1e-4))
+                         ocfg.get("weight_decay", 1e-4),
+                         grad_clip=grad_clip.get("max_norm"))
 
     fasa_cfg = cfg.get("fasa_cfg")
     fasa_state = None
@@ -156,7 +159,8 @@ def main():
         tx = build_optimizer(ocfg.get("type", "sgd"), schedule,
                              ocfg.get("momentum", 0.9),
                              ocfg.get("weight_decay", 1e-4),
-                             trainable_mask=mask)
+                             trainable_mask=mask,
+                             grad_clip=grad_clip.get("max_norm"))
         trainer.tx = tx
         state = state.replace(opt_state=tx.init(state.params))
 
@@ -189,7 +193,9 @@ def main():
             print_freq=cfg.get("log_config", {}).get("interval", 50))
         if dynamic and state.fasa is not None:
             state = trainer.fasa_val_epoch(state, _capped(loader, 50))
-        if is_main_process():
+        ckpt_interval = cfg.get("checkpoint_config", {}).get("interval", 1)
+        if is_main_process() and (
+                (epoch + 1) % ckpt_interval == 0 or epoch == max_epochs - 1):
             mngr.save(epoch, {"state": jax.device_get(state),
                               "epoch": epoch})
         # EvalHook equivalent (reference core/evaluation/eval_hooks.py)

@@ -66,9 +66,12 @@ class DetectionTrainer:
         self.train_cfg = train_cfg
         self.fasa_cfg = fasa_cfg
         self.base_rng = jax.random.PRNGKey(seed)
+        # NOTE: the only epoch-dependent behaviour is the FASA aug gate
+        # (active from epoch >= 1); a static boolean keeps it to at most
+        # two compiled variants instead of a recompile per epoch.
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0,),
-                                   static_argnames=("epoch",))
+                                   static_argnames=("fasa_aug_on",))
 
     def init_state(self, sample_shape, fasa_state: Optional[FasaState] = None,
                    seed: int = 0) -> DetTrainState:
@@ -84,7 +87,8 @@ class DetectionTrainer:
             replicated(self.mesh))
 
     def _train_step_impl(self, state: DetTrainState,
-                         batch: Dict[str, jnp.ndarray], *, epoch: int
+                         batch: Dict[str, jnp.ndarray], *,
+                         fasa_aug_on: bool = False
                          ) -> Tuple[DetTrainState, Dict[str, jnp.ndarray]]:
         key = jax.random.fold_in(self.base_rng, state.step)
 
@@ -93,7 +97,8 @@ class DetectionTrainer:
                 self.model,
                 {"params": params, "batch_stats": state.batch_stats},
                 batch, key, self.loss_cls, self.train_cfg,
-                fasa_state=state.fasa, fasa_cfg=self.fasa_cfg, epoch=epoch)
+                fasa_state=state.fasa, fasa_cfg=self.fasa_cfg,
+                epoch=1 if fasa_aug_on else 0)
             return total, (losses, aux)
 
         (total, (losses, aux)), grads = jax.value_and_grad(
@@ -121,7 +126,9 @@ class DetectionTrainer:
                     if k in ("image", "gt_boxes", "gt_labels", "gt_valid",
                              "gt_masks")}
             gbatch = shard_batch(feed, self.mesh)
-            state, metrics = self._train_step(state, gbatch, epoch=epoch)
+            state, metrics = self._train_step(
+                state, gbatch, fasa_aug_on=(state.fasa is not None
+                                            and epoch >= 1))
             logger.update(**{k: float(v) for k, v in
                              jax.device_get(metrics).items()})
         return state, logger

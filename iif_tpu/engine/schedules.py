@@ -58,15 +58,20 @@ def build_optimizer(
     momentum: float = 0.9,
     weight_decay: float = 1e-4,
     trainable_mask=None,
+    grad_clip: Optional[float] = None,
 ) -> optax.GradientTransformation:
     """torch-style coupled weight decay + SGD momentum (buf = m*buf + g;
-    update = -lr*buf == torch SGD dampening=0)."""
+    update = -lr*buf == torch SGD dampening=0). ``grad_clip`` = global-norm
+    clipping (the reference's mmcv ``optimizer_config.grad_clip``, used by
+    the LVIS/FASA configs with max_norm=35)."""
     opt_name = opt_name.lower()
     chain = []
     if trainable_mask is not None:
         # decoupled training (`--decoup`): zero grads of frozen params
         chain.append(optax.masked(optax.set_to_zero(),
                                   lambda p: _invert_mask(trainable_mask, p)))
+    if grad_clip:
+        chain.append(optax.clip_by_global_norm(grad_clip))
     if weight_decay:
         chain.append(optax.add_decayed_weights(weight_decay))
     if opt_name == "sgd":

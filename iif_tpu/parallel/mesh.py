@@ -96,6 +96,30 @@ def local_batch_slice(global_batch: int) -> Tuple[int, int]:
     return start, per
 
 
+def shard_pytree_by_rules(tree: Any, mesh: Mesh, rules) -> Any:
+    """Tensor-parallel parameter placement: device_put each leaf with the
+    first matching rule's PartitionSpec (replicated otherwise).
+
+    ``rules``: list of (path_suffix, PartitionSpec) where path_suffix is a
+    tuple of trailing key names, e.g. (("linear", "kernel"),
+    P(None, "model")) shards the classifier's output dim over the model
+    axis — XLA inserts the psum for the logits automatically.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    treedef = jax.tree_util.tree_structure(tree)
+
+    def _spec(path):
+        keys = tuple(str(getattr(k, "key", k)) for k in path)
+        for suffix, spec in rules:
+            if keys[-len(suffix):] == tuple(suffix):
+                return spec
+        return P()
+
+    leaves = [jax.device_put(leaf, NamedSharding(mesh, _spec(path)))
+              for path, leaf in flat]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def process_index() -> int:
     return jax.process_index()
 

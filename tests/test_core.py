@@ -114,3 +114,21 @@ def test_calibration_binning():
     conf = np.full(n, 0.7)
     cal = compute_calibration(true, pred, conf, num_bins=10)
     assert cal["expected_calibration_error"] < 0.05
+
+
+def test_shard_pytree_by_rules(mesh):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from iif_tpu.parallel.mesh import shard_pytree_by_rules
+
+    tree = {"backbone": {"conv": {"kernel": jnp.ones((3, 3, 4, 8))}},
+            "linear": {"kernel": jnp.ones((64, 8)),
+                       "bias": jnp.zeros(8)}}
+    rules = [(("linear", "kernel"), P(None, "model")),
+             (("linear", "bias"), P("model"))]
+    out = shard_pytree_by_rules(tree, mesh, rules)
+    assert out["backbone"]["conv"]["kernel"].sharding.spec == P()
+    assert out["linear"]["kernel"].sharding.spec == P(None, "model")
+    assert out["linear"]["bias"].sharding.spec == P("model")
