@@ -84,8 +84,11 @@ def _evaluate_img_cat(dts: List[dict], gts: List[dict], iou_type: str,
 
     if iou_type == "segm":
         iscrowd = [bool(g.get("iscrowd", 0)) for g in gts]
-        ious = rle_iou([d["segmentation"] for d in dts],
-                       [g["segmentation"] for g in gts], iscrowd)
+        # native run-intersection IoU (O(runs), no decode) when available
+        from iif_tpu.native import rle_iou_native
+
+        ious = rle_iou_native([d["segmentation"] for d in dts],
+                              [g["segmentation"] for g in gts], iscrowd)
     else:
         iscrowd = np.array([bool(g.get("iscrowd", 0)) for g in gts])
         ious = _box_iou_xywh(
