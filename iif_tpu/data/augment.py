@@ -262,6 +262,24 @@ def imagenet_train_augment(key: jax.Array, images_u8: jnp.ndarray, mean, std,
     return x
 
 
+def simple_augment_views(key: jax.Array, images_u8: jnp.ndarray, mean, std,
+                         num_views: int = 2) -> jnp.ndarray:
+    """SimpleAugment (reference ``presets.py:124-156``): an anchor view +
+    N stochastic views (grayscale-prob + crop + flip) per image.
+    Returns (V+1, B, H, W, C) — view 0 is the anchor."""
+    x = to_float(images_u8)
+    k_anchor, *k_views = jax.random.split(key, num_views + 1)
+    ka1, ka2, ka3 = jax.random.split(k_anchor, 3)
+    anchor = normalize(random_hflip(
+        ka3, random_crop(ka2, random_grayscale(ka1, x), 4)), mean, std)
+    views = [anchor]
+    for kv in k_views:
+        kv1, kv2, kv3 = jax.random.split(kv, 3)
+        views.append(normalize(random_hflip(
+            kv3, random_crop(kv2, random_grayscale(kv1, x), 4)), mean, std))
+    return jnp.stack(views)
+
+
 def imagenet_eval_transform(images_u8: jnp.ndarray, mean, std,
                             size: int = 224, resize_to: int = 256) -> jnp.ndarray:
     """Resize(256) + CenterCrop(224) + Normalize. Assumes host already

@@ -38,6 +38,9 @@ class Shared2FCBBoxHead(nn.Module):
     cls_predictor: str = "linear"      # 'linear' | 'normed'
     cls_temperature: float = 8.0       # NormedLinear temperature
 
+    # static IIF multipliers for the 'iif_normed' predictor
+    iif_weights: tuple = ()
+
     def setup(self):
         self.shared_fc1 = nn.Dense(self.fc_out_channels, name="shared_fc1")
         self.shared_fc2 = nn.Dense(self.fc_out_channels, name="shared_fc2")
@@ -45,6 +48,12 @@ class Shared2FCBBoxHead(nn.Module):
             self.fc_cls = NormedLinear(self.num_classes + 1,
                                        temperature=self.cls_temperature,
                                        name="fc_cls")
+        elif self.cls_predictor == "iif_normed":
+            from iif_tpu.models.layers import IIFNormedLinear
+
+            self.fc_cls = IIFNormedLinear(
+                self.num_classes + 1, iif_weights=tuple(self.iif_weights),
+                temperature=self.cls_temperature, name="fc_cls")
         else:
             self.fc_cls = nn.Dense(
                 self.num_classes + 1,

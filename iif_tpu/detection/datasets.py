@@ -135,6 +135,49 @@ class LVISV1Dataset(CocoStyleDataset):
         super().__init__(ann_file, img_prefix, lvis_style=True, **kw)
 
 
+class ConcatDataset:
+    """``mmdet.datasets.dataset_wrappers.ConcatDataset`` equivalent: chain
+    several CocoStyle datasets (shared class set)."""
+
+    def __init__(self, datasets: Sequence[CocoStyleDataset]):
+        self.datasets = list(datasets)
+        self.CLASSES = self.datasets[0].CLASSES
+        self.cat_ids = self.datasets[0].cat_ids
+        self.cat2label = self.datasets[0].cat2label
+        self.lvis_style = getattr(self.datasets[0], "lvis_style", False)
+        self.cat_image_counts = self.datasets[0].cat_image_counts
+        self._lens = np.array([len(d) for d in self.datasets])
+        self._cum = np.concatenate([[0], np.cumsum(self._lens)])
+        self.img_infos = [r for d in self.datasets for r in d.img_infos]
+        self.flag = np.concatenate([d.flag for d in self.datasets]) \
+            if all(len(d.flag) for d in self.datasets) else np.array([])
+
+    def __len__(self) -> int:
+        return int(self._lens.sum())
+
+    def _locate(self, idx: int):
+        di = int(np.searchsorted(self._cum, idx, side="right") - 1)
+        return self.datasets[di], idx - int(self._cum[di])
+
+    def get_ann(self, idx: int) -> Dict:
+        d, i = self._locate(idx)
+        return d.get_ann(i)
+
+    def image_path(self, idx: int) -> str:
+        d, i = self._locate(idx)
+        return d.image_path(i)
+
+    def class_image_counts(self) -> np.ndarray:
+        return sum(d.class_image_counts() for d in self.datasets)
+
+
+class RepeatDataset(ConcatDataset):
+    """``RepeatDataset`` equivalent: the same dataset ``times`` times."""
+
+    def __init__(self, dataset: CocoStyleDataset, times: int):
+        super().__init__([dataset] * times)
+
+
 def repeat_factors(dataset: CocoStyleDataset, oversample_thr: float
                    ) -> np.ndarray:
     """LVIS repeat-factor sampling (``ClassBalancedDataset``,

@@ -133,7 +133,7 @@ class DetectionLoader:
 
     def __init__(self, dataset: CocoStyleDataset, pipeline: DetectionPipeline,
                  batch_size: int, oversample_thr: float = 0.0,
-                 seed: int = 0, train: bool = True):
+                 seed: int = 0, train: bool = True, num_workers: int = 8):
         from iif_tpu.detection.datasets import (expand_indices_by_repeat,
                                                 group_epoch_order,
                                                 repeat_factors)
@@ -144,6 +144,9 @@ class DetectionLoader:
         self.seed = seed
         self.train = train
         self.epoch = 0
+        # host-parallel decode+pipeline (the reference's DataLoader
+        # num_workers; threads suffice — cv2 releases the GIL)
+        self.num_workers = num_workers
         if train and oversample_thr > 0:
             self.base_indices = expand_indices_by_repeat(
                 repeat_factors(dataset, oversample_thr))
@@ -176,16 +179,25 @@ class DetectionLoader:
             order = self.base_indices[order]
         else:
             order = self.base_indices
-        rng = np.random.RandomState(self.seed + self.epoch)
-        for b0 in range(0, len(order) - self.batch_size + 1, self.batch_size):
-            idxs = order[b0:b0 + self.batch_size]
-            samples = []
-            for i in idxs:
-                img = self._load_image(int(i))
-                ann = self.dataset.get_ann(int(i))
-                samples.append(self.pipeline(img, ann, rng, self.train))
-            batch = {k: np.stack([s[k] for s in samples])
-                     for k in samples[0]}
-            batch["image_ids"] = np.array(
-                [self.dataset.img_infos[int(i)]["id"] for i in idxs])
-            yield batch
+        from concurrent.futures import ThreadPoolExecutor
+
+        base_rng = np.random.RandomState(self.seed + self.epoch)
+
+        def _one(args):
+            i, sample_seed = args
+            img = self._load_image(int(i))
+            ann = self.dataset.get_ann(int(i))
+            return self.pipeline(img, ann, np.random.RandomState(sample_seed),
+                                 self.train)
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            for b0 in range(0, len(order) - self.batch_size + 1,
+                            self.batch_size):
+                idxs = order[b0:b0 + self.batch_size]
+                seeds = base_rng.randint(0, 2 ** 31, size=len(idxs))
+                samples = list(pool.map(_one, zip(idxs, seeds)))
+                batch = {k: np.stack([s[k] for s in samples])
+                         for k in samples[0]}
+                batch["image_ids"] = np.array(
+                    [self.dataset.img_infos[int(i)]["id"] for i in idxs])
+                yield batch

@@ -43,6 +43,32 @@ class NormedLinear(nn.Module):
         return self.temperature * (x @ w.astype(x.dtype))
 
 
+class IIFNormedLinear(nn.Module):
+    """Cosine classifier whose weights are PRE-multiplied by the IIF vector
+    before normalization (reference ``normed_predictor.py:43-76``
+    ``IIFNormedLinear``): ``normalize(x) @ normalize(W * iif, axis=0) * t``.
+    ``iif_weights`` has C(+1) entries matching the output dim."""
+
+    features: int
+    iif_weights: tuple = ()          # static per-class multipliers
+    temperature: float = 8.0
+    eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param(
+            "kernel",
+            nn.initializers.uniform(scale=2.0),
+            (x.shape[-1], self.features),
+            jnp.float32,
+        ) - 1.0
+        iif = jnp.asarray(self.iif_weights, jnp.float32)
+        w = w * iif[None, :]
+        w = w / (jnp.linalg.norm(w, axis=0, keepdims=True) + self.eps)
+        x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + self.eps)
+        return self.temperature * (x @ w.astype(x.dtype))
+
+
 class CosNormClassifier(nn.Module):
     """Scaled cosine classifier with ``‖x‖/(1+‖x‖)`` feature squashing.
 

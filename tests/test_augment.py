@@ -94,3 +94,12 @@ def test_random_erasing():
     x = A.to_float(_imgs(b=4))
     out = A.random_erasing(jax.random.PRNGKey(0), x, prob=1.0)
     assert not np.allclose(np.asarray(out), np.asarray(x))
+
+
+def test_simple_augment_views():
+    x = _imgs(b=3)
+    out = A.simple_augment_views(jax.random.PRNGKey(0), x,
+                                 (0.5, 0.5, 0.5), (0.5, 0.5, 0.5),
+                                 num_views=2)
+    assert out.shape == (3, 3, 32, 32, 3)
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))

@@ -247,3 +247,17 @@ def test_mask_logits_for_labels_matches_full(predictor):
         np.asarray(full), np.asarray(labels)[:, None, None, None],
         axis=-1)[..., 0]
     np.testing.assert_allclose(np.asarray(fast), want, atol=2e-5)
+
+
+def test_iif_normed_predictor_head():
+    from iif_tpu.detection.bbox_head import Shared2FCBBoxHead
+
+    iif_w = tuple(float(x) for x in np.linspace(1.0, 3.0, NUM_CLASSES + 1))
+    head = Shared2FCBBoxHead(NUM_CLASSES, cls_predictor="iif_normed",
+                             iif_weights=iif_w)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 7, 7, 16), jnp.float32)
+    v = head.init(jax.random.PRNGKey(0), x)
+    cls_score, bbox_pred, emb = head.apply(v, x)
+    assert cls_score.shape == (2, NUM_CLASSES + 1)
+    # cosine head with temperature 8: |scores| <= 8
+    assert np.abs(np.asarray(cls_score)).max() <= 8.0 + 1e-4

@@ -223,3 +223,18 @@ def test_detections_to_coco_results():
     assert out[0]["image_id"] == 42
     assert out[0]["category_id"] == 9
     assert out[0]["bbox"] == [0, 0, 10, 20]
+
+
+def test_concat_and_repeat_wrappers(tmp_path):
+    from iif_tpu.detection.datasets import ConcatDataset, RepeatDataset
+
+    ds = CocoStyleDataset(_toy_coco(tmp_path))
+    cat = ConcatDataset([ds, ds])
+    assert len(cat) == 2 * len(ds)
+    np.testing.assert_allclose(cat.get_ann(len(ds))["boxes"],
+                               ds.get_ann(0)["boxes"])
+    assert cat.image_path(len(ds) + 1) == ds.image_path(1)
+    rep = RepeatDataset(ds, 3)
+    assert len(rep) == 3 * len(ds)
+    assert rep.class_image_counts().tolist() == \
+        (3 * ds.class_image_counts()).tolist()
