@@ -110,6 +110,14 @@ def main():
     # ----------------------------------------------------------------- model
     mtype = cfg.model.get("type", "MaskRCNN")
     model_kw = {k: v for k, v in cfg.model.items() if k != "type"}
+    if model_kw.get("cls_predictor") == "iif_normed":
+        # thread the dataset-derived IIF vector into the head (the
+        # reference pre-multiplies fc_cls weights by IIF,
+        # normed_predictor.py IIFNormedLinear)
+        import numpy as _np
+
+        model_kw["iif_weights"] = tuple(
+            float(x) for x in _np.asarray(loss_cls.weights))
     if mtype == "CascadeMaskRCNN":
         from iif_tpu.detection.cascade import CascadeMaskRCNN
 

@@ -44,6 +44,7 @@ class CascadeMaskRCNN(nn.Module):
     cls_predictor: str = "linear"
     mask_predictor: str = "conv"
     frozen_stages: int = 1
+    iif_weights: tuple = ()
 
     def setup(self):
         layers, block = _DEPTH_LAYERS[self.depth]
@@ -55,6 +56,7 @@ class CascadeMaskRCNN(nn.Module):
         self.bbox_heads = [
             Shared2FCBBoxHead(self.num_classes, reg_class_agnostic=True,
                               cls_predictor=self.cls_predictor,
+                              iif_weights=self.iif_weights,
                               name=f"bbox_head_{i}")
             for i in range(self.num_stages)]
         if self.with_mask:
