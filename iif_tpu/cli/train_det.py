@@ -93,7 +93,8 @@ def main():
         canvas=tuple(pcfg.get("canvas", (800, 1344))),
         scales=[tuple(s) for s in pcfg.get("scales", [(1333, 800)])],
         flip_prob=pcfg.get("flip_prob", 0.5),
-        max_gt=pcfg.get("max_gt", 100))
+        max_gt=pcfg.get("max_gt", 100),
+        mask_stride=pcfg.get("mask_stride", 1))
     loader = DetectionLoader(
         train_ds, pipeline, batch_size=dcfg.get("samples_per_gpu", 4)
         * mesh.devices.size,
@@ -125,7 +126,9 @@ def main():
     else:
         model = MaskRCNN(**model_kw)
 
-    train_cfg = DetTrainCfg(**cfg.get("train_cfg", {}))
+    tc = dict(cfg.get("train_cfg", {}))
+    tc.setdefault("mask_gt_stride", pcfg.get("mask_stride", 1))
+    train_cfg = DetTrainCfg(**tc)
     ocfg = cfg.optimizer
     steps_per_epoch = max(len(loader), 1)
     max_epochs = cfg.runner["max_epochs"]

@@ -194,7 +194,7 @@ def cascade_loss(
                 variables, mfeats, cls_idx, stage,
                 method=CascadeMaskRCNN.forward_mask_for_labels_stage)
             mt = mask_targets(pos_rois5, pos_gt, batch["gt_masks"],
-                              cfg.mask_size)
+                              cfg.mask_size, gt_stride=cfg.mask_gt_stride)
             losses[f"s{stage}.loss_mask"] = sw * mask_head_loss(
                 mask_pred, mt, pos_labels, pos_w)
 

@@ -113,6 +113,7 @@ class DetTrainCfg(NamedTuple):
     rcnn_pos_fraction: float = 0.25
     mask_size: int = 28
     num_mask_rois: int = 128         # = rcnn_num_samples * pos_fraction
+    mask_gt_stride: int = 1          # gt masks stored at 1/s canvas res
 
 
 class DetTestCfg(NamedTuple):
@@ -243,7 +244,7 @@ def maskrcnn_loss(
             variables, mask_feats, cls_idx,
             method=MaskRCNN.forward_mask_for_labels)
         mask_tgt = mask_targets(pos_rois5, pos_gt, batch["gt_masks"],
-                                cfg.mask_size)
+                                cfg.mask_size, gt_stride=cfg.mask_gt_stride)
         losses["loss_mask"] = mask_head_loss(
             mask_pred, mask_tgt, pos_labels, pos_w)
 

@@ -102,17 +102,24 @@ class FCNMaskHead(nn.Module):
 def mask_targets(
     pos_rois: jnp.ndarray,     # (R, 5) batch-indexed rois (positives)
     pos_gt_inds: jnp.ndarray,  # (R,) matched gt index within image
-    gt_masks: jnp.ndarray,     # (B, G, H, W) binary
+    gt_masks: jnp.ndarray,     # (B, G, H/s, W/s) binary
     mask_size: int = 28,
+    gt_stride: int = 1,
 ) -> jnp.ndarray:
     """Crop each positive RoI's matched GT mask to mask_size^2 via the same
-    RoIAlign kernel (``mask_target.py:7-127``). Returns (R, S, S)."""
+    RoIAlign kernel (``mask_target.py:7-127``). Returns (R, S, S).
+
+    ``gt_stride``: the masks may be stored at 1/s canvas resolution (the
+    pipeline's ``mask_stride``) — crops then sample with spatial_scale 1/s,
+    cutting GT-mask HBM footprint by s^2 at a sub-cell accuracy cost.
+    """
     b, g, h, w = gt_masks.shape
     flat = gt_masks.reshape(b * g, h, w, 1).astype(jnp.float32)
     flat_idx = pos_rois[:, 0].astype(jnp.int32) * g + pos_gt_inds
     rois = jnp.concatenate(
         [flat_idx[:, None].astype(pos_rois.dtype), pos_rois[:, 1:]], axis=1)
-    crops = roi_align(flat, rois, (mask_size, mask_size), spatial_scale=1.0,
+    crops = roi_align(flat, rois, (mask_size, mask_size),
+                      spatial_scale=1.0 / gt_stride,
                       sampling_ratio=0, aligned=True)
     return (crops[..., 0] >= 0.5).astype(jnp.float32)
 

@@ -261,3 +261,18 @@ def test_iif_normed_predictor_head():
     assert cls_score.shape == (2, NUM_CLASSES + 1)
     # cosine head with temperature 8: |scores| <= 8
     assert np.abs(np.asarray(cls_score)).max() <= 8.0 + 1e-4
+
+
+def test_mask_targets_strided_matches_fullres():
+    """GT masks at 1/2 canvas resolution produce (near-)identical 28x28
+    targets for box-aligned masks."""
+    full = np.zeros((1, 1, 64, 64), np.uint8)
+    full[0, 0, 16:48, 8:40] = 1
+    strided = full[:, :, ::2, ::2]
+    rois = jnp.asarray([[0, 8, 16, 40, 48]], jnp.float32)
+    a = mask_targets(rois, jnp.asarray([0]), jnp.asarray(full), 28,
+                     gt_stride=1)
+    b = mask_targets(rois, jnp.asarray([0]), jnp.asarray(strided), 28,
+                     gt_stride=2)
+    agree = (np.asarray(a) == np.asarray(b)).mean()
+    assert agree > 0.95, agree
