@@ -49,10 +49,16 @@ def build_loss_cls(cfg_loss: Dict[str, Any], dataset, num_classes: int):
         variant = cfg_loss.get("variant", "raw")
         if path:
             w = load_iif_csv(path, variant)
+        elif variant.endswith("_obj"):
+            counts = dataset.class_instance_counts()
+            w = compute_det_iif_from_counts(counts, int(counts.sum()),
+                                            variant)
         else:
+            # N = image corpus size (pre-filter), NOT sum of per-class
+            # image counts — idf_1204.csv semantics (N=100170 for LVIS v1)
             counts = dataset.class_image_counts()
-            w = compute_det_iif_from_counts(
-                counts, max(len(dataset), int(counts.sum())), variant)
+            total = getattr(dataset, "num_images_total", len(dataset))
+            w = compute_det_iif_from_counts(counts, total, variant)
         assert len(w) == num_classes + 1, (len(w), num_classes)
         return DetIIFLoss(weights=jnp.asarray(w))
     return DetCrossEntropyLoss(num_classes=num_classes)
@@ -146,12 +152,7 @@ def main():
     fasa_cfg = cfg.get("fasa_cfg")
     fasa_state = None
     if fasa_cfg is not None:
-        inst_counts = np.zeros(num_classes, np.int64)
-        for rec in train_ds.img_infos:
-            for a in rec["anns"]:
-                cid = a.get("category_id")
-                if cid in train_ds.cat2label:
-                    inst_counts[train_ds.cat2label[cid]] += 1
+        inst_counts = train_ds.class_instance_counts()
         fasa_state = init_fasa_state(
             np.maximum(inst_counts, 1), feat_dim=1024,
             instance_prob_power=fasa_cfg.get("instance_prob_power", 1.0),

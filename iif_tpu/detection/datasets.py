@@ -49,6 +49,11 @@ class CocoStyleDataset:
         for a in data.get("annotations", []):
             anns_by_img[a["image_id"]].append(a)
 
+        # image-corpus size BEFORE empty-gt filtering: the N of the
+        # detection IIF weights (idf_1204.csv encodes N=100170 = the full
+        # LVIS v1 train image list)
+        self.num_images_total = len(data["images"])
+
         self.img_infos: List[dict] = []
         for img in data["images"]:
             file_name = img.get("file_name")
@@ -125,6 +130,17 @@ class CocoStyleDataset:
                 counts[l] += 1
         return counts
 
+    def class_instance_counts(self) -> np.ndarray:
+        """Per-class instance counts from the annotations (drives the
+        ``*_obj`` IIF variants and FASA's initial sampling probs)."""
+        counts = np.zeros(len(self.CLASSES), np.int64)
+        for rec in self.img_infos:
+            for a in rec["anns"]:
+                cid = a.get("category_id")
+                if cid in self.cat2label and not a.get("iscrowd", 0):
+                    counts[self.cat2label[cid]] += 1
+        return counts
+
 
 DATASETS.register(name="CocoDataset", module=CocoStyleDataset)
 
@@ -146,6 +162,8 @@ class ConcatDataset:
         self.cat2label = self.datasets[0].cat2label
         self.lvis_style = getattr(self.datasets[0], "lvis_style", False)
         self.cat_image_counts = self.datasets[0].cat_image_counts
+        self.num_images_total = sum(
+            getattr(d, "num_images_total", len(d)) for d in self.datasets)
         self._lens = np.array([len(d) for d in self.datasets])
         self._cum = np.concatenate([[0], np.cumsum(self._lens)])
         self.img_infos = [r for d in self.datasets for r in d.img_infos]
@@ -169,6 +187,9 @@ class ConcatDataset:
 
     def class_image_counts(self) -> np.ndarray:
         return sum(d.class_image_counts() for d in self.datasets)
+
+    def class_instance_counts(self) -> np.ndarray:
+        return sum(d.class_instance_counts() for d in self.datasets)
 
 
 class RepeatDataset(ConcatDataset):

@@ -43,19 +43,56 @@ def load_iif_csv(path: str, variant: str = "raw") -> np.ndarray:
     return np.asarray(weights, dtype=np.float32)
 
 
-def compute_det_iif_from_counts(image_counts: Sequence[int],
+DET_IIF_VARIANTS = ("raw", "smooth", "prob", "normit", "gombit",
+                    "base2", "base10")
+
+
+def compute_det_iif_from_counts(counts: Sequence[int],
                                 num_images_total: int,
                                 variant: str = "raw") -> np.ndarray:
-    """Generate detection IIF weights directly from per-class *image*
-    frequencies (what the reference precomputed offline into the CSVs —
-    SURVEY.md §3.5). Appends bg weight 1.0."""
-    from iif_tpu.losses.iif import compute_iif_weights
+    """Generate detection IIF weights from per-class frequencies — exactly
+    what the reference precomputed offline into ``lvis_files/idf_1204.csv``
+    (verified to 1e-15 against every column of that file).
 
-    counts = np.asarray(image_counts, dtype=np.float64)
-    # detection IIF uses image frequency n_c / N over the image corpus
-    freqs = np.maximum(counts, 1.0)
-    fake_counts = freqs * (num_images_total / freqs.sum())
-    w = np.asarray(compute_iif_weights(fake_counts, variant))
+    Unlike classification IIF (where each sample has one class so
+    ``N == sum(n_c)``), detection uses the *image corpus size* N as the
+    denominator: for LVIS v1 train the CSV encodes ``N = 100170`` images.
+    For the ``*_obj`` columns the caller passes instance counts and
+    ``num_images_total = sum(instance counts)`` (CSV: 1,270,141).
+
+    Variants (column names of ``idf_1204.csv``):
+      raw    = log(N / n_c)
+      smooth = log((N+1)/(n_c+1)) + 1
+      prob   = log((N - n_c)/n_c)       (the logit of 1 - n_c/N)
+      normit = -ndtri(n_c / N)
+      gombit = -log(-log(1 - n_c/N))
+      base2  = log2(N / n_c)
+      base10 = log10(N / n_c)
+
+    Appends bg weight 1.0 (``iif_loss.py:49-50``); returns (C+1,) float32.
+    """
+    from scipy.special import ndtri
+
+    base = variant[:-4] if variant.endswith("_obj") else variant
+    n = np.maximum(np.asarray(counts, dtype=np.float64), 1.0)
+    total = float(num_images_total)
+    if base == "raw":
+        w = np.log(total / n)
+    elif base == "smooth":
+        w = np.log((total + 1.0) / (n + 1.0)) + 1.0
+    elif base in ("prob", "rel"):
+        w = np.log((total - n) / n)
+    elif base == "normit":
+        w = -ndtri(n / total)
+    elif base == "gombit":
+        w = -np.log(-np.log(1.0 - n / total))
+    elif base == "base2":
+        w = np.log2(total / n)
+    elif base == "base10":
+        w = np.log10(total / n)
+    else:
+        raise ValueError(f"unknown detection IIF variant {variant!r}; "
+                         f"choose from {DET_IIF_VARIANTS} (+'_obj')")
     return np.concatenate([w, [1.0]]).astype(np.float32)
 
 

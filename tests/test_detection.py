@@ -137,6 +137,62 @@ def test_compute_det_iif_from_counts():
     assert w.shape == (4,)
     assert w[-1] == 1.0
     assert w[2] > w[1] > w[0]  # rarer class -> bigger weight
+    # exact semantics: w_c = log(N_images / n_c), NOT log(sum(n_c)/n_c)
+    np.testing.assert_allclose(
+        w[:3], np.log([1000 / 100, 1000 / 10, 1000 / 1]), rtol=1e-6)
+
+
+# Golden rows transcribed from the reference's precomputed weight table
+# /root/reference/instance_segmentation/lvis_files/idf_1204.csv (rows 1-3,
+# i.e. the first three real classes after the background placeholder).
+# N_images = 100170 (LVIS v1 train corpus), N_instances = 1270141.
+_IDF_GOLD_IMG_COUNTS = [64, 364, 1911]
+_IDF_GOLD_INST_COUNTS = [109, 1081, 3720]
+_IDF_GOLD = {
+    "raw": [7.355740938246138, 5.6174701539690695, 3.959242077365537],
+    "smooth": [8.340246734689194, 6.614736651002339, 4.958728910973484],
+    "prob": [7.3551018202072465, 5.6138297130961465, 3.9399801843493663],
+    "normit": [3.2209133650223976, 2.6843248606923056, 2.0731842427328675],
+    "gombit": [7.355421396246417, 5.6156504857329494, 3.949626589998093],
+    "base2": [10.612090973671634, 8.104296333472938, 5.711978910694177],
+    "base10": [3.194557699790146, 2.439636290124977, 1.7194769867190203],
+    "raw_obj": [9.363290593665011, 7.068996658254947, 5.833159528626963],
+}
+
+
+@pytest.mark.parametrize("variant", sorted(_IDF_GOLD))
+def test_det_iif_weights_match_reference_csv(variant):
+    counts = (_IDF_GOLD_INST_COUNTS if variant.endswith("_obj")
+              else _IDF_GOLD_IMG_COUNTS)
+    total = 1270141 if variant.endswith("_obj") else 100170
+    w = compute_det_iif_from_counts(counts, total, variant)
+    np.testing.assert_allclose(w[:3], _IDF_GOLD[variant], rtol=1e-6)
+    assert w[-1] == 1.0
+
+
+def test_det_iif_weights_full_reference_csv():
+    """When the reference checkout is present, verify EVERY row of every
+    variant column of idf_1204.csv against our derivation."""
+    import os
+
+    path = "/root/reference/instance_segmentation/lvis_files/idf_1204.csv"
+    if not os.path.exists(path):
+        pytest.skip("reference CSV not available")
+    import pandas as pd
+
+    df = pd.read_csv(path)
+    img = df["img_freq"].to_numpy()[1:]
+    inst = df["instance_freq"].to_numpy()[1:]
+    for variant in ("raw", "smooth", "prob", "normit", "gombit", "base2",
+                    "base10"):
+        w = compute_det_iif_from_counts(img, 100170, variant)
+        np.testing.assert_allclose(w[:-1], df[variant].to_numpy()[1:],
+                                   rtol=1e-6, err_msg=variant)
+        wo = compute_det_iif_from_counts(inst, int(inst.sum()),
+                                         variant + "_obj")
+        np.testing.assert_allclose(
+            wo[:-1], df[variant + "_obj"].to_numpy()[1:], rtol=1e-6,
+            err_msg=variant + "_obj")
 
 
 def test_bbox_targets_labels():
