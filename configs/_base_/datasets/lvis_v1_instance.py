@@ -23,8 +23,12 @@ data = dict(
 )
 pipeline = dict(
     canvas=(800, 1344),
-    scales=[(1333, 800)],
+    # 6-scale multiscale train, the reference recipe
+    # (experiments/iif/iif_r50_4x4_1x/iif_r50_4x4_1x.py:136)
+    scales=[(1333, 640), (1333, 672), (1333, 704), (1333, 736),
+            (1333, 768), (1333, 800)],
     flip_prob=0.5,
     max_gt=100,
+    mask_stride=2,   # gt masks rasterized at 1/2 canvas res (see pipeline)
 )
 evaluation = dict(interval=12, metric=["bbox", "segm"])

@@ -9,3 +9,6 @@ _base_ = [
 model = dict(type="CascadeMaskRCNN", depth=101, num_classes=1203)
 loss_cls = dict(_delete_=True, type="DetIIFLoss", variant="raw", path=None)
 test_cfg = dict(score_thr=1e-4, max_per_img=300)
+# reference cascade rpn_proposal: nms_pre=2000, max_per_img=2000
+# (configs/fasa/fasa_iif_cascade_r101_rfs_cos_norm_4x4_2x.py)
+train_cfg = dict(rpn_nms_pre=2000, rpn_max_per_img=2000)

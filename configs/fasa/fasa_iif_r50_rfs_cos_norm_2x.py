@@ -19,3 +19,4 @@ lr_config = dict(milestones=[16, 22])
 runner = dict(type="EpochBasedDynamicRunner", max_epochs=24)
 test_cfg = dict(score_thr=1e-4, max_per_img=300)
 optimizer_config = dict(grad_clip=dict(max_norm=35, norm_type=2))
+train_cfg = dict(rpn_nms_pre=2000)  # reference rpn_proposal nms_pre=2000

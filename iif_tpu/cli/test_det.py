@@ -138,6 +138,7 @@ def main():
     ev = DetEvaluator(test_ds.img_infos, gt_anns, test_ds.cat_ids,
                       lvis=test_ds.lvis_style,
                       cat_image_counts=test_ds.cat_image_counts,
+                      cat_frequency=getattr(test_ds, "cat_frequency", None),
                       max_dets=cfg.get("test_cfg", {}).get("max_per_img", 100))
     for metric in args.eval:
         res = ev.evaluate(results, "segm" if metric == "segm" else "bbox")

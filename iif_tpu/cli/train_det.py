@@ -141,7 +141,9 @@ def main():
     lcfg = cfg.get("lr_config", {})
     schedule = build_lr_schedule(
         ocfg["lr"], steps_per_epoch, max_epochs,
-        milestones=lcfg.get("milestones", []), lr_gamma=lcfg.get("gamma", 0.1))
+        milestones=lcfg.get("milestones", []), lr_gamma=lcfg.get("gamma", 0.1),
+        warmup_iters=lcfg.get("warmup_iters"),
+        warmup_factor=lcfg.get("warmup_factor", 1.0 / 1000))
     grad_clip = cfg.get("optimizer_config", {}).get(
         "grad_clip", {}) or {}
     tx = build_optimizer(ocfg.get("type", "sgd"), schedule,
@@ -238,6 +240,7 @@ def _run_eval(cfg, model, state, loss_cls, pipeline, metrics):
     ev = DetEvaluator(val_ds.img_infos, gt_anns, val_ds.cat_ids,
                       lvis=val_ds.lvis_style,
                       cat_image_counts=val_ds.cat_image_counts,
+                      cat_frequency=getattr(val_ds, "cat_frequency", None),
                       max_dets=cfg.get("test_cfg", {}).get("max_per_img",
                                                            100))
     for m in metrics:

@@ -37,6 +37,10 @@ class Shared2FCBBoxHead(nn.Module):
     reg_class_agnostic: bool = False
     cls_predictor: str = "linear"      # 'linear' | 'normed'
     cls_temperature: float = 8.0       # NormedLinear temperature
+    # fc_cls weight init: ('normal', std) or ('constant', val) — the IIF
+    # recipe trains with Constant(0.001), bias 0
+    # (experiments/iif/iif_r50_4x4_1x/iif_r50_4x4_1x.py:58-62)
+    cls_init: tuple = ("normal", 0.01)
 
     # static IIF multipliers for the 'iif_normed' predictor
     iif_weights: tuple = ()
@@ -44,6 +48,11 @@ class Shared2FCBBoxHead(nn.Module):
     def setup(self):
         self.shared_fc1 = nn.Dense(self.fc_out_channels, name="shared_fc1")
         self.shared_fc2 = nn.Dense(self.fc_out_channels, name="shared_fc2")
+        kind, val = self.cls_init
+        if kind == "constant":
+            cls_kernel_init = nn.initializers.constant(val)
+        else:
+            cls_kernel_init = nn.initializers.normal(val)
         if self.cls_predictor == "normed":
             self.fc_cls = NormedLinear(self.num_classes + 1,
                                        temperature=self.cls_temperature,
@@ -57,7 +66,7 @@ class Shared2FCBBoxHead(nn.Module):
         else:
             self.fc_cls = nn.Dense(
                 self.num_classes + 1,
-                kernel_init=nn.initializers.normal(0.01), name="fc_cls")
+                kernel_init=cls_kernel_init, name="fc_cls")
         reg_dim = 4 if self.reg_class_agnostic else self.num_classes * 4
         self.fc_reg = nn.Dense(reg_dim,
                                kernel_init=nn.initializers.normal(0.001),

@@ -44,6 +44,9 @@ class CocoStyleDataset:
         # per-category image counts (drives IIF weights + repeat factors)
         self.cat_image_counts = {c["id"]: c.get("image_count", 0)
                                  for c in cats}
+        # LVIS v1 ships a per-category 'frequency' field ('r'/'c'/'f');
+        # the evaluator prefers it over recomputed buckets
+        self.cat_frequency = {c["id"]: c.get("frequency") for c in cats}
 
         anns_by_img: Dict[int, List[dict]] = defaultdict(list)
         for a in data.get("annotations", []):
@@ -162,6 +165,7 @@ class ConcatDataset:
         self.cat2label = self.datasets[0].cat2label
         self.lvis_style = getattr(self.datasets[0], "lvis_style", False)
         self.cat_image_counts = self.datasets[0].cat_image_counts
+        self.cat_frequency = getattr(self.datasets[0], "cat_frequency", {})
         self.num_images_total = sum(
             getattr(d, "num_images_total", len(d)) for d in self.datasets)
         self._lens = np.array([len(d) for d in self.datasets])

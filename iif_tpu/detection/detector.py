@@ -51,6 +51,7 @@ class MaskRCNN(nn.Module):
     frozen_stages: int = 1            # reference config: frozen_stages=1
     compute_dtype: object = None      # e.g. jnp.bfloat16 for backbone/FPN/RPN
     iif_weights: tuple = ()           # for cls_predictor='iif_normed'
+    cls_init: tuple = ("normal", 0.01)  # fc_cls weight init (IIF: constant)
 
     def setup(self):
         layers, block = _DEPTH_LAYERS[self.depth]
@@ -63,7 +64,8 @@ class MaskRCNN(nn.Module):
                                 name="rpn_head")
         self.bbox_head = Shared2FCBBoxHead(
             self.num_classes, cls_predictor=self.cls_predictor,
-            iif_weights=self.iif_weights, name="bbox_head")
+            iif_weights=self.iif_weights, cls_init=tuple(self.cls_init),
+            name="bbox_head")
         if self.with_mask:
             self.mask_head = FCNMaskHead(
                 self.num_classes, predictor=self.mask_predictor,

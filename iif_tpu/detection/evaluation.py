@@ -21,7 +21,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from iif_tpu.detection.mask_utils import rle_iou
+from iif_tpu.detection.mask_utils import mask_area, rle_iou
 
 IOU_THRS = np.linspace(0.5, 0.95, 10)
 REC_THRS = np.linspace(0.0, 1.0, 101)
@@ -65,15 +65,19 @@ class _ImgCatResult:
 
 
 def _evaluate_img_cat(dts: List[dict], gts: List[dict], iou_type: str,
-                      area_rng: Tuple[float, float], max_dets: int
-                      ) -> Optional[_ImgCatResult]:
+                      area_rng: Tuple[float, float], max_dets: int,
+                      nel: bool = False) -> Optional[_ImgCatResult]:
+    """``nel``: category not exhaustively annotated in this image — the
+    LVIS protocol then ignores UNMATCHED detections instead of counting
+    them as FPs (lvis-api eval semantics). Area ranges are closed
+    intervals, matching pycocotools' ``a < rng[0] or a > rng[1]``."""
     if not dts and not gts:
         return None
     # gt ignore flags: crowd or outside area range
     g_ignore = np.array([
         bool(g.get("iscrowd", 0)) or g.get("ignore", False)
         or not (area_rng[0] <= g.get("area", g["bbox"][2] * g["bbox"][3])
-                < area_rng[1])
+                <= area_rng[1])
         for g in gts], bool)
     order_g = np.argsort(g_ignore, kind="stable")  # real gts first
     gts = [gts[i] for i in order_g]
@@ -103,7 +107,10 @@ def _evaluate_img_cat(dts: List[dict], gts: List[dict], iou_type: str,
         for d in range(D):
             best, best_g = min(thr, 1 - 1e-10), -1
             for g in range(G):
-                if g_taken[g] and not g_ignore[g]:
+                # only CROWD gts may be matched by multiple detections
+                # (pycocotools: `gtm>0 and not iscrowd` -> skip); an
+                # area-ignored non-crowd gt is still taken exactly once
+                if g_taken[g] and not iscrowd[g]:
                     continue
                 # real matches found; don't switch to an ignored gt
                 if best_g > -1 and not g_ignore[best_g] and g_ignore[g]:
@@ -113,16 +120,17 @@ def _evaluate_img_cat(dts: List[dict], gts: List[dict], iou_type: str,
                 best = ious[d, g]
                 best_g = g
             if best_g == -1:
-                # unmatched dt outside the area range is ignored
+                # unmatched dt outside the area range (or on a
+                # not-exhaustively-annotated image, LVIS) is ignored
                 a = dts[d]["bbox"][2] * dts[d]["bbox"][3]
                 if iou_type == "segm" and "area" in dts[d]:
                     a = dts[d]["area"]
-                dt_ignore[t, d] = not (area_rng[0] <= a < area_rng[1])
+                dt_ignore[t, d] = nel or not (
+                    area_rng[0] <= a <= area_rng[1])
             else:
                 dt_matched[t, d] = not g_ignore[best_g]
                 dt_ignore[t, d] = g_ignore[best_g]
-                if not g_ignore[best_g]:
-                    g_taken[best_g] = True
+                g_taken[best_g] = True
     return _ImgCatResult(dt_scores, dt_matched, dt_ignore,
                          int((~g_ignore).sum()))
 
@@ -182,11 +190,15 @@ class DetEvaluator:
     def __init__(self, gt_images: List[dict], gt_anns: List[dict],
                  cat_ids: Sequence[int], lvis: bool = False,
                  cat_image_counts: Optional[Dict[int, int]] = None,
-                 max_dets: int = 100):
+                 max_dets: int = 100,
+                 cat_frequency: Optional[Dict[int, str]] = None):
         self.cat_ids = list(cat_ids)
         self.lvis = lvis
         self.max_dets = max_dets
         self.cat_image_counts = cat_image_counts or {}
+        # dataset-provided LVIS v1 'frequency' field ('r'/'c'/'f'),
+        # preferred over recomputing buckets from image_count
+        self.cat_frequency = cat_frequency or {}
         self.img_ids = [im["id"] for im in gt_images]
         self.imgs = {im["id"]: im for im in gt_images}
         self.gt_by_img_cat: Dict[Tuple, List[dict]] = defaultdict(list)
@@ -237,11 +249,15 @@ class DetEvaluator:
         per_area_prec = {a: [] for a in AREA_RANGES}
         for cat in self.cat_ids:
             imgs = self._img_list(cat)
+            nel = [cat in self.imgs[iid].get(
+                "not_exhaustive_category_ids", ()) for iid in imgs] \
+                if self.lvis else [False] * len(imgs)
             for area_name, rng in AREA_RANGES.items():
                 res = [_evaluate_img_cat(
                     dt_by_img_cat.get((iid, cat), []),
                     self.gt_by_img_cat.get((iid, cat), []),
-                    iou_type, rng, self.max_dets) for iid in imgs]
+                    iou_type, rng, self.max_dets, nel=ne)
+                    for iid, ne in zip(imgs, nel)]
                 prec, rec = _accumulate(res)
                 if area_name == "all":
                     per_cat_prec[cat] = prec
@@ -267,8 +283,11 @@ class DetEvaluator:
         if self.lvis:
             buckets = {"r": [], "c": [], "f": []}
             for cat in self.cat_ids:
-                n = self.cat_image_counts.get(cat, 0)
-                b = "r" if n < 10 else ("c" if n <= 100 else "f")
+                b = self.cat_frequency.get(cat)
+                if b not in ("r", "c", "f"):
+                    n = self.cat_image_counts.get(cat, 0)
+                    # LVIS: rare 1-10 images, common 11-100, frequent >100
+                    b = "r" if n <= 10 else ("c" if n <= 100 else "f")
                 buckets[b].append(per_cat_prec[cat])
             out["APr"] = _ap(buckets["r"])
             out["APc"] = _ap(buckets["c"])
@@ -303,5 +322,8 @@ def detections_to_coco_results(
             }
             if masks is not None:
                 rec["segmentation"] = masks[b][k]
+                # pycocotools computes dt area from the MASK for segm
+                # eval's area-range ignore logic, not from the box
+                rec["area"] = mask_area(masks[b][k])
             out.append(rec)
     return out

@@ -29,9 +29,16 @@ def build_lr_schedule(
     cosine: bool = False,
     warmup: bool = True,
     warmup_factor: float = 1.0 / 1000,
+    warmup_iters: Optional[int] = None,
 ) -> optax.Schedule:
+    """``warmup_iters=None`` keeps the classification-trainer default
+    (min(1000, steps-1)); detection configs pass the reference's explicit
+    ``lr_config.warmup_iters`` (500 for every LVIS recipe)."""
     milestones = np.asarray(sorted(milestones), dtype=np.int32)
-    warmup_iters = min(1000, max(steps_per_epoch - 1, 1)) if warmup else 0
+    if not warmup:
+        warmup_iters = 0
+    elif warmup_iters is None:
+        warmup_iters = min(1000, max(steps_per_epoch - 1, 1))
 
     def schedule(step):
         step = jnp.asarray(step)

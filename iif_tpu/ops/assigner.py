@@ -33,8 +33,12 @@ def max_iou_assign(
     gt_max_assign_all: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (assigned_gt_inds (N,), max_overlaps (N,))."""
+    # invalid (padded) gts contribute IoU 0, NOT -1: with zero valid gts
+    # every box must still become a negative (max_overlaps==0 < neg_thr),
+    # matching mmdet's num_gt==0 branch — otherwise empty-gt images would
+    # be all-ignore and contribute nothing to RPN objectness training.
     iou = bbox_overlaps(boxes, gt_boxes)  # (N, G)
-    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    iou = jnp.where(gt_valid[None, :], iou, 0.0)
 
     max_overlaps = iou.max(axis=1)
     argmax_overlaps = iou.argmax(axis=1)
