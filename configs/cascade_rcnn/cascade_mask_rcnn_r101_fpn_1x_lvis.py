@@ -6,7 +6,8 @@ _base_ = [
     "../_base_/schedules/schedule_1x.py",
     "../_base_/default_runtime.py",
 ]
-model = dict(type="CascadeMaskRCNN", depth=101, num_classes=1203)
+model = dict(type="CascadeMaskRCNN", depth=101, num_classes=1203,
+             compute_dtype="bfloat16")
 loss_cls = dict(_delete_=True, type="DetIIFLoss", variant="raw", path=None)
 test_cfg = dict(score_thr=1e-4, max_per_img=300)
 # reference cascade rpn_proposal: nms_pre=2000, max_per_img=2000

@@ -9,7 +9,7 @@ _base_ = [
     "../_base_/default_runtime.py",
 ]
 model = dict(num_classes=1203, cls_predictor="normed",
-             mask_predictor="normed")
+             mask_predictor="normed", compute_dtype="bfloat16")
 loss_cls = dict(_delete_=True, type="DetIIFLoss", variant="raw", path=None)
 data = dict(train=dict(oversample_thr=1e-3))
 fasa_cfg = dict(decay_ratio=0.1, loss_aug_weight=0.1, dynamic_up=1.1,

@@ -9,6 +9,7 @@ _base_ = [
     "../_base_/default_runtime.py",
 ]
 model = dict(num_classes=1203,
+             compute_dtype="bfloat16",
              cls_init=("constant", 0.001))  # iif_r50_4x4_1x.py:58-62
 loss_cls = dict(_delete_=True, type="DetIIFLoss", variant="raw",
                 path=None)  # path: optional reference-format idf csv

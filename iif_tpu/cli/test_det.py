@@ -106,7 +106,12 @@ def main():
     num_classes = cfg.model["num_classes"]
     loss_cls = build_loss_cls(cfg.loss_cls, test_ds, num_classes)
     mtype = cfg.model.get("type", "MaskRCNN")
-    model_kw = {k: v for k, v in cfg.model.items() if k != "type"}
+    from iif_tpu.detection.detector import model_kwargs_from_cfg
+
+    model_kw = model_kwargs_from_cfg(cfg.model)
+    if model_kw.get("cls_predictor") == "iif_normed":
+        model_kw["iif_weights"] = tuple(
+            float(x) for x in np.asarray(loss_cls.weights))
     if mtype == "CascadeMaskRCNN":
         from iif_tpu.detection.cascade import CascadeMaskRCNN
 

@@ -115,8 +115,10 @@ def main():
     loss_cls = build_loss_cls(cfg.loss_cls, train_ds, num_classes)
 
     # ----------------------------------------------------------------- model
+    from iif_tpu.detection.detector import model_kwargs_from_cfg
+
     mtype = cfg.model.get("type", "MaskRCNN")
-    model_kw = {k: v for k, v in cfg.model.items() if k != "type"}
+    model_kw = model_kwargs_from_cfg(cfg.model)
     if model_kw.get("cls_predictor") == "iif_normed":
         # thread the dataset-derived IIF vector into the head (the
         # reference pre-multiplies fc_cls weights by IIF,
@@ -159,6 +161,16 @@ def main():
             np.maximum(inst_counts, 1), feat_dim=1024,
             instance_prob_power=fasa_cfg.get("instance_prob_power", 1.0),
             instance_prob_scale=fasa_cfg.get("instance_prob_scale", 1.0))
+        if mtype == "CascadeMaskRCNN":
+            # one independent FASA head per cascade stage (reference:
+            # per-stage Shared2FCFASABBoxHead buffers). Copies, not
+            # aliases: the donated train step must see distinct buffers.
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            fasa_state = tuple(
+                _jax.tree_util.tree_map(_jnp.copy, fasa_state)
+                for _ in range(model.num_stages))
 
     trainer = DetectionTrainer(model, loss_cls, tx, mesh, train_cfg,
                                fasa_cfg=fasa_cfg, seed=seed)
@@ -193,6 +205,22 @@ def main():
                                   w["state"]["batch_stats"]))
 
     dynamic = cfg.runner.get("type") == "EpochBasedDynamicRunner"
+    fasa_val_loader = None
+    if dynamic and fasa_state is not None:
+        # the DynamicRunner val pass iterates the VAL dataset through the
+        # TRAIN pipeline (reference tools/train.py builds the workflow-val
+        # dataset with cfg.data.train.pipeline); fall back to a capped
+        # slice of the train loader only when no val split is configured
+        if "val" in dcfg:
+            fasa_val_ds = DATASETS.build(
+                {k: v for k, v in dcfg["val"].items()
+                 if k != "oversample_thr"})
+            fasa_val_loader = DetectionLoader(
+                fasa_val_ds, pipeline,
+                batch_size=dcfg.get("samples_per_gpu", 4)
+                * mesh.devices.size, oversample_thr=0.0, seed=seed)
+        else:
+            fasa_val_loader = _capped(loader, 50)
     eval_cfg = cfg.get("evaluation", {})
     eval_interval = eval_cfg.get("interval", 0)
     print(f"Start training: {max_epochs} epochs, "
@@ -206,7 +234,9 @@ def main():
             state, loader_iter, epoch,
             print_freq=cfg.get("log_config", {}).get("interval", 50))
         if dynamic and state.fasa is not None:
-            state = trainer.fasa_val_epoch(state, _capped(loader, 50))
+            vloader = (_capped(fasa_val_loader, args.max_steps)
+                       if args.max_steps else fasa_val_loader)
+            state = trainer.fasa_val_epoch(state, vloader)
         ckpt_interval = cfg.get("checkpoint_config", {}).get("interval", 1)
         if is_main_process() and (
                 (epoch + 1) % ckpt_interval == 0 or epoch == max_epochs - 1):

@@ -1,13 +1,21 @@
-"""Cascade (Mask-)RCNN — 3-stage refinement with IIF heads.
+"""Cascade (Mask-)RCNN — 3-stage refinement with IIF + FASA heads.
 
 Rebuild of ``mmdet/models/roi_heads/cascade_roi_head.py`` (+ detector
-``cascade_rcnn.py``, FASA cascade variant ``cascade_fasa_roi_head.py``):
-per-stage IoU thresholds (0.5/0.6/0.7), per-stage delta stds
-(0.1/0.05/0.033 scales), stage loss weights (1, 0.5, 0.25), inter-stage
-``refine_bboxes`` (decode the previous stage's class-chosen regression to
-feed the next), mask heads per stage, and test-time class scores averaged
-over stages through the custom (IIF) activation
-(``cascade_roi_head.py:355-366``).
+``cascade_rcnn.py``, FASA cascade variant ``cascade_fasa_roi_head.py:7-54``
+and the per-stage ``Shared2FCFASABBoxHead`` of
+``configs/fasa/fasa_iif_cascade_r101_rfs_cos_norm_4x4_2x.py``):
+per-stage IoU thresholds (0.5/0.6/0.7), per-stage delta stds, stage loss
+weights (1, 0.5, 0.25), inter-stage ``refine_bboxes`` (decode the previous
+stage's label-selected regression to feed the next), mask heads per stage,
+and test-time class scores averaged over stages through the custom (IIF)
+activation (``cascade_roi_head.py:355-366``).
+
+FASA in the cascade is PER STAGE, exactly like the reference where each
+stage owns a ``Shared2FCFASABBoxHead`` with its own EMA feature stats,
+sampling probs and cum-loss counters: ``fasa_states`` is a tuple of
+``FasaState`` (one per stage), each updated from that stage's positive
+RoI embeddings, each contributing a stage-weighted aug CE through that
+stage's classifier.
 """
 from __future__ import annotations
 
@@ -18,8 +26,12 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from iif_tpu.detection.bbox_head import Shared2FCBBoxHead, bbox_targets
-from iif_tpu.detection.losses import smooth_l1_loss
+from iif_tpu.detection.bbox_head import (
+    BBOX_TARGET_MEANS,
+    BBOX_TARGET_STDS,
+    Shared2FCBBoxHead,
+    bbox_targets,
+)
 from iif_tpu.detection.mask_head import FCNMaskHead, mask_head_loss, mask_targets
 from iif_tpu.detection.necks import FPN
 from iif_tpu.detection.roi_extractor import SingleRoIExtractor
@@ -45,18 +57,31 @@ class CascadeMaskRCNN(nn.Module):
     mask_predictor: str = "conv"
     frozen_stages: int = 1
     iif_weights: tuple = ()
+    compute_dtype: object = None      # e.g. jnp.bfloat16 for backbone/FPN/RPN
+    # the reference FASA cascade trains class-SPECIFIC regressors
+    # (reg_class_agnostic=False in fasa_iif_cascade_*.py); plain mmdet
+    # cascade uses True
+    reg_class_agnostic: bool = True
+    cls_init: tuple = ("normal", 0.01)
+    stage_ious: tuple = STAGE_IOUS
+    stage_stds: tuple = STAGE_STDS    # fasa_iif_cascade uses 0.33 in s3
+    stage_weights: tuple = STAGE_WEIGHTS
 
     def setup(self):
         layers, block = _DEPTH_LAYERS[self.depth]
         self.backbone = ResNet(layers=layers, block=block,
                                frozen_stages=self.frozen_stages,
-                               name="backbone")
-        self.neck = FPN(out_channels=256, num_outs=5, name="neck")
-        self.rpn_head = RPNHead(num_anchors=3, name="rpn_head")
+                               dtype=self.compute_dtype, name="backbone")
+        self.neck = FPN(out_channels=256, num_outs=5,
+                        dtype=self.compute_dtype, name="neck")
+        self.rpn_head = RPNHead(num_anchors=3, dtype=self.compute_dtype,
+                                name="rpn_head")
         self.bbox_heads = [
-            Shared2FCBBoxHead(self.num_classes, reg_class_agnostic=True,
+            Shared2FCBBoxHead(self.num_classes,
+                              reg_class_agnostic=self.reg_class_agnostic,
                               cls_predictor=self.cls_predictor,
                               iif_weights=self.iif_weights,
+                              cls_init=tuple(self.cls_init),
                               name=f"bbox_head_{i}")
             for i in range(self.num_stages)]
         if self.with_mask:
@@ -97,10 +122,23 @@ class CascadeMaskRCNN(nn.Module):
         return rpn_out
 
 
-def _refine(rois: jnp.ndarray, bbox_pred: jnp.ndarray,
+def _select_pred(bbox_pred: jnp.ndarray, labels: jnp.ndarray,
+                 num_classes: int, reg_class_agnostic: bool) -> jnp.ndarray:
+    """(R, C*4) -> (R, 4) by label channel (class-specific regressors);
+    background labels clamp to 0 — their rows carry zero loss weight and,
+    in refine, mmdet's ``regress_by_class`` gathers by the clamped label."""
+    if reg_class_agnostic:
+        return bbox_pred
+    pred = bbox_pred.reshape(-1, num_classes, 4)
+    cls_idx = jnp.clip(labels, 0, num_classes - 1)
+    return jnp.take_along_axis(
+        pred, cls_idx[:, None, None].repeat(4, -1), axis=1)[:, 0]
+
+
+def _refine(rois: jnp.ndarray, bbox_pred4: jnp.ndarray,
             img_shape, stds) -> jnp.ndarray:
-    """Class-agnostic refine (reg_class_agnostic=True in cascade configs)."""
-    return delta2bbox(rois, bbox_pred, (0, 0, 0, 0), stds,
+    """Decode a (R, 4) per-roi regression (already label-selected)."""
+    return delta2bbox(rois, bbox_pred4, (0, 0, 0, 0), stds,
                       max_shape=img_shape)
 
 
@@ -111,10 +149,13 @@ def cascade_loss(
     key: jax.Array,
     loss_cls_per_stage: Sequence,     # e.g. 3 x DetIIFLoss
     cfg: DetTrainCfg = DetTrainCfg(),
+    fasa_states: Optional[Tuple] = None,   # tuple of FasaState, per stage
+    fasa_cfg: Optional[Dict[str, float]] = None,
+    epoch: int = 0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, Any]]:
     images = batch["image"]
     b, img_h, img_w, _ = images.shape
-    keys = jax.random.split(key, model.num_stages + 1)
+    keys = jax.random.split(key, 2 * model.num_stages + 1)
 
     feats, mutated = model.apply(
         variables, images, True, method=CascadeMaskRCNN.extract_feat,
@@ -145,11 +186,13 @@ def cascade_loss(
     extractor = SingleRoIExtractor((7, 7))
     mask_extractor = SingleRoIExtractor((14, 14))
     r = cfg.rcnn_num_samples
+    fcfg = fasa_cfg or {}
+    new_fasa: List = []
 
     for stage in range(model.num_stages):
-        iou = STAGE_IOUS[stage]
-        stds = STAGE_STDS[stage]
-        sw = STAGE_WEIGHTS[stage]
+        iou = model.stage_ious[stage]
+        stds = model.stage_stds[stage]
+        sw = model.stage_weights[stage]
         tgts = bbox_targets(
             keys[stage + 1], proposals, prop_valid, batch["gt_boxes"],
             batch["gt_labels"], batch["gt_valid"], model.num_classes,
@@ -160,25 +203,45 @@ def cascade_loss(
         rois5 = jnp.concatenate(
             [batch_idx[:, None], tgts.rois.reshape(-1, 4)], axis=1)
         roi_feats = extractor(feats[:4], rois5)
-        cls_score, bbox_pred, _ = model.apply(
+        cls_score, bbox_pred, embedding = model.apply(
             variables, roi_feats, stage,
             method=CascadeMaskRCNN.forward_bbox_stage)
 
         labels = tgts.labels.reshape(-1)
         lw = tgts.label_weights.reshape(-1)
         bw = tgts.bbox_weights.reshape(-1)
-        # re-encode targets with this stage's stds
         losses[f"s{stage}.loss_cls"] = sw * loss_cls_per_stage[stage](
             cls_score, labels, weight=lw, avg_factor=lw.sum())
-        gt_for_roi = tgts.bbox_targets.reshape(-1, 4)  # std (0.1,0.2) coded
-        # decode back to boxes then re-encode with stage stds
-        from iif_tpu.detection.bbox_head import (BBOX_TARGET_MEANS,
-                                                 BBOX_TARGET_STDS)
+
+        # FASA per-stage: EMA stats from this stage's positives, aug CE
+        # through this stage's classifier (stage-weighted like every
+        # other head loss in CascadeRoIHead)
+        if fasa_states is not None:
+            from iif_tpu.detection.fasa import fasa_aug_loss, fasa_update
+
+            st = fasa_update(fasa_states[stage], embedding, labels, bw,
+                             decay_ratio=fcfg.get("decay_ratio", 0.1))
+            if epoch >= 1:
+                losses[f"s{stage}.loss_cls"] = (
+                    losses[f"s{stage}.loss_cls"] + sw * fasa_aug_loss(
+                        st, keys[model.num_stages + 1 + stage],
+                        lambda e, _s=stage: model.apply(
+                            variables, e, _s,
+                            method=CascadeMaskRCNN.forward_cls_only_stage),
+                        loss_cls_per_stage[stage],
+                        loss_aug_weight=fcfg.get("loss_aug_weight", 0.1)))
+            new_fasa.append(st)
+
+        # re-encode regression targets with this stage's stds: decode the
+        # std-(0.1,0.2)-coded targets back to boxes, re-encode
+        gt_for_roi = tgts.bbox_targets.reshape(-1, 4)
         gt_boxes_roi = delta2bbox(tgts.rois.reshape(-1, 4), gt_for_roi,
                                   BBOX_TARGET_MEANS, BBOX_TARGET_STDS)
         tgt = bbox2delta(tgts.rois.reshape(-1, 4), gt_boxes_roi,
                          (0, 0, 0, 0), stds)
-        l1 = jnp.abs(bbox_pred - tgt).sum(-1)
+        pred4 = _select_pred(bbox_pred, labels, model.num_classes,
+                             model.reg_class_agnostic)
+        l1 = jnp.abs(pred4 - tgt).sum(-1)
         losses[f"s{stage}.loss_bbox"] = sw * (l1 * bw).sum() / jnp.maximum(
             lw.sum(), 1.0)
 
@@ -198,16 +261,20 @@ def cascade_loss(
             losses[f"s{stage}.loss_mask"] = sw * mask_head_loss(
                 mask_pred, mt, pos_labels, pos_w)
 
-        # refine proposals for the next stage
+        # refine proposals for the next stage (label-selected regression,
+        # mmdet refine_bboxes/regress_by_class)
         if stage < model.num_stages - 1:
             refined = _refine(tgts.rois.reshape(-1, 4),
-                              jax.lax.stop_gradient(bbox_pred),
+                              jax.lax.stop_gradient(pred4),
                               (img_h, img_w), stds)
             proposals = refined.reshape(b, r, 4)
             prop_valid = tgts.label_weights > 0
 
     total = sum(losses.values())
-    return total, losses, {"batch_stats": mutated.get("batch_stats", {})}
+    aux: Dict[str, Any] = {"batch_stats": mutated.get("batch_stats", {})}
+    if fasa_states is not None:
+        aux["fasa_state"] = tuple(new_fasa)
+    return total, losses, aux
 
 
 def cascade_simple_test(
@@ -247,15 +314,21 @@ def cascade_simple_test(
         else:
             stage_scores.append(jax.nn.softmax(
                 cls_score.astype(jnp.float32), -1))
+        # label-selected regression: mmdet test refines by the argmax
+        # foreground class (cascade_roi_head simple_test bbox_label)
+        fg_label = cls_score[:, :-1].argmax(-1)
+        pred4 = _select_pred(bbox_pred, fg_label, model.num_classes,
+                             model.reg_class_agnostic)
         if stage < model.num_stages - 1:
-            rois = _refine(rois.reshape(-1, 4), bbox_pred, (img_h, img_w),
-                           STAGE_STDS[stage]).reshape(b, p, 4)
+            rois = _refine(rois.reshape(-1, 4), pred4, (img_h, img_w),
+                           model.stage_stds[stage]).reshape(b, p, 4)
 
     avg_scores = sum(stage_scores) / len(stage_scores)   # (B*P, C+1)
     avg_scores = avg_scores.reshape(b, p, -1)
     avg_scores = jnp.where(prop_valid[..., None], avg_scores, 0.0)
-    final_boxes = _refine(rois.reshape(-1, 4), bbox_pred,
-                          (img_h, img_w), STAGE_STDS[-1]).reshape(b, p, 4)
+    final_boxes = _refine(rois.reshape(-1, 4), pred4,
+                          (img_h, img_w),
+                          model.stage_stds[-1]).reshape(b, p, 4)
 
     def _one(bx, sc):
         return multiclass_nms(bx, sc, cfg.score_thr, cfg.nms_iou,

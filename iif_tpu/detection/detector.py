@@ -127,6 +127,23 @@ class DetTestCfg(NamedTuple):
     max_per_img: int = 100           # LVIS: 300
 
 
+def model_kwargs_from_cfg(model_cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Config dict -> flax module kwargs: drop 'type', convert lists to
+    (hashable) tuples, map ``compute_dtype`` strings ('bfloat16' — the
+    TPU replacement for the reference's ``fp16 = dict(loss_scale=512)``)
+    to jnp dtypes."""
+    def _cvt(v):
+        if isinstance(v, (list, tuple)):
+            return tuple(_cvt(x) for x in v)
+        return v
+
+    out = {k: _cvt(v) for k, v in model_cfg.items() if k != "type"}
+    dt = out.get("compute_dtype")
+    if isinstance(dt, str):
+        out["compute_dtype"] = jnp.dtype(dt).type
+    return out
+
+
 def make_anchor_generator() -> AnchorGenerator:
     """RPN anchors of every IIF config: scales [8], ratios [0.5,1,2],
     strides [4, 8, 16, 32, 64]."""

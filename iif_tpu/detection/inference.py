@@ -35,7 +35,9 @@ def init_detector(config: Union[str, Any], checkpoint: Optional[str] = None
     from iif_tpu.detection.pipeline import DetectionPipeline
 
     cfg = config if not isinstance(config, str) else Config.fromfile(config)
-    model_kw = {k: v for k, v in cfg.model.items() if k != "type"}
+    from iif_tpu.detection.detector import model_kwargs_from_cfg
+
+    model_kw = model_kwargs_from_cfg(cfg.model)
     if cfg.model.get("type") == "CascadeMaskRCNN":
         from iif_tpu.detection.cascade import CascadeMaskRCNN
 

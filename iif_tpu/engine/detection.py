@@ -25,6 +25,7 @@ import optax
 from flax import struct
 from jax.sharding import Mesh
 
+from iif_tpu.detection.cascade import CascadeMaskRCNN, cascade_loss
 from iif_tpu.detection.detector import (
     DetTrainCfg,
     MaskRCNN,
@@ -61,6 +62,14 @@ class DetectionTrainer:
     ):
         self.model = model
         self.loss_cls = loss_cls
+        self.is_cascade = isinstance(model, CascadeMaskRCNN)
+        # cascade stages share one loss object unless per-stage losses are
+        # given (the reference builds one FasaIIFLoss per stage from the
+        # same CSV — identical weights, so sharing is equivalent)
+        if self.is_cascade and not isinstance(loss_cls, (tuple, list)):
+            self.stage_losses = (loss_cls,) * model.num_stages
+        elif self.is_cascade:
+            self.stage_losses = tuple(loss_cls)
         self.tx = tx
         self.mesh = mesh
         self.train_cfg = train_cfg
@@ -93,12 +102,19 @@ class DetectionTrainer:
         key = jax.random.fold_in(self.base_rng, state.step)
 
         def loss_fn(params):
-            total, losses, aux = maskrcnn_loss(
-                self.model,
-                {"params": params, "batch_stats": state.batch_stats},
-                batch, key, self.loss_cls, self.train_cfg,
-                fasa_state=state.fasa, fasa_cfg=self.fasa_cfg,
-                epoch=1 if fasa_aug_on else 0)
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            if self.is_cascade:
+                total, losses, aux = cascade_loss(
+                    self.model, variables, batch, key, self.stage_losses,
+                    self.train_cfg, fasa_states=state.fasa,
+                    fasa_cfg=self.fasa_cfg,
+                    epoch=1 if fasa_aug_on else 0)
+            else:
+                total, losses, aux = maskrcnn_loss(
+                    self.model, variables, batch, key, self.loss_cls,
+                    self.train_cfg, fasa_state=state.fasa,
+                    fasa_cfg=self.fasa_cfg,
+                    epoch=1 if fasa_aug_on else 0)
             return total, (losses, aux)
 
         (total, (losses, aux)), grads = jax.value_and_grad(
@@ -137,25 +153,11 @@ class DetectionTrainer:
     def fasa_val_epoch(self, state: DetTrainState, loader,
                        print_fn=print) -> DetTrainState:
         """The DynamicRunner val pass: accumulate per-class cum losses on
-        the val split, then host-side dynamic_sampling
-        (``epoch_based_dynamic_runner.py:57-84``)."""
+        the VAL split (the caller passes a val-dataset loader, matching
+        ``epoch_based_dynamic_runner.py:48-86`` where workflow
+        [('train',1),('val',1)] wraps the val dataloader), then host-side
+        dynamic_sampling — per stage for cascade models."""
         assert state.fasa is not None
-
-        @jax.jit
-        def _accum(st: DetTrainState, batch):
-            key = jax.random.fold_in(self.base_rng, st.step + 1_000_000)
-            total, losses, aux = maskrcnn_loss(
-                self.model,
-                {"params": st.params, "batch_stats": st.batch_stats},
-                batch, key, self.loss_cls, self.train_cfg)
-            return aux  # unused; placeholder for symmetry
-
-        # accumulate cum losses through the bbox-head classifier on val
-        @jax.jit
-        def _accum_cls(fasa, cls_score, labels, weight):
-            return fasa_accumulate_val(fasa, self.loss_cls, cls_score,
-                                       labels, weight)
-
         fasa = state.fasa
         for batch in loader:
             feed = {k: v for k, v in batch.items()
@@ -163,18 +165,23 @@ class DetectionTrainer:
                              "gt_masks")}
             gbatch = shard_batch(feed, self.mesh)
             fasa = self._fasa_accumulate_batch(state, gbatch, fasa)
-        fasa = fasa_dynamic_sampling(
-            fasa,
-            dynamic_up=(self.fasa_cfg or {}).get("dynamic_up", 1.1),
-            dynamic_down=(self.fasa_cfg or {}).get("dynamic_down", 0.9))
+        up = (self.fasa_cfg or {}).get("dynamic_up", 1.1)
+        down = (self.fasa_cfg or {}).get("dynamic_down", 0.9)
+        if self.is_cascade:
+            fasa = tuple(fasa_dynamic_sampling(f, up, down) for f in fasa)
+        else:
+            fasa = fasa_dynamic_sampling(fasa, up, down)
         print_fn("FASA dynamic sampling: probs updated")
         return state.replace(fasa=fasa)
 
     @partial(jax.jit, static_argnums=(0,))
     def _fasa_accumulate_batch(self, state: DetTrainState, batch, fasa):
-        """One val batch: forward to bbox-head cls scores, fold per-class
-        losses into the FASA counters."""
+        """One val batch: forward to the bbox-head cls scores (every stage
+        for cascade, mirroring the reference where each stage's loss_cls
+        accumulates during the val forward), fold per-class losses into
+        the FASA counters."""
         from iif_tpu.detection.bbox_head import bbox_targets
+        from iif_tpu.detection.cascade import _refine, _select_pred
         from iif_tpu.detection.detector import fpn_shapes, make_anchor_generator
         from iif_tpu.detection.roi_extractor import SingleRoIExtractor
         from iif_tpu.detection.rpn import rpn_proposals
@@ -183,10 +190,13 @@ class DetectionTrainer:
                      "batch_stats": state.batch_stats}
         images = batch["image"]
         b, img_h, img_w, _ = images.shape
-        feats = self.model.apply(variables, images, False,
-                                 method=MaskRCNN.extract_feat)
+        extract = (CascadeMaskRCNN.extract_feat if self.is_cascade
+                   else MaskRCNN.extract_feat)
+        fwd_rpn = (CascadeMaskRCNN.forward_rpn if self.is_cascade
+                   else MaskRCNN.forward_rpn)
+        feats = self.model.apply(variables, images, False, method=extract)
         cls_scores, bbox_preds = self.model.apply(
-            variables, feats, method=MaskRCNN.forward_rpn)
+            variables, feats, method=fwd_rpn)
         gen = make_anchor_generator()
         anchors_np = gen.grid_anchors(fpn_shapes((img_h, img_w)))
         proposals, _, prop_valid = rpn_proposals(
@@ -195,21 +205,55 @@ class DetectionTrainer:
             max_per_img=self.train_cfg.rpn_max_per_img,
             nms_iou=self.train_cfg.rpn_nms_iou)
         key = jax.random.fold_in(self.base_rng, state.step + 999_983)
-        tgts = bbox_targets(
-            key, proposals, prop_valid, batch["gt_boxes"],
-            batch["gt_labels"], batch["gt_valid"], self.model.num_classes,
-            num_samples=self.train_cfg.rcnn_num_samples,
-            pos_fraction=self.train_cfg.rcnn_pos_fraction)
         r = self.train_cfg.rcnn_num_samples
+        extractor = SingleRoIExtractor((7, 7))
         bidx = jnp.repeat(jnp.arange(b, dtype=jnp.float32), r)
-        rois5 = jnp.concatenate(
-            [bidx[:, None], tgts.rois.reshape(-1, 4)], axis=1)
-        roi_feats = SingleRoIExtractor((7, 7))(feats[:4], rois5)
-        cls_score, _, _ = self.model.apply(
-            variables, roi_feats, method=MaskRCNN.forward_bbox)
-        return fasa_accumulate_val(
-            fasa, self.loss_cls, cls_score, tgts.labels.reshape(-1),
-            tgts.label_weights.reshape(-1))
+
+        if not self.is_cascade:
+            tgts = bbox_targets(
+                key, proposals, prop_valid, batch["gt_boxes"],
+                batch["gt_labels"], batch["gt_valid"],
+                self.model.num_classes, num_samples=r,
+                pos_fraction=self.train_cfg.rcnn_pos_fraction)
+            rois5 = jnp.concatenate(
+                [bidx[:, None], tgts.rois.reshape(-1, 4)], axis=1)
+            roi_feats = extractor(feats[:4], rois5)
+            cls_score, _, _ = self.model.apply(
+                variables, roi_feats, method=MaskRCNN.forward_bbox)
+            return fasa_accumulate_val(
+                fasa, self.loss_cls, cls_score, tgts.labels.reshape(-1),
+                tgts.label_weights.reshape(-1))
+
+        new_fasa = []
+        keys = jax.random.split(key, self.model.num_stages)
+        for stage in range(self.model.num_stages):
+            iou = self.model.stage_ious[stage]
+            tgts = bbox_targets(
+                keys[stage], proposals, prop_valid, batch["gt_boxes"],
+                batch["gt_labels"], batch["gt_valid"],
+                self.model.num_classes, num_samples=r,
+                pos_fraction=self.train_cfg.rcnn_pos_fraction,
+                pos_iou_thr=iou, neg_iou_thr=iou, min_pos_iou=iou,
+                add_gt_as_proposals=stage == 0)
+            rois5 = jnp.concatenate(
+                [bidx[:, None], tgts.rois.reshape(-1, 4)], axis=1)
+            roi_feats = extractor(feats[:4], rois5)
+            cls_score, bbox_pred, _ = self.model.apply(
+                variables, roi_feats, stage,
+                method=CascadeMaskRCNN.forward_bbox_stage)
+            labels = tgts.labels.reshape(-1)
+            new_fasa.append(fasa_accumulate_val(
+                fasa[stage], self.stage_losses[stage], cls_score, labels,
+                tgts.label_weights.reshape(-1)))
+            if stage < self.model.num_stages - 1:
+                pred4 = _select_pred(bbox_pred, labels,
+                                     self.model.num_classes,
+                                     self.model.reg_class_agnostic)
+                proposals = _refine(
+                    tgts.rois.reshape(-1, 4), pred4, (img_h, img_w),
+                    self.model.stage_stds[stage]).reshape(b, r, 4)
+                prop_valid = tgts.label_weights > 0
+        return tuple(new_fasa)
 
 
 # ---------------------------------------------------- selectp param freezing
