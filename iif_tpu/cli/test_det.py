@@ -101,7 +101,9 @@ def main():
         scales=[tuple(s) for s in pcfg.get("scales", [(1333, 800)])],
         flip_prob=0.0, max_gt=1)
     loader = _EvalLoader(test_ds, pipeline,
-                         cfg.data.get("samples_per_gpu", 4))
+                         cfg.data.get("samples_per_gpu", 4),
+                         num_shards=jax.process_count(),
+                         shard_id=jax.process_index())
 
     num_classes = cfg.model["num_classes"]
     loss_cls = build_loss_cls(cfg.loss_cls, test_ds, num_classes)
@@ -128,6 +130,15 @@ def main():
     results = run_inference(model, variables, loader, loss_cls, test_cfg,
                             test_ds.cat_ids, cfg.model.get("with_mask", True),
                             max_images=args.max_images)
+    # multi-host: merge per-host result lists; rank 0 evaluates/dumps
+    # (reference collect_results_cpu, apis/test.py:118-191)
+    from iif_tpu.parallel import gather_objects, is_main_process
+
+    if jax.process_count() > 1:
+        parts = gather_objects(results)
+        if not is_main_process():
+            return
+        results = [r for part in parts for r in part]
     if args.out or args.format_only:
         out = args.out or "results.json"
         with open(out, "w") as f:
@@ -182,20 +193,27 @@ def _draw_results(args, test_ds, results):
 
 
 class _EvalLoader:
-    """Sequential eval batches carrying image ids + original shapes."""
+    """Sequential eval batches carrying image ids + original shapes.
 
-    def __init__(self, dataset, pipeline, batch_size):
+    ``num_shards``/``shard_id`` stride the dataset across hosts (the
+    reference's DistributedSampler over the test set); per-host result
+    lists are merged back with ``gather_objects`` (``apis/test.py``
+    collect_results)."""
+
+    def __init__(self, dataset, pipeline, batch_size, num_shards: int = 1,
+                 shard_id: int = 0):
         self.dataset = dataset
         self.pipeline = pipeline
         self.batch_size = batch_size
+        self.indices = list(range(shard_id, len(dataset), num_shards))
 
     def __iter__(self):
         import cv2
 
         rng = np.random.RandomState(0)
-        n = len(self.dataset)
+        n = len(self.indices)
         for b0 in range(0, n, self.batch_size):
-            idxs = list(range(b0, min(b0 + self.batch_size, n)))
+            idxs = self.indices[b0:b0 + self.batch_size]
             samples, ids, shapes = [], [], []
             for i in idxs:
                 img = cv2.cvtColor(cv2.imread(self.dataset.image_path(i)),

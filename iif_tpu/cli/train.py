@@ -262,14 +262,24 @@ def main(args, qat=None):
         return res["acc1"]
 
     print("Start training")
+    log_writer = None
+    if args.output_dir and is_main_process():
+        from iif_tpu.utils.logging import TrainLogWriter
+
+        log_writer = TrainLogWriter(args.output_dir)
     start_time = time.time()
     best_acc = 0.0
     for epoch in range(start_epoch, args.epochs):
         state, _ = trainer.train_one_epoch(state, loader, epoch,
-                                           print_freq=args.print_freq)
+                                           print_freq=args.print_freq,
+                                           log_writer=log_writer)
         res = trainer.evaluate(
             state, eval_batches(d["eval_data"], d["eval_targets"],
                                 args.batch_size))
+        if log_writer is not None:
+            log_writer.write({"mode": "val", "epoch": epoch + 1,
+                              "acc1": res["acc1"], "acc5": res["acc5"]},
+                             step=(epoch + 1) * len(loader))
         best_acc = max(best_acc, res["acc1"])
         if mngr is not None and is_main_process():
             mngr.save(epoch, {"state": jax.device_get(state), "epoch": epoch})

@@ -204,6 +204,16 @@ def main():
                               batch_stats=jax.device_put(
                                   w["state"]["batch_stats"]))
 
+    # log_config hooks: .log.json always, TensorBoard when configured
+    # (reference log_config hooks = [TextLoggerHook, TensorboardLoggerHook])
+    log_writer = None
+    if is_main_process():
+        from iif_tpu.utils.logging import TrainLogWriter
+
+        log_writer = TrainLogWriter(
+            work_dir,
+            tensorboard=cfg.get("log_config", {}).get("tensorboard", True))
+
     dynamic = cfg.runner.get("type") == "EpochBasedDynamicRunner"
     fasa_val_loader = None
     if dynamic and fasa_state is not None:
@@ -232,11 +242,20 @@ def main():
             loader_iter = loader
         state, logger = trainer.train_one_epoch(
             state, loader_iter, epoch,
-            print_freq=cfg.get("log_config", {}).get("interval", 50))
+            print_freq=cfg.get("log_config", {}).get("interval", 50),
+            log_writer=log_writer, lr_fn=schedule)
         if dynamic and state.fasa is not None:
             vloader = (_capped(fasa_val_loader, args.max_steps)
                        if args.max_steps else fasa_val_loader)
             state = trainer.fasa_val_epoch(state, vloader)
+            if log_writer is not None:
+                # FASA sampling probs to TB (dynamic_runner.py:31-34)
+                fasa = state.fasa if isinstance(state.fasa, tuple) \
+                    else (state.fasa,)
+                for si, fs in enumerate(fasa):
+                    log_writer.add_histogram(
+                        f"fasa/prob_list_s{si}",
+                        np.asarray(fs.prob_list), epoch)
         ckpt_interval = cfg.get("checkpoint_config", {}).get("interval", 1)
         if is_main_process() and (
                 (epoch + 1) % ckpt_interval == 0 or epoch == max_epochs - 1):
@@ -246,6 +265,8 @@ def main():
         if eval_interval and (epoch + 1) % eval_interval == 0:
             _run_eval(cfg, model, state, loss_cls, pipeline,
                       eval_cfg.get("metric", ["bbox"]))
+    if log_writer is not None:
+        log_writer.close()
     print("done")
 
 
@@ -260,12 +281,21 @@ def _run_eval(cfg, model, state, loss_cls, pipeline, metrics):
     val_ds = DATASETS.build({k: v for k, v in cfg.data["val"].items()
                              if k != "oversample_thr"})
     loader = _EvalLoader(val_ds, pipeline,
-                         cfg.data.get("samples_per_gpu", 4))
+                         cfg.data.get("samples_per_gpu", 4),
+                         num_shards=jax.process_count(),
+                         shard_id=jax.process_index())
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     results = run_inference(
         model, variables, loader, loss_cls,
         DetTestCfg(**cfg.get("test_cfg", {})), val_ds.cat_ids,
         cfg.model.get("with_mask", True))
+    if jax.process_count() > 1:
+        from iif_tpu.parallel import gather_objects, is_main_process
+
+        parts = gather_objects(results)
+        if not is_main_process():
+            return
+        results = [r for part in parts for r in part]
     gt_anns = [a for rec in val_ds.img_infos for a in rec["anns"]]
     ev = DetEvaluator(val_ds.img_infos, gt_anns, val_ds.cat_ids,
                       lvis=val_ds.lvis_style,

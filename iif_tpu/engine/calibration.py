@@ -1,5 +1,7 @@
-"""Calibration metrics (ECE/MCE binning) — reference
-``classification/reliability_diagrams.py:6-64``.
+"""Calibration metrics (ECE/MCE) — equal-width confidence binning as in
+the reference's reliability-diagram tooling
+(``classification/reliability_diagrams.py``), reimplemented as one
+``np.bincount`` pass per statistic instead of a python loop over bins.
 
 Pure numpy; the matplotlib reliability-diagram rendering of the reference is
 provided by ``plot_reliability_diagram`` (import-guarded so headless
@@ -15,38 +17,42 @@ import numpy as np
 def compute_calibration(true_labels: np.ndarray, pred_labels: np.ndarray,
                         confidences: np.ndarray, num_bins: int = 10
                         ) -> Dict[str, np.ndarray]:
+    """Bin predictions by confidence into ``num_bins`` equal-width,
+    right-closed bins (b-th bin = (b/num_bins, (b+1)/num_bins]); report
+    per-bin accuracy/confidence/count plus count-weighted ECE and MCE."""
+    true_labels = np.asarray(true_labels)
+    pred_labels = np.asarray(pred_labels)
+    confidences = np.asarray(confidences, dtype=np.float64)
     assert len(confidences) == len(pred_labels) == len(true_labels)
-    bin_size = 1.0 / num_bins
     bins = np.linspace(0.0, 1.0, num_bins + 1)
-    indices = np.digitize(confidences, bins, right=True)
 
-    bin_accuracies = np.zeros(num_bins)
-    bin_confidences = np.zeros(num_bins)
-    bin_counts = np.zeros(num_bins, dtype=int)
+    # right-closed binning: confidence c lands in bin ceil(c*B)-1; c == 0
+    # falls in no bin (the torch tooling's digitize(right=True) behavior)
+    idx = np.digitize(confidences, bins, right=True) - 1
+    in_range = (idx >= 0) & (idx < num_bins)
+    idx = idx[in_range]
 
-    for b in range(num_bins):
-        selected = np.where(indices == b + 1)[0]
-        if len(selected) > 0:
-            bin_accuracies[b] = np.mean(
-                true_labels[selected] == pred_labels[selected])
-            bin_confidences[b] = np.mean(confidences[selected])
-            bin_counts[b] = len(selected)
+    bin_counts = np.bincount(idx, minlength=num_bins)
+    conf_sums = np.bincount(idx, weights=confidences[in_range],
+                            minlength=num_bins)
+    hit = (true_labels == pred_labels).astype(np.float64)
+    acc_sums = np.bincount(idx, weights=hit[in_range], minlength=num_bins)
 
-    avg_acc = np.sum(bin_accuracies * bin_counts) / max(np.sum(bin_counts), 1)
-    avg_conf = np.sum(bin_confidences * bin_counts) / max(np.sum(bin_counts), 1)
+    safe = np.maximum(bin_counts, 1)
+    bin_accuracies = np.where(bin_counts > 0, acc_sums / safe, 0.0)
+    bin_confidences = np.where(bin_counts > 0, conf_sums / safe, 0.0)
+
+    n = max(bin_counts.sum(), 1)
     gaps = np.abs(bin_accuracies - bin_confidences)
-    ece = np.sum(gaps * bin_counts) / max(np.sum(bin_counts), 1)
-    mce = gaps.max() if len(gaps) else 0.0
-
     return {
         "accuracies": bin_accuracies,
         "confidences": bin_confidences,
-        "counts": bin_counts,
+        "counts": bin_counts.astype(int),
         "bins": bins,
-        "avg_accuracy": avg_acc,
-        "avg_confidence": avg_conf,
-        "expected_calibration_error": ece,
-        "max_calibration_error": mce,
+        "avg_accuracy": float((bin_accuracies * bin_counts).sum() / n),
+        "avg_confidence": float((bin_confidences * bin_counts).sum() / n),
+        "expected_calibration_error": float((gaps * bin_counts).sum() / n),
+        "max_calibration_error": float(gaps.max() if gaps.size else 0.0),
     }
 
 

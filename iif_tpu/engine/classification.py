@@ -180,12 +180,20 @@ class ClassificationTrainer:
 
     # ----------------------------------------------------------------- loops
     def train_one_epoch(self, state: TrainState, loader, epoch: int,
-                        print_freq: int = 100, print_fn=print
+                        print_freq: int = 100, print_fn=print,
+                        log_writer=None
                         ) -> Tuple[TrainState, MetricLogger]:
         logger = MetricLogger(print_fn=print_fn)
         logger.add_meter("img/s", SmoothedValue(window_size=10, fmt="{value:.1f}"))
         loader.set_epoch(epoch)
         header = f"Epoch: [{epoch}]"
+        steps_per_epoch = len(loader)
+
+        def _sink(rec):
+            if log_writer is not None:
+                step = epoch * steps_per_epoch + rec["iter"]
+                log_writer.write({"mode": "train", "epoch": epoch + 1,
+                                  **rec}, step=step)
 
         quant_on = bool(self.qat and self.qat.enabled)
         freeze_bn = bool(self.qat and self.qat.enabled
@@ -197,7 +205,7 @@ class ClassificationTrainer:
             self.frozen_scales = jax.jit(observe_scales)(state.params)
 
         for batch in logger.log_every(iter(loader), print_freq, header,
-                                      total=len(loader)):
+                                      total=len(loader), sink=_sink):
             t0 = time.time()
             gbatch = shard_batch(
                 {"image": batch["image"], "label": batch["label"]}, self.mesh)

@@ -131,13 +131,25 @@ class DetectionTrainer:
         return new_state, metrics
 
     def train_one_epoch(self, state: DetTrainState, loader, epoch: int,
-                        print_freq: int = 50, print_fn=print
+                        print_freq: int = 50, print_fn=print,
+                        log_writer=None, lr_fn=None
                         ) -> Tuple[DetTrainState, MetricLogger]:
         logger = MetricLogger(print_fn=print_fn)
         loader.set_epoch(epoch)
         header = f"Epoch: [{epoch}]"
+        steps_per_epoch = len(loader)
+
+        def _sink(rec):
+            if log_writer is None:
+                return
+            step = epoch * steps_per_epoch + rec["iter"]
+            rec = {"mode": "train", "epoch": epoch + 1, **rec}
+            if lr_fn is not None:
+                rec["lr"] = float(lr_fn(step))
+            log_writer.write(rec, step=step)
+
         for batch in logger.log_every(iter(loader), print_freq, header,
-                                      total=len(loader)):
+                                      total=len(loader), sink=_sink):
             feed = {k: v for k, v in batch.items()
                     if k in ("image", "gt_boxes", "gt_labels", "gt_valid",
                              "gt_masks")}

@@ -19,30 +19,28 @@ def shot_acc(
     low_shot_thr: int = 20,
     acc_per_cls: bool = False,
 ):
+    """Bucket the test classes by their TRAIN frequency, then average the
+    per-class accuracies inside each bucket. One bincount per statistic —
+    no per-class python loop."""
     training_labels = np.asarray(train_targets).astype(int)
     preds = np.asarray(preds)
-    labels = np.asarray(labels)
+    labels = np.asarray(labels).astype(int)
 
-    train_class_count, test_class_count, class_correct = [], [], []
-    for l in np.unique(labels):
-        train_class_count.append(int((training_labels == l).sum()))
-        test_class_count.append(int((labels == l).sum()))
-        class_correct.append(int((preds[labels == l] == l).sum()))
+    classes = np.unique(labels)
+    width = int(max(classes.max(), training_labels.max(initial=0))) + 1
+    train_count = np.bincount(training_labels, minlength=width)[classes]
+    test_count = np.bincount(labels, minlength=width)[classes]
+    correct = np.bincount(labels[preds == labels],
+                          minlength=width)[classes]
+    class_accs = correct / test_count   # every class in `classes` occurs
 
-    many, median, low = [], [], []
-    for i in range(len(train_class_count)):
-        acc = class_correct[i] / test_class_count[i]
-        if train_class_count[i] > many_shot_thr:
-            many.append(acc)
-        elif train_class_count[i] < low_shot_thr:
-            low.append(acc)
-        else:
-            median.append(acc)
-    many = many or [0]
-    median = median or [0]
-    low = low or [0]
+    many_m = train_count > many_shot_thr
+    low_m = train_count < low_shot_thr
+    med_m = ~(many_m | low_m)
+
+    def _mean(mask):
+        return float(class_accs[mask].mean()) if mask.any() else 0.0
 
     if acc_per_cls:
-        class_accs = [c / cnt for c, cnt in zip(class_correct, test_class_count)]
-        return np.mean(many), np.mean(median), np.mean(low), class_accs
-    return np.mean(many), np.mean(median), np.mean(low)
+        return _mean(many_m), _mean(med_m), _mean(low_m), class_accs.tolist()
+    return _mean(many_m), _mean(med_m), _mean(low_m)

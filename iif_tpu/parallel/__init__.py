@@ -8,4 +8,5 @@ from iif_tpu.parallel.mesh import (  # noqa: F401
     is_main_process,
     process_count,
     process_index,
+    gather_objects,
 )

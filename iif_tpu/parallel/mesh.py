@@ -130,3 +130,30 @@ def process_count() -> int:
 
 def is_main_process() -> bool:
     return jax.process_index() == 0
+
+
+def gather_objects(obj):
+    """All-gather an arbitrary picklable object across hosts; returns the
+    list [obj_host0, obj_host1, ...].
+
+    The multi-host eval result gather (reference
+    ``mmdet/apis/test.py:118-191`` ``collect_results_cpu`` pickles part
+    lists through a shared tensor) — here the pickle payload rides a
+    padded uint8 array through ``multihost_utils.process_allgather`` over
+    ICI/DCN instead of a tmpdir + dist.barrier.
+    """
+    import pickle
+
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = np.asarray(multihost_utils.process_allgather(
+        np.asarray([payload.size], np.int64)))
+    maxlen = int(sizes.max())
+    padded = np.zeros(maxlen, np.uint8)
+    padded[:payload.size] = payload
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    return [pickle.loads(gathered[i, :int(sizes[i])].tobytes())
+            for i in range(gathered.shape[0])]

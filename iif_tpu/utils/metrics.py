@@ -104,7 +104,11 @@ class MetricLogger:
             f"{name}: {meter}" for name, meter in self.meters.items())
 
     def log_every(self, iterable: Iterable, print_freq: int,
-                  header: Optional[str] = None, total: Optional[int] = None):
+                  header: Optional[str] = None, total: Optional[int] = None,
+                  sink=None):
+        """``sink``: optional callable receiving, at every print point, a
+        dict of {iter, time, data_time, <meter medians>} — the hook the
+        ``.log.json`` writer rides (mmcv TextLoggerHook equivalent)."""
         header = header or ""
         if total is None:
             try:
@@ -126,6 +130,10 @@ class MetricLogger:
                 self.print(self.delimiter.join([
                     header, f"[{i}/{total}]", f"eta: {eta}", str(self),
                     f"time: {iter_time}", f"data: {data_time}"]))
+                if sink is not None:
+                    sink({"iter": i, "time": iter_time.avg,
+                          "data_time": data_time.avg,
+                          **{k: m.median for k, m in self.meters.items()}})
             i += 1
             end = time.time()
         elapsed = time.time() - start

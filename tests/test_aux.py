@@ -125,3 +125,35 @@ def test_places_finetune_mask():
     assert any("layer4_1" in t for t in trainable)
     assert not any("layer4_0" in t for t in trainable)
     assert not any("layer1_0" in t for t in trainable)
+
+
+def test_train_log_writer(tmp_path):
+    """.log.json stream: one JSON object per interval, consumable by the
+    analysis `logs` tool (reference TextLoggerHook schema)."""
+    import numpy as np
+
+    from iif_tpu.utils.logging import TrainLogWriter
+    from iif_tpu.utils.profiling import analyze_log_json
+
+    w = TrainLogWriter(str(tmp_path), tensorboard=False, filename="t")
+    w.write({"mode": "train", "epoch": 1, "iter": 0, "lr": 0.02,
+             "loss": 1.5, "time": 0.1}, step=0)
+    w.write({"mode": "train", "epoch": 1, "iter": 50, "lr": 0.02,
+             "loss": 1.2, "time": 0.11}, step=50)
+    w.add_histogram("fasa/prob_list_s0", np.linspace(0.1, 1.0, 5), 0)
+    w.close()
+    stats = analyze_log_json(w.path, "time")
+    assert stats["n"] == 2
+    assert abs(stats["mean"] - 0.105) < 1e-9
+
+
+def test_metric_logger_sink():
+    from iif_tpu.utils.metrics import MetricLogger
+
+    recs = []
+    logger = MetricLogger(print_fn=lambda *a: None)
+    for x in logger.log_every(range(5), print_freq=2, sink=recs.append):
+        logger.update(loss=float(x))
+    assert [r["iter"] for r in recs] == [0, 2, 4]
+    assert "time" in recs[0] and "data_time" in recs[0]
+    assert "loss" in recs[-1]

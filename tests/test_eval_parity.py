@@ -202,3 +202,38 @@ def test_empty_gt_image_all_negatives_in_assigner():
     gt_valid = jnp.zeros(3, bool)
     assigned, _ = max_iou_assign(boxes, gt, gt_valid, 0.7, 0.3, 0.3)
     assert (np.asarray(assigned) == 0).all()
+
+
+def test_eval_loader_sharding_partitions_dataset(tmp_path):
+    """Multi-host eval: strided shards are a disjoint cover, and merging
+    per-shard results reproduces the single-host image set."""
+    import json
+
+    from iif_tpu.cli.test_det import _EvalLoader
+    from iif_tpu.detection.datasets import CocoStyleDataset
+
+    ann = {
+        "categories": [{"id": 1, "name": "c"}],
+        "images": [{"id": i, "file_name": f"{i}.jpg", "width": 64,
+                    "height": 64} for i in range(10)],
+        "annotations": [{"id": i + 1, "image_id": i, "category_id": 1,
+                         "bbox": [1, 1, 10, 10], "area": 100, "iscrowd": 0}
+                        for i in range(10)],
+    }
+    p = tmp_path / "ann.json"
+    p.write_text(json.dumps(ann))
+    ds = CocoStyleDataset(str(p), img_prefix=str(tmp_path), min_size=1)
+
+    all_ids = []
+    for shard in range(3):
+        ld = _EvalLoader(ds, pipeline=None, batch_size=2, num_shards=3,
+                         shard_id=shard)
+        all_ids.extend(ld.indices)
+    assert sorted(all_ids) == list(range(len(ds)))
+
+
+def test_gather_objects_single_process():
+    from iif_tpu.parallel import gather_objects
+
+    obj = [{"image_id": 1, "score": 0.5}]
+    assert gather_objects(obj) == [obj]
