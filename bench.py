@@ -1,29 +1,37 @@
-"""Throughput benchmark: ResNet-50 ImageNet-LT training step on real TPU.
+"""Throughput benchmark on the real TPU — prints ONE JSON line.
 
-Measures end-to-end images/sec/chip of the full jitted train step (device-
-side augmentation + fwd + bwd + SGD update, bf16 compute) with the IIF
-criterion — the rebuild's flagship workload (BASELINE.json configs[1]).
+Default metric (the judged headline): MaskRCNN R50 LVIS-scale TRAIN
+throughput — full jitted train step (RPN targets + proposals + RoI heads +
+masks + SGD) at the pinned recipe: batch 4, 800x1344 canvas, 1203 classes,
+bf16 backbone/FPN/RPN, rpn_nms_pre=2000, gt masks at stride 2, IIF loss.
+Baseline: the reference trains ~6.0 img/s per V100
+(experiments/iif/iif_r50_4x4_1x/20220825_181618.log.json: ~0.68 s/iter,
+batch 4/gpu) — ``vs_baseline`` is img/s/chip over that.
 
-Baseline: the reference publishes no classification throughput
-(`classification/train.py:46-47` is a meter only); ~400 img/s is the
-commonly-reported fp32 ResNet-50 V100 training throughput, used here as the
-per-chip GPU reference so ``vs_baseline`` tracks the >=2x north star.
+``python bench.py --metric classification`` reports the round-1 metric
+instead (ResNet-50 ImageNet-LT train, V100 fp32 ~400 img/s baseline).
 
-Prints ONE JSON line.
+NOTE: ``jax.block_until_ready`` does not actually block on the axon tunnel
+backend — a host readback of a value that depends on the full computation
+is the only honest sync; the state chain makes steps sequential, so
+reading the final loss times them all.
 """
 from __future__ import annotations
 
+import argparse
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-V100_RESNET50_IMG_S = 400.0  # per-chip GPU baseline (see module docstring)
+V100_RESNET50_IMG_S = 400.0   # per-chip GPU classification baseline
+V100_MASKRCNN_IMG_S = 6.0     # reference LVIS train img/s per V100
 
 
-def main():
+def bench_classification() -> dict:
     from iif_tpu.data.augment import imagenet_eval_transform, imagenet_train_augment
     from iif_tpu.data.lt_dataset import IMAGENET_MEAN, IMAGENET_STD
     from iif_tpu.engine import (ClassificationTrainer, build_lr_schedule,
@@ -35,8 +43,8 @@ def main():
     batch = 256
     mesh = make_mesh()
     n_chips = mesh.devices.size
-    # ImageNet-LT-like long-tailed counts (1000 classes, exp profile)
-    counts = np.maximum((1280 * (0.01 ** (np.arange(1000) / 999.0))), 5).astype(int)
+    counts = np.maximum((1280 * (0.01 ** (np.arange(1000) / 999.0))), 5
+                        ).astype(int)
     criterion = get_criterion("iif", counts, iif_variant="raw")
     schedule = build_lr_schedule(0.1, steps_per_epoch=1000, epochs=90,
                                  milestones=[60, 80])
@@ -52,35 +60,95 @@ def main():
     state = trainer.init_state((224, 224, 3))
 
     rng = np.random.RandomState(0)
-    host_batch = {
-        "image": rng.randint(0, 256, size=(batch, 256, 256, 3), dtype=np.uint8),
+    gbatch = shard_batch({
+        "image": rng.randint(0, 256, size=(batch, 256, 256, 3),
+                             dtype=np.uint8),
         "label": rng.randint(0, 1000, size=(batch,)),
-    }
-    gbatch = shard_batch(host_batch, mesh)
+    }, mesh)
 
-    # warmup / compile. NOTE: jax.block_until_ready does not actually block
-    # on the axon tunnel backend — a host readback of a value that depends
-    # on the full computation is the only honest sync. The state chain
-    # makes the steps sequential, so reading the final loss times them all.
     for _ in range(3):
         state, metrics = trainer._train_step(state, gbatch)
     _ = float(metrics["loss"])
-
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = trainer._train_step(state, gbatch)
     _ = float(metrics["loss"])
-    dt = time.perf_counter() - t0
-
-    img_s = batch * iters / dt
-    img_s_chip = img_s / n_chips
-    print(json.dumps({
+    img_s_chip = batch * iters / (time.perf_counter() - t0) / n_chips
+    return {
         "metric": "resnet50_imagenet_lt_train_images_per_sec_per_chip",
         "value": round(img_s_chip, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(img_s_chip / V100_RESNET50_IMG_S, 3),
-    }))
+    }
+
+
+def bench_detection() -> dict:
+    import optax
+
+    from iif_tpu.detection.detector import DetTrainCfg, MaskRCNN
+    from iif_tpu.detection.losses import DetIIFLoss
+    from iif_tpu.engine.detection import DetectionTrainer
+    from iif_tpu.parallel import make_mesh, shard_batch
+
+    B, H, W, C, G = 4, 800, 1344, 1203, 100
+    mesh = make_mesh()
+    n_chips = mesh.devices.size
+    cfg = DetTrainCfg(rpn_nms_pre=2000, mask_gt_stride=2)
+    model = MaskRCNN(num_classes=C, depth=50, compute_dtype=jnp.bfloat16)
+    loss_cls = DetIIFLoss(weights=jnp.asarray(
+        np.log(100170.0 / np.linspace(64, 2000, C)).astype(np.float32)
+        .tolist() + [1.0]))
+    tx = optax.sgd(0.02, momentum=0.9)
+    trainer = DetectionTrainer(model, loss_cls, tx, mesh, cfg)
+    state = trainer.init_state((H, W, 3))
+
+    rng = np.random.RandomState(0)
+    gt_boxes = np.zeros((B, G, 4), np.float32)
+    gt_boxes[..., 0] = rng.uniform(0, W - 100, (B, G))
+    gt_boxes[..., 1] = rng.uniform(0, H - 100, (B, G))
+    gt_boxes[..., 2] = gt_boxes[..., 0] + rng.uniform(20, 100, (B, G))
+    gt_boxes[..., 3] = gt_boxes[..., 1] + rng.uniform(20, 100, (B, G))
+    gbatch = shard_batch({
+        "image": rng.randn(B, H, W, 3).astype(np.float32),
+        "gt_boxes": gt_boxes,
+        "gt_labels": rng.randint(0, C, (B, G)).astype(np.int32),
+        "gt_valid": (rng.rand(B, G) < 0.3),
+        "gt_masks": (rng.rand(B, G, H // 2, W // 2) < 0.1
+                     ).astype(np.uint8),
+    }, mesh)
+
+    for _ in range(3):
+        state, metrics = trainer._train_step(state, gbatch,
+                                             fasa_aug_on=False)
+    _ = float(metrics["loss"])
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = trainer._train_step(state, gbatch,
+                                             fasa_aug_on=False)
+    _ = float(metrics["loss"])
+    img_s_chip = B * iters / (time.perf_counter() - t0) / n_chips
+    return {
+        "metric": "maskrcnn_lvis_train_img_per_sec_per_chip",
+        "value": round(img_s_chip, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_s_chip / V100_MASKRCNN_IMG_S, 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--metric", default="detection",
+                    choices=["detection", "classification", "both"])
+    args = ap.parse_args()
+    if args.metric == "both":
+        print(json.dumps(bench_classification()), file=sys.stderr)
+        print(json.dumps(bench_detection()))
+    elif args.metric == "classification":
+        print(json.dumps(bench_classification()))
+    else:
+        print(json.dumps(bench_detection()))
 
 
 if __name__ == "__main__":

@@ -95,12 +95,15 @@ def main():
     train_ds = DATASETS.build({k: v for k, v in dcfg["train"].items()
                                if k != "oversample_thr"})
     pcfg = cfg.get("pipeline", {})
+    from iif_tpu.detection.pipeline import build_extra_transforms
+
     pipeline = DetectionPipeline(
         canvas=tuple(pcfg.get("canvas", (800, 1344))),
         scales=[tuple(s) for s in pcfg.get("scales", [(1333, 800)])],
         flip_prob=pcfg.get("flip_prob", 0.5),
         max_gt=pcfg.get("max_gt", 100),
-        mask_stride=pcfg.get("mask_stride", 1))
+        mask_stride=pcfg.get("mask_stride", 1),
+        extra_transforms=build_extra_transforms(pcfg.get("extras", [])))
     loader = DetectionLoader(
         train_ds, pipeline, batch_size=dcfg.get("samples_per_gpu", 4)
         * mesh.devices.size,
@@ -178,10 +181,15 @@ def main():
     state = trainer.init_state((canvas[0], canvas[1], 3),
                                fasa_state=fasa_state, seed=seed)
 
-    if args.selectp:
-        import optax
+    # trainable mask: frozen backbone stages (requires_grad=False in the
+    # reference — no grad, no weight decay) AND the selectp decoup switch
+    from iif_tpu.engine.detection import combine_masks, frozen_backbone_mask
 
-        mask = selectp_mask(state.params, args.selectp)
+    mask = frozen_backbone_mask(state.params,
+                                getattr(model, "frozen_stages", -1))
+    if args.selectp:
+        mask = combine_masks(mask, selectp_mask(state.params, args.selectp))
+    if not all(jax.tree_util.tree_leaves(mask)):
         tx = build_optimizer(ocfg.get("type", "sgd"), schedule,
                              ocfg.get("momentum", 0.9),
                              ocfg.get("weight_decay", 1e-4),

@@ -56,6 +56,7 @@ class CascadeMaskRCNN(nn.Module):
     cls_predictor: str = "linear"
     mask_predictor: str = "conv"
     frozen_stages: int = 1
+    norm_eval: bool = True            # reference config: norm_eval=True
     iif_weights: tuple = ()
     compute_dtype: object = None      # e.g. jnp.bfloat16 for backbone/FPN/RPN
     # the reference FASA cascade trains class-SPECIFIC regressors
@@ -71,6 +72,7 @@ class CascadeMaskRCNN(nn.Module):
         layers, block = _DEPTH_LAYERS[self.depth]
         self.backbone = ResNet(layers=layers, block=block,
                                frozen_stages=self.frozen_stages,
+                               norm_eval=self.norm_eval,
                                dtype=self.compute_dtype, name="backbone")
         self.neck = FPN(out_channels=256, num_outs=5,
                         dtype=self.compute_dtype, name="neck")

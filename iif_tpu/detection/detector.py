@@ -49,6 +49,7 @@ class MaskRCNN(nn.Module):
     cls_predictor: str = "linear"     # 'linear' | 'normed' (cos-norm head)
     mask_predictor: str = "conv"      # 'conv' | 'normed'
     frozen_stages: int = 1            # reference config: frozen_stages=1
+    norm_eval: bool = True            # reference config: norm_eval=True
     compute_dtype: object = None      # e.g. jnp.bfloat16 for backbone/FPN/RPN
     iif_weights: tuple = ()           # for cls_predictor='iif_normed'
     cls_init: tuple = ("normal", 0.01)  # fc_cls weight init (IIF: constant)
@@ -57,6 +58,7 @@ class MaskRCNN(nn.Module):
         layers, block = _DEPTH_LAYERS[self.depth]
         self.backbone = ResNet(layers=layers, block=block,
                                frozen_stages=self.frozen_stages,
+                               norm_eval=self.norm_eval,
                                dtype=self.compute_dtype, name="backbone")
         self.neck = FPN(out_channels=256, num_outs=5,
                         dtype=self.compute_dtype, name="neck")

@@ -38,6 +38,157 @@ def keep_ratio_scale(h: int, w: int, scale: Tuple[int, int]) -> float:
     return min(max_long / max(h, w), max_short / min(h, w))
 
 
+# --------------------------------------------------------------------------
+# Optional pre-resize transforms (mmdet pipelines/transforms.py parity:
+# RandomCrop :710, PhotoMetricDistortion :932, CutOut :1868, Albu :1315).
+# They operate on a sample dict {image uint8 HxWx3, boxes (N,4) xyxy,
+# labels (N,), masks optional (N, H, W) uint8} on the host, before the
+# keep-ratio resize onto the static canvas.
+# --------------------------------------------------------------------------
+class PhotoMetricDistortion:
+    """Random brightness/contrast/saturation/hue + channel swap, applied
+    with the same coin-flip structure as the reference transform."""
+
+    def __init__(self, brightness_delta: float = 32,
+                 contrast_range: Tuple[float, float] = (0.5, 1.5),
+                 saturation_range: Tuple[float, float] = (0.5, 1.5),
+                 hue_delta: float = 18):
+        self.brightness_delta = brightness_delta
+        self.contrast_lower, self.contrast_upper = contrast_range
+        self.saturation_lower, self.saturation_upper = saturation_range
+        self.hue_delta = hue_delta
+
+    def __call__(self, sample: Dict, rng: np.random.RandomState) -> Dict:
+        import cv2
+
+        img = sample["image"].astype(np.float32)
+        if rng.randint(2):
+            img += rng.uniform(-self.brightness_delta,
+                               self.brightness_delta)
+        contrast_first = rng.randint(2)
+        if contrast_first and rng.randint(2):
+            img *= rng.uniform(self.contrast_lower, self.contrast_upper)
+        # saturation + hue in HSV space
+        hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
+                           cv2.COLOR_RGB2HSV).astype(np.float32)
+        if rng.randint(2):
+            hsv[..., 1] *= rng.uniform(self.saturation_lower,
+                                       self.saturation_upper)
+        if rng.randint(2):
+            hsv[..., 0] = (hsv[..., 0] + rng.uniform(
+                -self.hue_delta, self.hue_delta)) % 180
+        img = cv2.cvtColor(
+            np.clip(hsv, 0, 255).astype(np.uint8),
+            cv2.COLOR_HSV2RGB).astype(np.float32)
+        if not contrast_first and rng.randint(2):
+            img *= rng.uniform(self.contrast_lower, self.contrast_upper)
+        if rng.randint(2):
+            img = img[..., rng.permutation(3)]
+        sample["image"] = np.clip(img, 0, 255).astype(np.uint8)
+        return sample
+
+
+class RandomCrop:
+    """Random absolute-size crop; boxes are shifted+clipped and instances
+    whose box vanishes are dropped (with their masks/labels)."""
+
+    def __init__(self, crop_size: Tuple[int, int],
+                 allow_negative_crop: bool = False):
+        self.crop_size = tuple(crop_size)    # (h, w)
+        self.allow_negative_crop = allow_negative_crop
+
+    def __call__(self, sample: Dict, rng: np.random.RandomState) -> Dict:
+        img = sample["image"]
+        h, w = img.shape[:2]
+        ch, cw = min(self.crop_size[0], h), min(self.crop_size[1], w)
+        y0 = rng.randint(0, h - ch + 1)
+        x0 = rng.randint(0, w - cw + 1)
+        boxes = sample["boxes"].copy()
+        boxes[:, [0, 2]] -= x0
+        boxes[:, [1, 3]] -= y0
+        boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, cw)
+        boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, ch)
+        keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+        if not keep.any() and not self.allow_negative_crop:
+            return sample                     # reference: skip the crop
+        sample["image"] = img[y0:y0 + ch, x0:x0 + cw]
+        sample["boxes"] = boxes[keep]
+        sample["labels"] = sample["labels"][keep]
+        if sample.get("masks") is not None:
+            sample["masks"] = sample["masks"][keep][:, y0:y0 + ch,
+                                                    x0:x0 + cw]
+        return sample
+
+
+class CutOut:
+    """Random square/rect holes filled with ``fill_in`` (det CutOut)."""
+
+    def __init__(self, n_holes, cutout_shape=None, cutout_ratio=None,
+                 fill_in=(0, 0, 0)):
+        self.n_holes = (n_holes if isinstance(n_holes, (tuple, list))
+                        else (n_holes, n_holes))
+        self.shape = cutout_shape     # absolute (h, w) candidates
+        self.ratio = cutout_ratio     # relative candidates
+        self.fill_in = fill_in
+
+    def __call__(self, sample: Dict, rng: np.random.RandomState) -> Dict:
+        img = sample["image"].copy()
+        h, w = img.shape[:2]
+        n = rng.randint(self.n_holes[0], self.n_holes[1] + 1)
+        cands = self.shape if self.shape is not None else self.ratio
+        cands = [cands] if not isinstance(cands[0], (tuple, list)) else cands
+        for _ in range(n):
+            sh, sw = cands[rng.randint(len(cands))]
+            if self.shape is None:
+                sh, sw = int(sh * h), int(sw * w)
+            y0 = rng.randint(0, max(h - int(sh), 0) + 1)
+            x0 = rng.randint(0, max(w - int(sw), 0) + 1)
+            img[y0:y0 + int(sh), x0:x0 + int(sw)] = self.fill_in
+        sample["image"] = img
+        return sample
+
+
+class Albu:
+    """Adapter running an albumentations pipeline when the (optional)
+    package is importable — the reference's ``Albu`` wrapper surface."""
+
+    def __init__(self, transforms: Sequence[Dict]):
+        try:
+            import albumentations as A
+        except ImportError as e:   # package not shipped in this image
+            raise ImportError(
+                "Albu requires the 'albumentations' package") from e
+        self.aug = A.Compose(
+            [getattr(A, t["type"])(**{k: v for k, v in t.items()
+                                      if k != "type"})
+             for t in transforms],
+            bbox_params=A.BboxParams(format="pascal_voc",
+                                     label_fields=["labels"]))
+
+    def __call__(self, sample: Dict, rng: np.random.RandomState) -> Dict:
+        out = self.aug(image=sample["image"],
+                       bboxes=sample["boxes"].tolist(),
+                       labels=sample["labels"].tolist())
+        sample["image"] = out["image"]
+        sample["boxes"] = np.asarray(out["bboxes"],
+                                     np.float32).reshape(-1, 4)
+        sample["labels"] = np.asarray(out["labels"], np.int64)
+        return sample
+
+
+EXTRA_TRANSFORMS = {
+    "PhotoMetricDistortion": PhotoMetricDistortion,
+    "RandomCrop": RandomCrop,
+    "CutOut": CutOut,
+    "Albu": Albu,
+}
+
+
+def build_extra_transforms(cfgs: Sequence[Dict]) -> List:
+    return [EXTRA_TRANSFORMS[c["type"]](
+        **{k: v for k, v in c.items() if k != "type"}) for c in cfgs]
+
+
 class DetectionPipeline:
     def __init__(
         self,
@@ -49,6 +200,7 @@ class DetectionPipeline:
         mask_stride: int = 1,
         mean: np.ndarray = IMAGENET_MEAN,
         std: np.ndarray = IMAGENET_STD,
+        extra_transforms: Optional[Sequence] = None,
     ):
         self.canvas = canvas
         self.scales = list(scales)
@@ -58,10 +210,40 @@ class DetectionPipeline:
         self.mask_stride = mask_stride
         self.mean = mean
         self.std = std
+        # optional pre-resize transforms (RandomCrop / PhotoMetric-
+        # Distortion / CutOut / Albu), train-time only
+        self.extra_transforms = list(extra_transforms or [])
+
+    def _rasterize(self, ann: Dict, n: int) -> np.ndarray:
+        masks = np.zeros((n, ann["height"], ann["width"]), np.uint8)
+        for i in range(n):
+            segm = ann["segms"][i]
+            if segm is None:
+                x1, y1, x2, y2 = ann["boxes"][i].astype(int)
+                masks[i, y1:y2, x1:x2] = 1
+            else:
+                masks[i] = segm_to_bitmap(segm, ann["height"], ann["width"])
+        return masks
 
     def __call__(self, image: np.ndarray, ann: Dict, rng: np.random.RandomState,
                  train: bool = True) -> Dict[str, np.ndarray]:
         import cv2
+
+        ann_boxes = ann["boxes"]
+        ann_labels = ann["labels"]
+        mask_bitmaps = None            # full-res (N, H0, W0) when extras ran
+        if train and self.extra_transforms:
+            if self.with_mask:
+                mask_bitmaps = self._rasterize(ann, len(ann_boxes))
+            sample = {"image": image, "boxes": ann_boxes.copy(),
+                      "labels": np.asarray(ann_labels).copy(),
+                      "masks": mask_bitmaps}
+            for t in self.extra_transforms:
+                sample = t(sample, rng)
+            image = sample["image"]
+            ann_boxes = sample["boxes"]
+            ann_labels = sample["labels"]
+            mask_bitmaps = sample.get("masks")
 
         h0, w0 = image.shape[:2]
         scale = self.scales[rng.randint(len(self.scales))] if train \
@@ -73,7 +255,7 @@ class DetectionPipeline:
         nh, nw = int(h0 * factor + 0.5), int(w0 * factor + 0.5)
         img = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
 
-        boxes = ann["boxes"] * factor
+        boxes = ann_boxes * factor
         flip = train and rng.rand() < self.flip_prob
         if flip:
             img = img[:, ::-1]
@@ -91,7 +273,7 @@ class DetectionPipeline:
         gt_labels = np.zeros(g, np.int64)
         gt_valid = np.zeros(g, bool)
         gt_boxes[:n] = boxes[:n]
-        gt_labels[:n] = ann["labels"][:n]
+        gt_labels[:n] = ann_labels[:n]
         gt_valid[:n] = True
 
         out = {
@@ -109,12 +291,15 @@ class DetectionPipeline:
             mh, mw = ch // s, cw // s
             masks = np.zeros((g, mh, mw), np.uint8)
             for i in range(n):
-                segm = ann["segms"][i]
-                if segm is None:
+                if mask_bitmaps is not None:       # extras pre-rasterized
+                    m = mask_bitmaps[i]
+                elif ann["segms"][i] is None:
                     x1, y1, x2, y2 = boxes[i].astype(int)
                     masks[i, y1 // s:y2 // s, x1 // s:x2 // s] = 1
                     continue
-                m = segm_to_bitmap(segm, ann["height"], ann["width"])
+                else:
+                    m = segm_to_bitmap(ann["segms"][i], ann["height"],
+                                       ann["width"])
                 m = cv2.resize(m, (nw, nh),
                                interpolation=cv2.INTER_NEAREST)
                 if flip:

@@ -24,7 +24,7 @@ from flax import linen as nn
 
 from iif_tpu.ops.assigner import max_iou_assign
 from iif_tpu.ops.boxes import bbox2delta, delta2bbox
-from iif_tpu.ops.nms import batched_nms
+from iif_tpu.ops.nms import nms
 from iif_tpu.ops.sampler import random_sample_pos_neg
 
 normal_init = nn.initializers.normal(stddev=0.01)
@@ -124,40 +124,52 @@ def rpn_proposals(
     target_stds=(1.0, 1.0, 1.0, 1.0),
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (proposals (B, P, 4), scores (B, P), valid (B, P)),
-    P = max_per_img. Fixed shapes throughout."""
+    P = max_per_img. Fixed shapes throughout.
+
+    NMS runs PER LEVEL (mmdet's ``batched_nms`` with level ids never
+    crosses levels, so per-level sweeps are exactly equivalent while the
+    pairwise-IoU work drops from (sum k_l)^2 to sum k_l^2 — 5x at the
+    LVIS recipe's 5 x 2000 candidates). The per-level candidate top-k
+    uses the TPU-native ``approx_max_k`` on the big low levels (level 0
+    alone is 200k anchors at 800x1344; a full sort there dominates the
+    whole RPN)."""
     b = cls_scores[0].shape[0]
-    cand_boxes, cand_scores, cand_lvl = [], [], []
+    out_boxes, out_scores = [], []
     for lvl, (s, d, anc) in enumerate(zip(cls_scores, bbox_preds,
                                           anchors_per_level)):
         s = jax.nn.sigmoid(s.reshape(b, -1).astype(jnp.float32))
         d = d.reshape(b, -1, 4)
         k = min(nms_pre, s.shape[1])
-        top_s, top_i = jax.lax.top_k(s, k)
+        if s.shape[1] >= 8192:
+            top_s, top_i = jax.lax.approx_max_k(s, k, recall_target=0.95)
+        else:
+            top_s, top_i = jax.lax.top_k(s, k)
         anc_b = jnp.broadcast_to(anc[None], (b,) + anc.shape)
         sel_anc = jnp.take_along_axis(anc_b, top_i[..., None], axis=1)
         sel_d = jnp.take_along_axis(d, top_i[..., None], axis=1)
         boxes = delta2bbox(sel_anc, sel_d, target_means, target_stds,
                            max_shape=img_shape)
-        cand_boxes.append(boxes)
-        cand_scores.append(top_s)
-        cand_lvl.append(jnp.full((b, k), lvl, jnp.int32))
-    boxes = jnp.concatenate(cand_boxes, axis=1)
-    scores = jnp.concatenate(cand_scores, axis=1)
-    lvls = jnp.concatenate(cand_lvl, axis=1)
+        if min_bbox_size >= 0:
+            w = boxes[..., 2] - boxes[..., 0]
+            h = boxes[..., 3] - boxes[..., 1]
+            ok = (w > min_bbox_size) & (h > min_bbox_size)
+            top_s = jnp.where(ok, top_s, -jnp.inf)
 
-    if min_bbox_size >= 0:
-        w = boxes[..., 2] - boxes[..., 0]
-        h = boxes[..., 3] - boxes[..., 1]
-        ok = (w > min_bbox_size) & (h > min_bbox_size)
-        scores = jnp.where(ok, scores, -jnp.inf)
+        def _one_level(bx, sc):
+            keep, order = nms(bx, sc, nms_iou)
+            return bx[order], jnp.where(keep, sc[order], -jnp.inf)
 
-    def _one(bx, sc, lv):
-        keep, order = batched_nms(bx, sc, lv, nms_iou)
-        kept = jnp.where(keep, sc[order], -jnp.inf)
-        top_s, top_i = jax.lax.top_k(kept, max_per_img)
-        sel = order[top_i]
+        bx_l, sc_l = jax.vmap(_one_level)(boxes, top_s)
+        out_boxes.append(bx_l)
+        out_scores.append(sc_l)
+
+    boxes = jnp.concatenate(out_boxes, axis=1)     # (B, sum k_l, 4)
+    scores = jnp.concatenate(out_scores, axis=1)   # survivors only finite
+
+    def _one(bx, sc):
+        top_s, top_i = jax.lax.top_k(sc, max_per_img)
         valid = jnp.isfinite(top_s)
-        return jnp.where(valid[:, None], bx[sel], 0.0), \
-            jnp.where(valid, sc[sel], 0.0), valid
+        return jnp.where(valid[:, None], bx[top_i], 0.0), \
+            jnp.where(valid, top_s, 0.0), valid
 
-    return jax.vmap(_one)(boxes, scores, lvls)
+    return jax.vmap(_one)(boxes, scores)

@@ -268,6 +268,35 @@ class DetectionTrainer:
         return tuple(new_fasa)
 
 
+def frozen_backbone_mask(params: Any, frozen_stages: int) -> Any:
+    """Boolean pytree, True = trainable: the stem and stages <=
+    ``frozen_stages`` are frozen (reference mmdet ResNet._freeze_stages
+    sets requires_grad=False — no gradient, no weight decay)."""
+    frozen_prefixes = []
+    if frozen_stages >= 0:
+        frozen_prefixes = ["conv1", "bn1"] + [
+            f"layer{s}_" for s in range(1, frozen_stages + 1)]
+
+    def _trainable(path) -> bool:
+        keys = [str(getattr(k, "key", "")) for k in path]
+        if len(keys) < 2 or keys[0] != "backbone":
+            return True
+        return not any(keys[1].startswith(p) for p in frozen_prefixes)
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(
+        treedef, [_trainable(p) for p, _ in flat])
+
+
+def combine_masks(*masks) -> Any:
+    """AND several trainable-param masks (e.g. frozen backbone + selectp)."""
+    out = masks[0]
+    for m in masks[1:]:
+        out = jax.tree_util.tree_map(lambda a, b: a and b, out, m)
+    return out
+
+
 # ---------------------------------------------------- selectp param freezing
 def selectp_mask(params: Any, selectp: int) -> Any:
     """Trainable-param masks for decoupled detector finetuning

@@ -74,13 +74,19 @@ def build_optimizer(
     opt_name = opt_name.lower()
     chain = []
     if trainable_mask is not None:
-        # decoupled training (`--decoup`): zero grads of frozen params
+        # frozen params (decoup / frozen_stages): torch requires_grad=False
+        # semantics — neither gradients NOR weight decay touch them. Zero
+        # incoming grads here (so clipping sees only trainable grads, like
+        # torch clip-then-step) and zero the final update again after wd.
         chain.append(optax.masked(optax.set_to_zero(),
                                   lambda p: _invert_mask(trainable_mask, p)))
     if grad_clip:
         chain.append(optax.clip_by_global_norm(grad_clip))
     if weight_decay:
         chain.append(optax.add_decayed_weights(weight_decay))
+    if trainable_mask is not None and weight_decay:
+        chain.append(optax.masked(optax.set_to_zero(),
+                                  lambda p: _invert_mask(trainable_mask, p)))
     if opt_name == "sgd":
         chain += [optax.trace(decay=momentum),
                   optax.scale_by_learning_rate(lr_schedule)]

@@ -120,8 +120,12 @@ class ResNet(nn.Module):
     width_per_group: int = 64
     use_se: bool = False
     # Detection-backbone knobs (reference mmdet ResNet: frozen_stages=1,
-    # norm_eval=True in every IIF config).
+    # norm_eval=True in every IIF config). frozen_stages stops gradients
+    # AND stats updates for the stem + stages <= frozen_stages (the
+    # reference's requires_grad=False); norm_eval keeps every BN in eval
+    # mode even in train (running stats only, affine still trained).
     frozen_stages: int = -1
+    norm_eval: bool = False
     dtype: object = None
 
     def stage_widths(self) -> List[int]:
@@ -138,22 +142,28 @@ class ResNet(nn.Module):
         train: bool = False,
         return_features: bool = False,
     ) -> Union[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+        import jax
+
         block_cls = Bottleneck if self.block == "bottleneck" else BasicBlockV1
         if self.dtype is not None:
             x = x.astype(self.dtype)
         # Stem: 7x7/2 + maxpool 3x3/2.
-        stem_train = train and self.frozen_stages < 0
+        stem_train = train and self.frozen_stages < 0 and not self.norm_eval
         out = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                       kernel_init=conv_init, dtype=self.dtype,
                       name="conv1")(x)
         out = BatchNorm(use_running_average=not stem_train, name="bn1")(out)
         out = nn.relu(out)
         out = nn.max_pool(out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if self.frozen_stages >= 0:
+            # requires_grad=False equivalent: no backward through the stem
+            out = jax.lax.stop_gradient(out)
 
         feats = []
         for stage, (planes, n_blocks) in enumerate(
                 zip(self.stage_widths(), self.layers), start=1):
-            stage_train = train and stage > self.frozen_stages
+            stage_train = (train and stage > self.frozen_stages
+                           and not self.norm_eval)
             stride = 1 if stage == 1 else 2
             for i in range(n_blocks):
                 first = i == 0
@@ -171,6 +181,8 @@ class ResNet(nn.Module):
                         use_se=self.use_se, dtype=self.dtype,
                         name=f"layer{stage}_{i}")
                 out = blk(out, stage_train)
+            if stage <= self.frozen_stages:
+                out = jax.lax.stop_gradient(out)
             feats.append(out)
 
         if return_features:

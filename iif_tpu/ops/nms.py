@@ -50,13 +50,15 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float = 0.5,
         scores_s = jnp.concatenate(
             [scores_s, jnp.full(pad, -jnp.inf, scores_s.dtype)])
     np_ = n_blocks * b
-    iou = bbox_overlaps(boxes_s, boxes_s)
     valid0 = scores_s > score_threshold
     idx = jnp.arange(np_)
 
     def _block(bi, keep):
         lo = bi * b
-        rows = jax.lax.dynamic_slice(iou, (lo, 0), (b, np_))   # (B, NP)
+        # IoU rows computed per block: never materialize the (N, N)
+        # matrix (at N=10k that's 400MB of HBM write+read per image)
+        boxes_blk = jax.lax.dynamic_slice(boxes_s, (lo, 0), (b, 4))
+        rows = bbox_overlaps(boxes_blk, boxes_s)               # (B, NP)
         blk_valid = jax.lax.dynamic_slice(valid0, (lo,), (b,))
         # suppression by kept boxes in earlier blocks
         prev_kept = keep & (idx < lo)

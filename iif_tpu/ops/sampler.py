@@ -21,12 +21,27 @@ def _masked_topk_choice(key: jax.Array, mask: jnp.ndarray, k: int
 
     Returns (indices (k,), chosen_valid (k,)): invalid slots point at the
     first True element (or 0) and are masked out by ``chosen_valid``.
+
+    Above 8192 candidates the Gumbel top-k runs through the TPU-native
+    ``approx_max_k`` (a full 268k-anchor sort per image dominates RPN
+    target assembly otherwise). With iid noise keys the approximate
+    reduction still selects a uniform random subset — dropping a
+    candidate that shares a reduction bin with a higher-noise one is
+    itself symmetric over positions; the only deviation is that when
+    valid candidates are SCARCE (< a few per bin) a slot can come back
+    invalid even though a candidate existed. Scarce happens only for
+    positives, where the validity mask keeps correctness and the
+    occasional one-fewer-positive is statistically immaterial.
     """
     n = mask.shape[0]
     noise = jax.random.uniform(key, (n,))
     scores = jnp.where(mask, noise, -1.0)
     k_eff = min(k, n)
-    top_scores, idx = jax.lax.top_k(scores, k_eff)
+    if n >= 8192:
+        top_scores, idx = jax.lax.approx_max_k(scores, k_eff,
+                                               recall_target=0.95)
+    else:
+        top_scores, idx = jax.lax.top_k(scores, k_eff)
     if k_eff < k:  # candidate pool smaller than request: pad
         top_scores = jnp.concatenate(
             [top_scores, jnp.full(k - k_eff, -1.0, top_scores.dtype)])

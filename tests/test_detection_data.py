@@ -238,3 +238,82 @@ def test_concat_and_repeat_wrappers(tmp_path):
     assert len(rep) == 3 * len(ds)
     assert rep.class_image_counts().tolist() == \
         (3 * ds.class_image_counts()).tolist()
+
+
+def test_photometric_distortion_shapes():
+    from iif_tpu.detection.pipeline import PhotoMetricDistortion
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (64, 80, 3), np.uint8)
+    s = {"image": img, "boxes": np.zeros((0, 4), np.float32),
+         "labels": np.zeros(0, np.int64), "masks": None}
+    out = PhotoMetricDistortion()(s, rng)
+    assert out["image"].shape == (64, 80, 3)
+    assert out["image"].dtype == np.uint8
+
+
+def test_random_crop_shifts_and_drops_boxes():
+    from iif_tpu.detection.pipeline import RandomCrop
+
+    rng = np.random.RandomState(3)
+    img = np.zeros((100, 100, 3), np.uint8)
+    boxes = np.array([[10, 10, 30, 30], [80, 80, 95, 95]], np.float32)
+    labels = np.array([1, 2])
+    masks = np.zeros((2, 100, 100), np.uint8)
+    masks[0, 10:30, 10:30] = 1
+    masks[1, 80:95, 80:95] = 1
+    s = {"image": img, "boxes": boxes, "labels": labels, "masks": masks}
+    # deterministic crop: window as large as the image -> no-op content
+    out = RandomCrop((100, 100))(dict(s), rng)
+    np.testing.assert_allclose(out["boxes"], boxes)
+    # 40x40 window at origin keeps only the first box
+    class _FixedRng:
+        def randint(self, lo, hi=None):
+            return 0
+    out = RandomCrop((40, 40))(dict(s), _FixedRng())
+    assert len(out["boxes"]) == 1
+    np.testing.assert_allclose(out["boxes"][0], [10, 10, 30, 30])
+    assert out["labels"].tolist() == [1]
+    assert out["masks"].shape == (1, 40, 40)
+
+
+def test_cutout_fills_holes():
+    from iif_tpu.detection.pipeline import CutOut
+
+    rng = np.random.RandomState(0)
+    img = np.full((50, 50, 3), 200, np.uint8)
+    s = {"image": img, "boxes": np.zeros((0, 4), np.float32),
+         "labels": np.zeros(0, np.int64)}
+    out = CutOut(n_holes=2, cutout_shape=(10, 10), fill_in=(0, 0, 0))(s, rng)
+    assert (out["image"] == 0).any()
+    assert out["image"].shape == (50, 50, 3)
+
+
+def test_pipeline_with_extra_transforms():
+    from iif_tpu.detection.pipeline import (CutOut, DetectionPipeline,
+                                            PhotoMetricDistortion)
+
+    rng = np.random.RandomState(0)
+    pipe = DetectionPipeline(
+        canvas=(64, 96), scales=[(96, 64)], max_gt=4, mask_stride=1,
+        extra_transforms=[PhotoMetricDistortion(), CutOut(1, (8, 8))])
+    img = rng.randint(0, 255, (60, 90, 3), np.uint8)
+    ann = {"boxes": np.array([[5, 5, 40, 40]], np.float32),
+           "labels": np.array([0]), "segms": [None],
+           "height": 60, "width": 90}
+    out = pipe(img, ann, rng, train=True)
+    assert out["image"].shape == (64, 96, 3)
+    assert out["gt_valid"][0]
+    assert out["gt_masks"].shape == (4, 64, 96)
+    assert out["gt_masks"][0].sum() > 0
+
+
+def test_build_extra_transforms_factory():
+    from iif_tpu.detection.pipeline import build_extra_transforms
+
+    ts = build_extra_transforms([
+        dict(type="PhotoMetricDistortion", brightness_delta=16),
+        dict(type="RandomCrop", crop_size=(32, 32)),
+        dict(type="CutOut", n_holes=1, cutout_shape=(4, 4)),
+    ])
+    assert len(ts) == 3
