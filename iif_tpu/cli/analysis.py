@@ -32,7 +32,37 @@ def main():
     l.add_argument("path")
     l.add_argument("--key", default="time")
 
+    e = sub.add_parser("eval_metric",
+                       help="offline eval of a dumped results json "
+                            "(tools/analysis_tools/eval_metric.py)")
+    e.add_argument("config")
+    e.add_argument("results", help="results json from test_det --out")
+    e.add_argument("--eval", nargs="+", default=["bbox"])
+
+    ea = sub.add_parser("coco_error_analysis",
+                        help="per-category error decomposition "
+                             "(tools/analysis_tools/coco_error_analysis.py)")
+    ea.add_argument("config")
+    ea.add_argument("results")
+    ea.add_argument("--eval", default="bbox", choices=["bbox", "segm"])
+    ea.add_argument("--topk", default=20, type=int,
+                    help="print the K worst categories")
+
+    oa = sub.add_parser("optimize_anchors",
+                        help="k-means IoU anchor search over the train "
+                             "set (tools/analysis_tools/optimize_anchors.py)")
+    oa.add_argument("config")
+    oa.add_argument("--num-anchors", default=3, type=int,
+                    help="anchors per FPN level (RPN ratios count)")
+    oa.add_argument("--iters", default=50, type=int)
+
     args = p.parse_args()
+    if args.cmd in ("eval_metric", "coco_error_analysis"):
+        _offline_eval(args)
+        return
+    if args.cmd == "optimize_anchors":
+        _optimize_anchors(args)
+        return
     if args.cmd == "logs":
         from iif_tpu.utils.profiling import analyze_log_json
 
@@ -98,6 +128,104 @@ def main():
     fps = args.batch_size * args.num_iters / dt
     print(f"Overall fps: {fps:.2f} img/s ({dt / args.num_iters * 1e3:.1f} "
           f"ms/iter, batch {args.batch_size})")
+
+
+def _build_test_evaluator(args):
+    import json
+
+    from iif_tpu.config import Config
+    from iif_tpu.detection.datasets import DATASETS
+    from iif_tpu.detection.evaluation import DetEvaluator
+
+    cfg = Config.fromfile(args.config)
+    ds = DATASETS.build({k: v for k, v in cfg.data["test"].items()
+                         if k != "oversample_thr"})
+    with open(args.results) as f:
+        results = json.load(f)
+    gt_anns = [a for rec in ds.img_infos for a in rec["anns"]]
+    ev = DetEvaluator(ds.img_infos, gt_anns, ds.cat_ids,
+                      lvis=ds.lvis_style,
+                      cat_image_counts=ds.cat_image_counts,
+                      cat_frequency=getattr(ds, "cat_frequency", None),
+                      max_dets=cfg.get("test_cfg", {}).get(
+                          "max_per_img", 100))
+    return cfg, ds, ev, results
+
+
+def _offline_eval(args):
+    cfg, ds, ev, results = _build_test_evaluator(args)
+    if args.cmd == "eval_metric":
+        for metric in args.eval:
+            res = ev.evaluate(results,
+                              "segm" if metric == "segm" else "bbox")
+            print(metric, {k: round(v, 4) for k, v in res.items()})
+        return
+    out = ev.error_analysis(results, args.eval)
+    m = out["mean"]
+    print("mean error decomposition ({}):".format(args.eval))
+    print(f"  C75 {m['C75']:.3f} | C50 {m['C50']:.3f} | "
+          f"Loc {m['Loc']:.3f} | BG {m['BG']:.3f} | FN 1.000")
+    print(f"  -> loc err {m['Loc'] - m['C50']:.3f}, bg-FP err "
+          f"{m['BG'] - m['Loc']:.3f}, FN err {1.0 - m['BG']:.3f}")
+    names = {cid: n for cid, n in zip(ds.cat_ids, ds.CLASSES)}
+    worst = sorted(out["per_category"].items(),
+                   key=lambda kv: kv[1]["C50"])[:args.topk]
+    print(f"worst {len(worst)} categories by C50:")
+    for cid, r in worst:
+        print(f"  {names.get(cid, cid):>30}: C75 {r['C75']:.3f} "
+              f"C50 {r['C50']:.3f} Loc {r['Loc']:.3f} BG {r['BG']:.3f}")
+
+
+def _optimize_anchors(args):
+    """k-means (1 - IoU distance, centered boxes) over train-set wh at the
+    train scale; prints per-level (scale, ratio) suggestions for the RPN
+    anchor generator."""
+    import numpy as np
+
+    from iif_tpu.config import Config
+    from iif_tpu.detection.datasets import DATASETS
+    from iif_tpu.detection.pipeline import keep_ratio_scale
+
+    cfg = Config.fromfile(args.config)
+    ds = DATASETS.build({k: v for k, v in cfg.data["train"].items()
+                         if k != "oversample_thr"})
+    scale = tuple(cfg.get("pipeline", {}).get("scales",
+                                              [(1333, 800)])[-1])
+    whs = []
+    for rec in ds.img_infos:
+        f = keep_ratio_scale(rec["height"], rec["width"], scale)
+        for a in rec["anns"]:
+            w, h = a["bbox"][2] * f, a["bbox"][3] * f
+            if w > 1 and h > 1:
+                whs.append((w, h))
+    whs = np.asarray(whs)
+    print(f"{len(whs)} gt boxes at train scale {scale}")
+
+    strides = (4, 8, 16, 32, 64)
+    # cluster within each FPN level's scale band (the RPN assigns by
+    # area: level l covers sqrt(area) in [56*2^(l-1), 56*2^l) roughly)
+    lvl = np.clip(np.floor(np.log2(np.sqrt(whs.prod(1)) / 56.0 + 1e-6)),
+                  0, 4).astype(int) + 0  # same rule as map_roi_levels
+    for level, stride in enumerate(strides):
+        sel = whs[lvl == level] if (lvl == level).any() else whs
+        k = args.num_anchors
+        # k-means with d = 1 - IoU of centered boxes
+        rng = np.random.RandomState(0)
+        cent = sel[rng.choice(len(sel), k, replace=False)]
+        for _ in range(args.iters):
+            inter = (np.minimum(sel[:, None, 0], cent[None, :, 0])
+                     * np.minimum(sel[:, None, 1], cent[None, :, 1]))
+            union = (sel[:, None].prod(-1) + cent[None].prod(-1) - inter)
+            assign = np.argmax(inter / np.maximum(union, 1e-9), axis=1)
+            cent = np.array([
+                np.median(sel[assign == j], axis=0)
+                if (assign == j).any() else cent[j] for j in range(k)])
+        cent = cent[np.argsort(cent.prod(1))]
+        print(f"level {level} (stride {stride}):")
+        for w, h in cent:
+            s = np.sqrt(w * h) / stride
+            print(f"  wh=({w:6.1f},{h:6.1f})  scale={s:5.2f} "
+                  f"ratio={h / w:4.2f}")
 
 
 if __name__ == "__main__":

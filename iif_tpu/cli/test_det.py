@@ -26,6 +26,9 @@ def parse_args():
                    help="draw detections onto images in this dir")
     p.add_argument("--show-score-thr", default=0.3, type=float)
     p.add_argument("--cfg-options", nargs="+", default=[])
+    p.add_argument("--tta", action="store_true",
+                   help="multi-scale+flip aug-test (reference aug_test: "
+                        "merged proposals re-scored per view)")
     return p.parse_args()
 
 
@@ -78,6 +81,53 @@ def run_inference(model, variables, loader, loss_cls, test_cfg, cat_ids,
     return results
 
 
+def run_inference_tta(model, variables, dataset, pipeline, views, loss_cls,
+                      test_cfg, cat_ids, with_mask: bool, max_images=None,
+                      num_shards: int = 1, shard_id: int = 0) -> List[dict]:
+    """Aug-test over `views` ({scale, flip} grid): one jitted program per
+    image with the view axis as the batch axis (detection/tta.py)."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from iif_tpu.detection.evaluation import detections_to_coco_results
+    from iif_tpu.detection.mask_head import paste_masks
+    from iif_tpu.detection.mask_utils import rle_encode
+    from iif_tpu.detection.tta import maskrcnn_aug_test
+
+    run = jax.jit(lambda v, im, sf, fl, chw: maskrcnn_aug_test(
+        model, v, im, sf, fl, chw, loss_cls, test_cfg))
+
+    results: List[dict] = []
+    indices = list(range(shard_id, len(dataset), num_shards))
+    if max_images:
+        indices = indices[:max_images]
+    for i in indices:
+        img = cv2.cvtColor(cv2.imread(dataset.image_path(i)),
+                           cv2.COLOR_BGR2RGB)
+        samples = [pipeline.eval_view(img, v["scale"], v["flip"])
+                   for v in views]
+        ims = jnp.stack([s["image"] for s in samples])
+        sfs = jnp.asarray([s["scale_factor"] for s in samples])
+        fls = jnp.asarray([bool(s["flip"]) for s in samples])
+        chw = jnp.asarray([s["img_shape"] for s in samples], jnp.float32)
+        out = jax.device_get(run(variables, ims, sfs, fls, chw))
+        boxes = np.asarray(out["boxes"])[None]
+        ann = dataset.get_ann(i)
+        masks_rle = None
+        if with_mask and "masks" in out:
+            pasted = np.asarray(paste_masks(
+                jnp.asarray(out["masks"]), jnp.asarray(boxes[0]),
+                (ann["height"], ann["width"])))
+            masks_rle = [[rle_encode(pasted[k].astype(np.uint8))
+                          for k in range(pasted.shape[0])]]
+        results.extend(detections_to_coco_results(
+            np.asarray([dataset.img_infos[i]["id"]]), boxes,
+            np.asarray(out["scores"])[None], np.asarray(out["labels"])[None],
+            np.asarray(out["valid"])[None], cat_ids, masks=masks_rle))
+    return results
+
+
 def main():
     import jax
 
@@ -110,6 +160,7 @@ def main():
     mtype = cfg.model.get("type", "MaskRCNN")
     from iif_tpu.detection.detector import model_kwargs_from_cfg
 
+    cfg.model.pop("pretrained_backbone", None)   # train-time only
     model_kw = model_kwargs_from_cfg(cfg.model)
     if model_kw.get("cls_predictor") == "iif_normed":
         model_kw["iif_weights"] = tuple(
@@ -127,9 +178,28 @@ def main():
                  "batch_stats": restored["state"]["batch_stats"]}
     test_cfg = DetTestCfg(**cfg.get("test_cfg", {}))
 
-    results = run_inference(model, variables, loader, loss_cls, test_cfg,
-                            test_ds.cat_ids, cfg.model.get("with_mask", True),
-                            max_images=args.max_images)
+    if args.tta:
+        if mtype == "CascadeMaskRCNN":
+            raise SystemExit("--tta supports MaskRCNN (the reference's IIF "
+                             "TTA results are MaskRCNN); use plain eval "
+                             "for cascade models")
+        from iif_tpu.detection.tta import multi_scale_flip_views
+
+        tta_cfg = cfg.get("tta", {})
+        views = multi_scale_flip_views(
+            [tuple(s) for s in tta_cfg.get(
+                "scales", pcfg.get("scales", [(1333, 800)])[-1:])],
+            flip=tta_cfg.get("flip", True))
+        results = run_inference_tta(
+            model, variables, test_ds, pipeline, views, loss_cls, test_cfg,
+            test_ds.cat_ids, cfg.model.get("with_mask", True),
+            max_images=args.max_images, num_shards=jax.process_count(),
+            shard_id=jax.process_index())
+    else:
+        results = run_inference(model, variables, loader, loss_cls, test_cfg,
+                                test_ds.cat_ids,
+                                cfg.model.get("with_mask", True),
+                                max_images=args.max_images)
     # multi-host: merge per-host result lists; rank 0 evaluates/dumps
     # (reference collect_results_cpu, apis/test.py:118-191)
     from iif_tpu.parallel import gather_objects, is_main_process

@@ -30,6 +30,9 @@ def parse_args():
     p.add_argument("--cfg-options", nargs="+", default=[])
     p.add_argument("--max-steps", default=None, type=int,
                    help="cap train steps per epoch (smoke runs)")
+    p.add_argument("--tp", default=None, type=int,
+                   help="tensor-parallel degree: mesh (data, model=tp); "
+                        "heads sharded over 'model' (detection_tp_rules)")
     return p.parse_args()
 
 
@@ -87,7 +90,8 @@ def main():
     cfg.dump(os.path.join(work_dir, "config_dump.py"))
 
     initialize_distributed()
-    mesh = make_mesh()
+    tp = args.tp or cfg.get("parallel", {}).get("tp", 1)
+    mesh = make_mesh(model=tp)
     seed = args.seed if args.seed is not None else cfg.get("seed", 0)
 
     # ------------------------------------------------------------------ data
@@ -106,7 +110,7 @@ def main():
         extra_transforms=build_extra_transforms(pcfg.get("extras", [])))
     loader = DetectionLoader(
         train_ds, pipeline, batch_size=dcfg.get("samples_per_gpu", 4)
-        * mesh.devices.size,
+        * mesh.shape["data"],   # global batch = per-DP-shard x data axis
         oversample_thr=dcfg["train"].get("oversample_thr", 0.0), seed=seed)
 
     num_classes = cfg.model["num_classes"]
@@ -121,6 +125,7 @@ def main():
     from iif_tpu.detection.detector import model_kwargs_from_cfg
 
     mtype = cfg.model.get("type", "MaskRCNN")
+    pretrained_backbone = cfg.model.pop("pretrained_backbone", None)
     model_kw = model_kwargs_from_cfg(cfg.model)
     if model_kw.get("cls_predictor") == "iif_normed":
         # thread the dataset-derived IIF vector into the head (the
@@ -151,10 +156,15 @@ def main():
         warmup_factor=lcfg.get("warmup_factor", 1.0 / 1000))
     grad_clip = cfg.get("optimizer_config", {}).get(
         "grad_clip", {}) or {}
+    pw = ocfg.get("paramwise_cfg", {}) or {}
+    from iif_tpu.engine.schedules import norm_decay_mask
     tx = build_optimizer(ocfg.get("type", "sgd"), schedule,
                          ocfg.get("momentum", 0.9),
                          ocfg.get("weight_decay", 1e-4),
-                         grad_clip=grad_clip.get("max_norm"))
+                         grad_clip=grad_clip.get("max_norm"),
+                         decay_mask=(norm_decay_mask
+                                     if pw.get("norm_decay_mult") == 0.0
+                                     else None))
 
     fasa_cfg = cfg.get("fasa_cfg")
     fasa_state = None
@@ -175,8 +185,12 @@ def main():
                 _jax.tree_util.tree_map(_jnp.copy, fasa_state)
                 for _ in range(model.num_stages))
 
+    from iif_tpu.parallel import detection_tp_rules
+
     trainer = DetectionTrainer(model, loss_cls, tx, mesh, train_cfg,
-                               fasa_cfg=fasa_cfg, seed=seed)
+                               fasa_cfg=fasa_cfg, seed=seed,
+                               param_rules=(detection_tp_rules()
+                                            if tp > 1 else None))
     canvas = pipeline.canvas
     state = trainer.init_state((canvas[0], canvas[1], 3),
                                fasa_state=fasa_state, seed=seed)
@@ -194,9 +208,33 @@ def main():
                              ocfg.get("momentum", 0.9),
                              ocfg.get("weight_decay", 1e-4),
                              trainable_mask=mask,
-                             grad_clip=grad_clip.get("max_norm"))
+                             grad_clip=grad_clip.get("max_norm"),
+                             decay_mask=(norm_decay_mask
+                                         if pw.get("norm_decay_mult") == 0.0
+                                         else None))
         trainer.tx = tx
         state = state.replace(opt_state=tx.init(state.params))
+
+    if pretrained_backbone:
+        # reference init_cfg=dict(type='Pretrained', prefix='backbone.')
+        # (rsb recipe) or torchvision:// backbones: overlay a converted
+        # torch ResNet checkpoint onto the detector backbone
+        from iif_tpu.models.pretrained import (load_torch_checkpoint,
+                                               merge_pretrained)
+
+        bb_p, bb_bs = load_torch_checkpoint(pretrained_backbone,
+                                            prefix="backbone.")
+        merged = merge_pretrained(
+            {"params": state.params["backbone"],
+             "batch_stats": (state.batch_stats or {}).get("backbone", {})},
+            bb_p, bb_bs)
+        new_params = dict(state.params)
+        new_params["backbone"] = merged["params"]
+        new_bs = dict(state.batch_stats or {})
+        new_bs["backbone"] = merged.get("batch_stats",
+                                        new_bs.get("backbone", {}))
+        state = state.replace(params=jax.device_put(new_params),
+                              batch_stats=jax.device_put(new_bs))
 
     mngr = CheckpointManager(os.path.join(work_dir, "checkpoints"))
     start_epoch = 0

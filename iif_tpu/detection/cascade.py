@@ -55,6 +55,8 @@ class CascadeMaskRCNN(nn.Module):
     with_mask: bool = True
     cls_predictor: str = "linear"
     mask_predictor: str = "conv"
+    cls_temperature: float = 8.0      # NormedLinear temp (see detector.py)
+    mask_temperature: float = 20.0
     frozen_stages: int = 1
     norm_eval: bool = True            # reference config: norm_eval=True
     iif_weights: tuple = ()
@@ -82,6 +84,7 @@ class CascadeMaskRCNN(nn.Module):
             Shared2FCBBoxHead(self.num_classes,
                               reg_class_agnostic=self.reg_class_agnostic,
                               cls_predictor=self.cls_predictor,
+                              cls_temperature=self.cls_temperature,
                               iif_weights=self.iif_weights,
                               cls_init=tuple(self.cls_init),
                               name=f"bbox_head_{i}")
@@ -89,6 +92,7 @@ class CascadeMaskRCNN(nn.Module):
         if self.with_mask:
             self.mask_heads = [
                 FCNMaskHead(self.num_classes, predictor=self.mask_predictor,
+                            temperature=self.mask_temperature,
                             name=f"mask_head_{i}")
                 for i in range(self.num_stages)]
 

@@ -48,6 +48,11 @@ class MaskRCNN(nn.Module):
     with_mask: bool = True
     cls_predictor: str = "linear"     # 'linear' | 'normed' (cos-norm head)
     mask_predictor: str = "conv"      # 'conv' | 'normed'
+    # NormedLinear/NormedConv2d temperatures: the reference FASA configs use
+    # cls temp 8 with IIF but temp 20 without (fasa_r50_cos_norm_4x4_2x.py
+    # cls_predictor_cfg tempearture=20); mask head is always 20
+    cls_temperature: float = 8.0
+    mask_temperature: float = 20.0
     frozen_stages: int = 1            # reference config: frozen_stages=1
     norm_eval: bool = True            # reference config: norm_eval=True
     compute_dtype: object = None      # e.g. jnp.bfloat16 for backbone/FPN/RPN
@@ -66,11 +71,13 @@ class MaskRCNN(nn.Module):
                                 name="rpn_head")
         self.bbox_head = Shared2FCBBoxHead(
             self.num_classes, cls_predictor=self.cls_predictor,
+            cls_temperature=self.cls_temperature,
             iif_weights=self.iif_weights, cls_init=tuple(self.cls_init),
             name="bbox_head")
         if self.with_mask:
             self.mask_head = FCNMaskHead(
                 self.num_classes, predictor=self.mask_predictor,
+                temperature=self.mask_temperature,
                 name="mask_head")
 
     # ----------------------------------------------------------- sub-passes

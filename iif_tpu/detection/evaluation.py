@@ -66,7 +66,9 @@ class _ImgCatResult:
 
 def _evaluate_img_cat(dts: List[dict], gts: List[dict], iou_type: str,
                       area_rng: Tuple[float, float], max_dets: int,
-                      nel: bool = False) -> Optional[_ImgCatResult]:
+                      nel: bool = False,
+                      iou_thrs: np.ndarray = IOU_THRS
+                      ) -> Optional[_ImgCatResult]:
     """``nel``: category not exhaustively annotated in this image — the
     LVIS protocol then ignores UNMATCHED detections instead of counting
     them as FPs (lvis-api eval semantics). Area ranges are closed
@@ -99,10 +101,10 @@ def _evaluate_img_cat(dts: List[dict], gts: List[dict], iou_type: str,
             np.array([d["bbox"] for d in dts]).reshape(-1, 4),
             np.array([g["bbox"] for g in gts]).reshape(-1, 4), iscrowd)
 
-    T, D, G = len(IOU_THRS), len(dts), len(gts)
+    T, D, G = len(iou_thrs), len(dts), len(gts)
     dt_matched = np.zeros((T, D), bool)
     dt_ignore = np.zeros((T, D), bool)
-    for t, thr in enumerate(IOU_THRS):
+    for t, thr in enumerate(iou_thrs):
         g_taken = np.zeros(G, bool)
         for d in range(D):
             best, best_g = min(thr, 1 - 1e-10), -1
@@ -135,9 +137,11 @@ def _evaluate_img_cat(dts: List[dict], gts: List[dict], iou_type: str,
                          int((~g_ignore).sum()))
 
 
-def _accumulate(results: List[_ImgCatResult]) -> Tuple[np.ndarray, np.ndarray]:
+def _accumulate(results: List[_ImgCatResult],
+                n_thrs: int = len(IOU_THRS)
+                ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-category precision (T, R) and recall (T,) arrays."""
-    T, R = len(IOU_THRS), len(REC_THRS)
+    T, R = n_thrs, len(REC_THRS)
     precision = -np.ones((T, R))
     recall = -np.ones(T)
     results = [r for r in results if r is not None]
@@ -293,6 +297,68 @@ class DetEvaluator:
             out["APc"] = _ap(buckets["c"])
             out["APf"] = _ap(buckets["f"])
         return out
+
+    def error_analysis(self, detections: List[dict],
+                       iou_type: str = "bbox") -> Dict[str, Dict[str, float]]:
+        """COCO error analysis (``tools/analysis_tools/
+        coco_error_analysis.py`` semantics, minus the supercategory
+        Sim/Oth stages which need COCO supercats): per category the AP at
+        progressively forgiving settings —
+
+        - C75 / C50: AP at IoU 0.75 / 0.50
+        - Loc:  AP at IoU 0.10 (localization errors forgiven)
+        - BG:   Loc + unmatched detections ignored (background FPs
+                forgiven; only missed GTs remain)
+        - FN:   1.0 (all remaining error is false negatives)
+
+        Returns {"per_category": {cat_id: {...}}, "mean": {...}};
+        stacked-bar deltas between consecutive stages are each error
+        mode's contribution.
+        """
+        if iou_type == "segm":
+            self._gt_segms_to_rle()
+        dt_by_img_cat: Dict[Tuple, List[dict]] = defaultdict(list)
+        dt_by_img: Dict[int, List[dict]] = defaultdict(list)
+        for d in detections:
+            dt_by_img_cat[(d["image_id"], d["category_id"])].append(d)
+            dt_by_img[d["image_id"]].append(d)
+
+        thrs = np.array([0.75, 0.50, 0.10])
+        rng = AREA_RANGES["all"]
+        per_cat: Dict[int, Dict[str, float]] = {}
+
+        def _ap1(precs: np.ndarray) -> float:
+            v = precs[precs > -1]
+            return float(v.mean()) if v.size else float("nan")
+
+        for cat in self.cat_ids:
+            imgs = self._img_list(cat)
+            res = [_evaluate_img_cat(
+                dt_by_img_cat.get((iid, cat), []),
+                self.gt_by_img_cat.get((iid, cat), []),
+                iou_type, rng, self.max_dets, iou_thrs=thrs)
+                for iid in imgs]
+            prec, _ = _accumulate(res, n_thrs=len(thrs))
+            # BG: IoU 0.1 with every unmatched detection ignored (the
+            # ``nel`` flag ignores unmatched dts — exactly the BG stage)
+            res_bg = [_evaluate_img_cat(
+                dt_by_img_cat.get((iid, cat), []),
+                self.gt_by_img_cat.get((iid, cat), []),
+                iou_type, rng, self.max_dets, nel=True,
+                iou_thrs=thrs[2:])
+                for iid in imgs]
+            prec_bg, _ = _accumulate(res_bg, n_thrs=1)
+            per_cat[cat] = {
+                "C75": _ap1(prec[0]),
+                "C50": _ap1(prec[1]),
+                "Loc": _ap1(prec[2]),
+                "BG": _ap1(prec_bg[0]),
+                "FN": 1.0,
+            }
+        keys = ("C75", "C50", "Loc", "BG", "FN")
+        mean = {k: float(np.nanmean([c[k] for c in per_cat.values()]))
+                for k in keys}
+        return {"per_category": per_cat, "mean": mean}
 
 
 def detections_to_coco_results(

@@ -225,6 +225,30 @@ class DetectionPipeline:
                 masks[i] = segm_to_bitmap(segm, ann["height"], ann["width"])
         return masks
 
+    def eval_view(self, image: np.ndarray, scale: Tuple[int, int],
+                  flip: bool) -> Dict[str, np.ndarray]:
+        """One TTA view (``MultiScaleFlipAug``): keep-ratio resize to
+        ``scale``, optional hflip, normalize, pad to the static canvas.
+        No annotations — inference only."""
+        import cv2
+
+        h0, w0 = image.shape[:2]
+        factor = keep_ratio_scale(h0, w0, scale)
+        ch, cw = self.canvas
+        factor = min(factor, ch / h0, cw / w0)
+        nh, nw = int(h0 * factor + 0.5), int(w0 * factor + 0.5)
+        img = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        if flip:
+            img = img[:, ::-1]
+        out_img = np.zeros((ch, cw, 3), np.float32)
+        out_img[:nh, :nw] = (img.astype(np.float32) - self.mean) / self.std
+        return {
+            "image": out_img,
+            "img_shape": np.array([nh, nw], np.int32),
+            "scale_factor": np.float32(factor),
+            "flip": np.bool_(flip),
+        }
+
     def __call__(self, image: np.ndarray, ann: Dict, rng: np.random.RandomState,
                  train: bool = True) -> Dict[str, np.ndarray]:
         import cv2

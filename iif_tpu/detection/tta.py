@@ -77,3 +77,161 @@ def multi_scale_flip_views(scales: Sequence[Tuple[int, int]],
         if flip:
             views.append({"scale": tuple(s), "flip": True})
     return views
+
+
+# --------------------------------------------------------------------------
+# Reference-faithful two-stage aug-test (``test_mixins.py:138-176,281-311``
+# + ``merge_augs.py``): merge per-view RPN proposals with NMS in original
+# coords, re-score the ONE merged proposal set through the bbox head on
+# every view, average decoded boxes+scores elementwise, single
+# multiclass NMS; mask logits averaged in sigmoid space across views.
+#
+# TPU redesign: all V views share one padded canvas, so the whole thing is
+# a single jitted program with the view axis as a batch axis — backbone,
+# RPN, RoI heads all batch (V, ...); per-view flip/scale mapping is
+# branchless jnp.where arithmetic. One compile, no host round-trips.
+# --------------------------------------------------------------------------
+
+
+def _boxes_to_view(boxes, sf, flip, content_w):
+    """Original-image boxes -> view coords (resize by sf, then hflip within
+    the resized content width). boxes (..., 4); sf/flip/content_w must
+    broadcast against boxes[..., 0] (i.e. one rank below boxes)."""
+    x1, y1 = boxes[..., 0] * sf, boxes[..., 1] * sf
+    x2, y2 = boxes[..., 2] * sf, boxes[..., 3] * sf
+    fx1 = content_w - x2
+    fx2 = content_w - x1
+    x1 = jnp.where(flip, fx1, x1)
+    x2 = jnp.where(flip, fx2, x2)
+    return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def _boxes_from_view(boxes, sf, flip, content_w):
+    """Inverse of `_boxes_to_view` (unflip, then divide by sf)."""
+    x1, y1, x2, y2 = boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3]
+    fx1 = content_w - x2
+    fx2 = content_w - x1
+    x1 = jnp.where(flip, fx1, x1)
+    x2 = jnp.where(flip, fx2, x2)
+    return jnp.stack([x1, y1, x2, y2], axis=-1) / sf[..., None]
+
+
+def maskrcnn_aug_test(
+    model,
+    variables,
+    images: jnp.ndarray,        # (V, H, W, 3) — every view on ONE canvas
+    scale_factors: jnp.ndarray,  # (V,)
+    flips: jnp.ndarray,          # (V,) bool
+    content_hw: jnp.ndarray,     # (V, 2) resized content (h, w) per view
+    loss_cls,
+    cfg=None,
+):
+    """Single-image TTA. Returns fixed-shape detections in ORIGINAL image
+    coordinates: boxes (K,4), scores (K,), labels (K,), valid (K,), and
+    masks (K,S,S) sigmoid probabilities when the model has a mask head."""
+    from iif_tpu.detection.bbox_head import (BBOX_TARGET_MEANS,
+                                             BBOX_TARGET_STDS)
+    from iif_tpu.detection.detector import (DetTestCfg, fpn_shapes,
+                                            make_anchor_generator)
+    from iif_tpu.detection.roi_extractor import SingleRoIExtractor
+    from iif_tpu.detection.rpn import rpn_proposals
+    from iif_tpu.ops.boxes import delta2bbox
+    from iif_tpu.ops.nms import multiclass_nms, nms
+
+    if cfg is None:
+        cfg = DetTestCfg()
+    v, img_h, img_w, _ = images.shape
+    sf = scale_factors.astype(jnp.float32)
+    cw = content_hw[:, 1].astype(jnp.float32)
+
+    # ---- stage 1: per-view RPN proposals (view axis = batch axis)
+    feats = model.apply(variables, images, False,
+                        method=type(model).extract_feat)
+    cls_scores, bbox_preds = model.apply(variables, feats,
+                                         method=type(model).forward_rpn)
+    gen = make_anchor_generator()
+    anchors_np = gen.grid_anchors(fpn_shapes((img_h, img_w)))
+    proposals, prop_scores, prop_valid = rpn_proposals(
+        cls_scores, bbox_preds, [jnp.asarray(a) for a in anchors_np],
+        (img_h, img_w), nms_pre=cfg.rpn_nms_pre,
+        max_per_img=cfg.rpn_max_per_img, nms_iou=cfg.rpn_nms_iou)
+
+    # merge_aug_proposals: map every view's proposals back to original
+    # coords, one class-agnostic NMS over the union, keep top max_per_img
+    orig_props = _boxes_from_view(proposals, sf[:, None],
+                                  flips[:, None], cw[:, None])
+    flat_props = orig_props.reshape(-1, 4)
+    flat_scores = jnp.where(prop_valid.reshape(-1),
+                            prop_scores.reshape(-1), -jnp.inf)
+    keep, order = nms(flat_props, flat_scores, cfg.rpn_nms_iou)
+    # order is score-sorted; pick the first max_per_img kept entries
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    r = cfg.rpn_max_per_img
+    slots = jnp.where(keep & (rank < r), rank, r)
+    merged = jnp.zeros((r + 1, 4), flat_props.dtype).at[slots].set(
+        flat_props[order])[:r]
+    merged_valid = jnp.zeros((r + 1,), bool).at[slots].set(
+        keep & jnp.isfinite(flat_scores[order]))[:r]
+
+    # ---- stage 2: re-score the merged set through the bbox head per view
+    view_props = _boxes_to_view(merged[None], sf[:, None],
+                                flips[:, None], cw[:, None])
+    vidx = jnp.repeat(jnp.arange(v, dtype=jnp.float32), r)
+    rois5 = jnp.concatenate([vidx[:, None], view_props.reshape(-1, 4)],
+                            axis=1)
+    extractor = SingleRoIExtractor((7, 7))
+    roi_feats = extractor(feats[:4], rois5)
+    fwd_bbox = getattr(type(model), "forward_bbox", None)
+    cls_score, bbox_pred, _ = model.apply(variables, roi_feats,
+                                          method=fwd_bbox)
+    if hasattr(loss_cls, "get_activation") and getattr(
+            loss_cls, "custom_activation", False):
+        scores_v = loss_cls.get_activation(cls_score)
+    else:
+        scores_v = jax.nn.softmax(cls_score.astype(jnp.float32), axis=-1)
+    scores_v = scores_v.reshape(v, r, -1)
+    boxes_v = delta2bbox(view_props.reshape(-1, 4),
+                         bbox_pred.astype(jnp.float32),
+                         BBOX_TARGET_MEANS, BBOX_TARGET_STDS)
+    # clamp to each view's resized content (reference: img_shape clamp)
+    ch = content_hw[:, 0].astype(jnp.float32)
+    boxes_v = boxes_v.reshape(v, r, -1, 4)
+    bx = jnp.clip(boxes_v[..., 0::2], 0.0,
+                  cw[:, None, None, None])
+    by = jnp.clip(boxes_v[..., 1::2], 0.0,
+                  ch[:, None, None, None])
+    boxes_v = jnp.stack([bx[..., 0], by[..., 0], bx[..., 1], by[..., 1]],
+                        axis=-1)
+    boxes_orig = _boxes_from_view(boxes_v, sf[:, None, None],
+                                  flips[:, None, None],
+                                  cw[:, None, None])
+    # merge_aug_bboxes: elementwise mean over views (same proposal order)
+    mean_boxes = boxes_orig.mean(axis=0)            # (r, C or 1, 4)
+    mean_scores = scores_v.mean(axis=0)             # (r, C+1)
+    mean_scores = jnp.where(merged_valid[:, None], mean_scores, 0.0)
+    dets, det_scores, det_labels, det_valid = multiclass_nms(
+        mean_boxes.reshape(r, -1), mean_scores, cfg.score_thr,
+        cfg.nms_iou, cfg.max_per_img)
+
+    out = {"boxes": dets, "scores": det_scores, "labels": det_labels,
+           "valid": det_valid}
+    if getattr(model, "with_mask", False):
+        k = dets.shape[0]
+        det_view = _boxes_to_view(dets[None], sf[:, None],
+                                  flips[:, None], cw[:, None])
+        vidx2 = jnp.repeat(jnp.arange(v, dtype=jnp.float32), k)
+        mrois = jnp.concatenate([vidx2[:, None], det_view.reshape(-1, 4)],
+                                axis=1)
+        mfeats = SingleRoIExtractor((14, 14))(feats[:4], mrois)
+        cls_idx = jnp.clip(jnp.tile(det_labels, v), 0,
+                           model.num_classes - 1)
+        sel = model.apply(variables, mfeats, cls_idx,
+                          method=type(model).forward_mask_for_labels)
+        probs = jax.nn.sigmoid(sel.astype(jnp.float32))
+        probs = probs.reshape(v, k, *probs.shape[1:])
+        # merge_aug_masks: mean of sigmoid maps; flipped views' masks are
+        # horizontally mirrored back before averaging
+        probs = jnp.where(flips[:, None, None, None],
+                          probs[:, :, :, ::-1], probs)
+        out["masks"] = probs.mean(axis=0)
+    return out

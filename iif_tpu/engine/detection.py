@@ -59,6 +59,7 @@ class DetectionTrainer:
         train_cfg: DetTrainCfg = DetTrainCfg(),
         fasa_cfg: Optional[Dict[str, float]] = None,
         seed: int = 0,
+        param_rules=None,
     ):
         self.model = model
         self.loss_cls = loss_cls
@@ -74,6 +75,10 @@ class DetectionTrainer:
         self.mesh = mesh
         self.train_cfg = train_cfg
         self.fasa_cfg = fasa_cfg
+        # tensor-parallel placement rules (e.g. detection_tp_rules()):
+        # params + optimizer state sharded over the mesh 'model' axis,
+        # everything else replicated; XLA inserts the head collectives
+        self.param_rules = param_rules
         self.base_rng = jax.random.PRNGKey(seed)
         # NOTE: the only epoch-dependent behaviour is the FASA aug gate
         # (active from epoch >= 1); a static boolean keeps it to at most
@@ -88,12 +93,21 @@ class DetectionTrainer:
             jax.random.PRNGKey(seed),
             jnp.zeros((1,) + tuple(sample_shape), jnp.float32), False)
         params = variables["params"]
-        return jax.device_put(
+        state = jax.device_put(
             DetTrainState(
                 step=jnp.zeros((), jnp.int32), params=params,
                 batch_stats=variables.get("batch_stats", {}),
                 opt_state=self.tx.init(params), fasa=fasa_state),
             replicated(self.mesh))
+        if self.param_rules:
+            from iif_tpu.parallel.mesh import shard_pytree_by_rules
+
+            state = state.replace(
+                params=shard_pytree_by_rules(state.params, self.mesh,
+                                             self.param_rules),
+                opt_state=shard_pytree_by_rules(state.opt_state, self.mesh,
+                                                self.param_rules))
+        return state
 
     def _train_step_impl(self, state: DetTrainState,
                          batch: Dict[str, jnp.ndarray], *,

@@ -66,6 +66,7 @@ def build_optimizer(
     weight_decay: float = 1e-4,
     trainable_mask=None,
     grad_clip: Optional[float] = None,
+    decay_mask=None,
 ) -> optax.GradientTransformation:
     """torch-style coupled weight decay + SGD momentum (buf = m*buf + g;
     update = -lr*buf == torch SGD dampening=0). ``grad_clip`` = global-norm
@@ -82,12 +83,22 @@ def build_optimizer(
                                   lambda p: _invert_mask(trainable_mask, p)))
     if grad_clip:
         chain.append(optax.clip_by_global_norm(grad_clip))
-    if weight_decay:
-        chain.append(optax.add_decayed_weights(weight_decay))
+    if weight_decay and opt_name != "adamw":
+        chain.append(optax.add_decayed_weights(weight_decay,
+                                               mask=decay_mask))
     if trainable_mask is not None and weight_decay:
         chain.append(optax.masked(optax.set_to_zero(),
                                   lambda p: _invert_mask(trainable_mask, p)))
-    if opt_name == "sgd":
+    if opt_name == "adamw":
+        # reference rsb recipe: AdamW lr 2e-4 wd 0.05, paramwise
+        # norm_decay_mult=0 (fasa_iof_..._1x_rsb.py) — decoupled wd applied
+        # inside the lr scaling, norm params excluded via decay_mask
+        chain += [optax.scale_by_adam()]
+        if weight_decay:
+            chain.append(optax.add_decayed_weights(weight_decay,
+                                                   mask=decay_mask))
+        chain.append(optax.scale_by_learning_rate(lr_schedule))
+    elif opt_name == "sgd":
         chain += [optax.trace(decay=momentum),
                   optax.scale_by_learning_rate(lr_schedule)]
     elif opt_name == "nesterov":
@@ -108,6 +119,30 @@ def _invert_mask(mask_tree, params):
     import jax
 
     return jax.tree_util.tree_map(lambda m: not m, mask_tree)
+
+
+def norm_decay_mask(params):
+    """Decay mask excluding normalization params (True = decay): flax BN
+    leaves are ``scale`` plus the ``bias`` that lives next to a ``scale``
+    sibling. This is the reference rsb recipe's paramwise
+    ``norm_decay_mult=0.`` (fasa_iof_base10_..._1x_rsb.py)."""
+    import jax
+
+    def _walk(node):
+        if not isinstance(node, dict):
+            return True
+        is_norm = "scale" in node and isinstance(
+            node.get("scale"), (jax.Array,)) or (
+            "scale" in node and not isinstance(node["scale"], dict))
+        out = {}
+        for k, v in node.items():
+            if isinstance(v, dict):
+                out[k] = _walk(v)
+            else:
+                out[k] = not (k == "scale" or (k == "bias" and is_norm))
+        return out
+
+    return _walk(jax.tree_util.tree_map(lambda x: x, params))
 
 
 HEAD_NAMES = ("linear", "Dense_0", "NormedLinear_0", "CosNormClassifier_0")

@@ -109,10 +109,16 @@ def _map_bn(params, batch_stats, base, leaf, v):
         _assign(batch_stats, base + ("var",), v)
 
 
-def load_torch_checkpoint(path: str, num_classes: Optional[int] = None
+def load_torch_checkpoint(path: str, num_classes: Optional[int] = None,
+                          prefix: Optional[str] = None
                           ) -> Tuple[Dict, Dict]:
     """Load a ``.pth`` file (optionally a trainer checkpoint with a
-    ``model``/``state_dict`` key) and convert."""
+    ``model``/``state_dict`` key) and convert.
+
+    ``prefix``: keep only keys under this prefix and strip it — the
+    reference's ``init_cfg=dict(type='Pretrained', prefix='backbone.')``
+    used by the rsb recipe to load an mmcls classification checkpoint
+    into a detector backbone (fasa_iof_base10_..._1x_rsb.py)."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
@@ -122,6 +128,9 @@ def load_torch_checkpoint(path: str, num_classes: Optional[int] = None
                 ckpt = ckpt[key]
                 break
     ckpt = {k.replace("module.", ""): v for k, v in ckpt.items()}
+    if prefix and any(k.startswith(prefix) for k in ckpt):
+        ckpt = {k[len(prefix):]: v for k, v in ckpt.items()
+                if k.startswith(prefix)}
     return convert_torch_resnet(ckpt, num_classes)
 
 

@@ -9,4 +9,6 @@ from iif_tpu.parallel.mesh import (  # noqa: F401
     process_count,
     process_index,
     gather_objects,
+    shard_pytree_by_rules,
+    detection_tp_rules,
 )

@@ -104,20 +104,54 @@ def shard_pytree_by_rules(tree: Any, mesh: Mesh, rules) -> Any:
     tuple of trailing key names, e.g. (("linear", "kernel"),
     P(None, "model")) shards the classifier's output dim over the model
     axis — XLA inserts the psum for the logits automatically.
+
+    A rule whose sharded dims don't divide the leaf evenly is skipped
+    (replicated) — e.g. the 1203-channel mask predictor at tp=2 while the
+    1204-way fc_cls shards fine.
     """
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     treedef = jax.tree_util.tree_structure(tree)
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
 
-    def _spec(path):
+    def _divisible(leaf, spec: P) -> bool:
+        shape = getattr(leaf, "shape", ())
+        if len(spec) > len(shape):
+            return False
+        for dim, names in enumerate(spec):
+            if names is None:
+                continue
+            names = names if isinstance(names, tuple) else (names,)
+            total = int(np.prod([axis_sizes[n] for n in names]))
+            if shape[dim] % total:
+                return False
+        return True
+
+    def _spec(path, leaf):
         keys = tuple(str(getattr(k, "key", k)) for k in path)
         for suffix, spec in rules:
             if keys[-len(suffix):] == tuple(suffix):
-                return spec
+                return spec if _divisible(leaf, spec) else P()
         return P()
 
-    leaves = [jax.device_put(leaf, NamedSharding(mesh, _spec(path)))
+    leaves = [jax.device_put(leaf, NamedSharding(mesh, _spec(path, leaf)))
               for path, leaf in flat]
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def detection_tp_rules():
+    """Default tensor-parallel rules for the detection heads: shard the
+    1203-class classifier / class-specific regressor (and mask predictor
+    where divisible) over the 'model' axis. The backbone/FPN stay
+    replicated (data-parallel) — at LVIS scale the wide head matmuls are
+    where TP pays, the 3x3 conv trunk is not."""
+    return [
+        (("fc_cls", "kernel"), P(None, MODEL_AXIS)),
+        (("fc_cls", "bias"), P(MODEL_AXIS)),
+        (("fc_reg", "kernel"), P(None, MODEL_AXIS)),
+        (("fc_reg", "bias"), P(MODEL_AXIS)),
+        (("conv_logits", "kernel"), P(None, None, None, MODEL_AXIS)),
+        (("conv_logits", "bias"), P(MODEL_AXIS)),
+    ]
 
 
 def process_index() -> int:

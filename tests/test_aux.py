@@ -157,3 +157,59 @@ def test_metric_logger_sink():
     assert [r["iter"] for r in recs] == [0, 2, 4]
     assert "time" in recs[0] and "data_time" in recs[0]
     assert "loss" in recs[-1]
+
+
+def _mini_det_workspace(tmp_path):
+    """Synthetic COCO dataset on disk + a config + perfect results json
+    (reuses the e2e fixture generator)."""
+    import json
+
+    from tests.test_detection_e2e import _make_dataset, _write_config
+
+    root = str(tmp_path)
+    ann_path = _make_dataset(root, n_imgs=4, n_cats=1)
+    cfg_path = _write_config(root, ann_path)
+    with open(ann_path) as f:
+        ann = json.load(f)
+    results = [
+        {"image_id": a["image_id"], "category_id": a["category_id"],
+         "bbox": a["bbox"], "score": 0.9}
+        for a in ann["annotations"]]
+    res_path = os.path.join(root, "results.json")
+    with open(res_path, "w") as f:
+        json.dump(results, f)
+    return cfg_path, res_path
+
+
+def test_analysis_eval_metric_and_error_analysis(tmp_path, capsys):
+    """tools/analysis_tools equivalents: offline eval of a results json
+    + the per-category error decomposition."""
+    import argparse
+
+    from iif_tpu.cli.analysis import _offline_eval
+
+    cfg_path, res_path = _mini_det_workspace(tmp_path)
+    _offline_eval(argparse.Namespace(cmd="eval_metric", config=cfg_path,
+                                     results=res_path, eval=["bbox"]))
+    out = capsys.readouterr().out
+    assert "'AP': 1.0" in out
+
+    _offline_eval(argparse.Namespace(cmd="coco_error_analysis",
+                                     config=cfg_path, results=res_path,
+                                     eval="bbox", topk=3))
+    out = capsys.readouterr().out
+    assert "C75 1.000" in out
+    assert "FN err 0.000" in out
+
+
+def test_analysis_optimize_anchors(tmp_path, capsys):
+    import argparse
+
+    from iif_tpu.cli.analysis import _optimize_anchors
+
+    cfg_path, _ = _mini_det_workspace(tmp_path)
+    _optimize_anchors(argparse.Namespace(config=cfg_path, num_anchors=2,
+                                         iters=5))
+    out = capsys.readouterr().out
+    assert "level 0 (stride 4):" in out
+    assert "ratio=" in out

@@ -237,3 +237,32 @@ def test_gather_objects_single_process():
 
     obj = [{"image_id": 1, "score": 0.5}]
     assert gather_objects(obj) == [obj]
+
+
+def test_error_analysis_stages():
+    """coco_error_analysis semantics: perfect dets give 1.0 at every
+    stage; a mislocalized det (IoU ~0.3) is an error at C50 but forgiven
+    at Loc (IoU .1); a pure background FP is only forgiven at BG."""
+    imgs = [{"id": 1, "width": 200, "height": 200}]
+    anns = [{"image_id": 1, "category_id": 1, "bbox": _box(0, 0, 10, 10),
+             "iscrowd": 0, "area": 100.0}]
+    ev = DetEvaluator(imgs, anns, [1], max_dets=100)
+
+    perfect = [dict(image_id=1, category_id=1, bbox=_box(0, 0, 10, 10),
+                    score=0.9)]
+    out = ev.error_analysis(perfect)["mean"]
+    assert out["C75"] == out["C50"] == out["Loc"] == out["BG"] == 1.0
+
+    # IoU = 25/175 ~ 0.14: fails C50, passes Loc
+    shifted = [dict(image_id=1, category_id=1, bbox=_box(5, 5, 10, 10),
+                    score=0.9)]
+    out = ev.error_analysis(shifted)["mean"]
+    assert out["C50"] == 0.0
+    assert out["Loc"] == 1.0
+
+    # far-away FP with a higher score: hurts Loc precision, forgiven at BG
+    bg_fp = perfect + [dict(image_id=1, category_id=1,
+                            bbox=_box(150, 150, 10, 10), score=0.95)]
+    out = ev.error_analysis(bg_fp)["mean"]
+    assert out["Loc"] < 1.0
+    assert out["BG"] == 1.0

@@ -67,3 +67,73 @@ def test_multi_scale_flip_views():
     views = multi_scale_flip_views([(1333, 800), (1333, 640)], flip=True)
     assert len(views) == 4
     assert views[1]["flip"] and not views[0]["flip"]
+
+
+# ---------------------------------------------------------------- aug-test
+H = W = 128
+NC = 6
+
+
+@pytest.fixture(scope="module")
+def tiny_detector():
+    from iif_tpu.detection.detector import MaskRCNN
+
+    model = MaskRCNN(num_classes=NC, depth=18, frozen_stages=-1)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)), False)
+    return model, variables
+
+
+def test_maskrcnn_aug_test_shapes_and_flip_consistency(tiny_detector):
+    """Reference aug-test semantics (test_mixins.py:138-176): merged
+    proposals re-scored per view, averaged, one NMS. Identity+flip views
+    of the same image must agree with the single-view result."""
+    from iif_tpu.detection.detector import DetTestCfg
+    from iif_tpu.detection.tta import maskrcnn_aug_test
+
+    model, variables = tiny_detector
+    cfg = DetTestCfg(rpn_nms_pre=64, rpn_max_per_img=32, max_per_img=10,
+                     score_thr=0.0)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (H, W, 3))
+    views = jnp.stack([img, img[:, ::-1, :]])           # identity + hflip
+    sf = jnp.ones((2,))
+    flips = jnp.asarray([False, True])
+    content = jnp.asarray([[H, W], [H, W]], jnp.float32)
+
+    out = jax.jit(lambda v, im: maskrcnn_aug_test(
+        model, v, im, sf, flips, content,
+        _iif_ones(), cfg))(variables, views)
+    assert out["boxes"].shape == (10, 4)
+    assert out["scores"].shape == (10,)
+    assert out["masks"].shape == (10, 28, 28)
+    b = np.asarray(out["boxes"])[np.asarray(out["valid"])]
+    assert np.isfinite(b).all()
+    assert (b[:, 2] >= b[:, 0] - 1e-3).all()
+    assert (b[:, :4] >= -1e-3).all() and (b[:, 2] <= W + 1e-3).all()
+
+    # single identity view ~ matches the two-view result's top box (the
+    # flipped view sees the mirrored image -> same features mirrored)
+    out1 = jax.jit(lambda v, im: maskrcnn_aug_test(
+        model, v, im, sf[:1], flips[:1], content[:1],
+        _iif_ones(), cfg))(variables, views[:1])
+    v1 = np.asarray(out1["valid"]); v2 = np.asarray(out["valid"])
+    assert v1.any() == v2.any()
+
+
+def _iif_ones():
+    from iif_tpu.detection.losses import DetIIFLoss
+
+    return DetIIFLoss(weights=jnp.ones(NC + 1))
+
+
+def test_aug_test_box_mapping_roundtrip():
+    from iif_tpu.detection.tta import _boxes_from_view, _boxes_to_view
+
+    boxes = jnp.asarray([[10., 20., 50., 60.], [0., 0., 30., 30.]])
+    for flip in (False, True):
+        v = _boxes_to_view(boxes, jnp.float32(2.0), jnp.asarray(flip),
+                           jnp.float32(200.0))
+        back = _boxes_from_view(v, jnp.float32(2.0), jnp.asarray(flip),
+                                jnp.float32(200.0))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(boxes),
+                                   atol=1e-5)
