@@ -94,7 +94,7 @@ def bench_detection() -> dict:
     B, H, W, C, G = 4, 800, 1344, 1203, 100
     mesh = make_mesh()
     n_chips = mesh.devices.size
-    cfg = DetTrainCfg(rpn_nms_pre=2000, mask_gt_stride=2)
+    cfg = DetTrainCfg(rpn_nms_pre=2000, mask_gt_stride=2, roi_ext="ml")
     model = MaskRCNN(num_classes=C, depth=50, compute_dtype=jnp.bfloat16)
     loss_cls = DetIIFLoss(weights=jnp.asarray(
         np.log(100170.0 / np.linspace(64, 2000, C)).astype(np.float32)

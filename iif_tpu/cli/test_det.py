@@ -90,13 +90,19 @@ def run_inference_tta(model, variables, dataset, pipeline, views, loss_cls,
     import jax
     import jax.numpy as jnp
 
+    from iif_tpu.detection.cascade import CascadeMaskRCNN
     from iif_tpu.detection.evaluation import detections_to_coco_results
     from iif_tpu.detection.mask_head import paste_masks
     from iif_tpu.detection.mask_utils import rle_encode
-    from iif_tpu.detection.tta import maskrcnn_aug_test
+    from iif_tpu.detection.tta import cascade_aug_test, maskrcnn_aug_test
 
-    run = jax.jit(lambda v, im, sf, fl, chw: maskrcnn_aug_test(
-        model, v, im, sf, fl, chw, loss_cls, test_cfg))
+    if isinstance(model, CascadeMaskRCNN):
+        run = jax.jit(lambda v, im, sf, fl, chw: cascade_aug_test(
+            model, v, im, sf, fl, chw, [loss_cls] * model.num_stages,
+            test_cfg))
+    else:
+        run = jax.jit(lambda v, im, sf, fl, chw: maskrcnn_aug_test(
+            model, v, im, sf, fl, chw, loss_cls, test_cfg))
 
     results: List[dict] = []
     indices = list(range(shard_id, len(dataset), num_shards))
@@ -179,10 +185,6 @@ def main():
     test_cfg = DetTestCfg(**cfg.get("test_cfg", {}))
 
     if args.tta:
-        if mtype == "CascadeMaskRCNN":
-            raise SystemExit("--tta supports MaskRCNN (the reference's IIF "
-                             "TTA results are MaskRCNN); use plain eval "
-                             "for cascade models")
         from iif_tpu.detection.tta import multi_scale_flip_views
 
         tta_cfg = cfg.get("tta", {})

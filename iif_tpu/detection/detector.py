@@ -125,6 +125,8 @@ class DetTrainCfg(NamedTuple):
     mask_size: int = 28
     num_mask_rois: int = 128         # = rcnn_num_samples * pos_fraction
     mask_gt_stride: int = 1          # gt masks stored at 1/s canvas res
+    roi_ext: str = "flat"            # "flat" (XLA gather) | "ml" (Pallas
+    #                                   multi-level DMA kernel, custom VJP)
 
 
 class DetTestCfg(NamedTuple):
@@ -225,7 +227,8 @@ def maskrcnn_loss(
     rois5 = jnp.concatenate(
         [batch_idx[:, None], tgts.rois.reshape(-1, 4)], axis=1)
 
-    extractor = SingleRoIExtractor((7, 7))
+    ext_kind = "ml" if cfg.roi_ext == "ml" else False
+    extractor = SingleRoIExtractor((7, 7), use_pallas=ext_kind)
     roi_feats = extractor(feats[:4], rois5)
     cls_score, bbox_pred, embedding = model.apply(
         variables, roi_feats, method=MaskRCNN.forward_bbox)
@@ -263,7 +266,7 @@ def maskrcnn_loss(
         pos_gt = tgts.pos_gt_inds[:, :m].reshape(-1)
         pos_labels = tgts.labels[:, :m].reshape(-1)
 
-        mask_extractor = SingleRoIExtractor((14, 14))
+        mask_extractor = SingleRoIExtractor((14, 14), use_pallas=ext_kind)
         mask_feats = mask_extractor(feats[:4], pos_rois5)
         # per-label logits: avoids the (R, S, S, C) full-logit tensor
         # whose backward scatter is multi-GB at LVIS scale

@@ -53,6 +53,20 @@ class SingleRoIExtractor:
                  ) -> jnp.ndarray:
         """feats: L x (B, H_l, W_l, C); rois (R, 5) = (batch_idx, x1..y2).
         Returns (R, oh, ow, C)."""
+        if self.use_pallas == "ml":
+            # single-pass multi-level DMA kernel with a custom-VJP
+            # backward (usable in training); falls back off-TPU
+            from iif_tpu.ops.pallas.roi_align_kernel import (
+                ml_supported, roi_align_pallas_ml)
+
+            if (ml_supported(feats[:self.num_inputs])
+                    and self.output_size[0] == self.output_size[1]):
+                return roi_align_pallas_ml(
+                    tuple(feats[:self.num_inputs]), rois, self.output_size,
+                    self.featmap_strides,
+                    self.sampling_ratio if self.sampling_ratio > 0 else 2,
+                    self.finest_scale).astype(feats[0].dtype)
+            return self._flat_gather(feats, rois)
         if self.use_pallas:
             return self._per_level_pallas(feats, rois)
         return self._flat_gather(feats, rois)

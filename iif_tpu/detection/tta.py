@@ -1,12 +1,18 @@
 """Test-time augmentation for detection.
 
 Rebuild of ``MultiScaleFlipAug`` (``pipelines/test_time_aug.py:11``) +
-``core/post_processing/merge_augs.py``: run inference over a grid of
-(scale, flip) views, map detections back to original image coordinates,
-and fuse. The reference's two-stage aug-test re-scores merged proposals
-through the bbox head; here we fuse final detections with class-aware NMS
-over the union — one extra NMS instead of a second head pass (same
-O(views) cost, no dynamic shapes).
+``core/post_processing/merge_augs.py`` + the two-stage aug-test mixins
+(``test_mixins.py:138-176,281-311``, ``cascade_roi_head.py:458-530``):
+
+- ``maskrcnn_aug_test`` / ``cascade_aug_test`` — the reference-faithful
+  path: per-view RPN proposals merged with NMS in original coords, the
+  ONE merged set re-scored through the (cascade) bbox head on every
+  view, decoded boxes+scores averaged elementwise, a single multiclass
+  NMS; masks averaged in sigmoid space over views (and cascade stages).
+  TPU design: every view shares one padded canvas, so the whole thing is
+  one jitted program with the view axis as the batch axis.
+- ``merge_aug_detections`` — a cheaper detection-level fusion (union +
+  class-aware NMS) kept for models without a re-scorable head.
 """
 from __future__ import annotations
 
@@ -116,6 +122,44 @@ def _boxes_from_view(boxes, sf, flip, content_w):
     return jnp.stack([x1, y1, x2, y2], axis=-1) / sf[..., None]
 
 
+def _merged_aug_proposals(model, variables, images, sf, flips, cw, cfg):
+    """Per-view RPN (view axis = batch axis) + ``merge_aug_proposals``:
+    map every view's proposals back to original coords, one
+    class-agnostic NMS over the union, keep the top max_per_img.
+    Returns (fpn feats, merged (R,4) orig-coords proposals, valid (R,))."""
+    from iif_tpu.detection.detector import fpn_shapes, make_anchor_generator
+    from iif_tpu.detection.rpn import rpn_proposals
+    from iif_tpu.ops.nms import nms
+
+    v, img_h, img_w, _ = images.shape
+    feats = model.apply(variables, images, False,
+                        method=type(model).extract_feat)
+    cls_scores, bbox_preds = model.apply(variables, feats,
+                                         method=type(model).forward_rpn)
+    gen = make_anchor_generator()
+    anchors_np = gen.grid_anchors(fpn_shapes((img_h, img_w)))
+    proposals, prop_scores, prop_valid = rpn_proposals(
+        cls_scores, bbox_preds, [jnp.asarray(a) for a in anchors_np],
+        (img_h, img_w), nms_pre=cfg.rpn_nms_pre,
+        max_per_img=cfg.rpn_max_per_img, nms_iou=cfg.rpn_nms_iou)
+
+    orig_props = _boxes_from_view(proposals, sf[:, None],
+                                  flips[:, None], cw[:, None])
+    flat_props = orig_props.reshape(-1, 4)
+    flat_scores = jnp.where(prop_valid.reshape(-1),
+                            prop_scores.reshape(-1), -jnp.inf)
+    keep, order = nms(flat_props, flat_scores, cfg.rpn_nms_iou)
+    # order is score-sorted; pick the first max_per_img kept entries
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    r = cfg.rpn_max_per_img
+    slots = jnp.where(keep & (rank < r), rank, r)
+    merged = jnp.zeros((r + 1, 4), flat_props.dtype).at[slots].set(
+        flat_props[order])[:r]
+    merged_valid = jnp.zeros((r + 1,), bool).at[slots].set(
+        keep & jnp.isfinite(flat_scores[order]))[:r]
+    return feats, merged, merged_valid
+
+
 def maskrcnn_aug_test(
     model,
     variables,
@@ -131,47 +175,19 @@ def maskrcnn_aug_test(
     masks (K,S,S) sigmoid probabilities when the model has a mask head."""
     from iif_tpu.detection.bbox_head import (BBOX_TARGET_MEANS,
                                              BBOX_TARGET_STDS)
-    from iif_tpu.detection.detector import (DetTestCfg, fpn_shapes,
-                                            make_anchor_generator)
+    from iif_tpu.detection.detector import DetTestCfg
     from iif_tpu.detection.roi_extractor import SingleRoIExtractor
-    from iif_tpu.detection.rpn import rpn_proposals
     from iif_tpu.ops.boxes import delta2bbox
-    from iif_tpu.ops.nms import multiclass_nms, nms
+    from iif_tpu.ops.nms import multiclass_nms
 
     if cfg is None:
         cfg = DetTestCfg()
     v, img_h, img_w, _ = images.shape
     sf = scale_factors.astype(jnp.float32)
     cw = content_hw[:, 1].astype(jnp.float32)
-
-    # ---- stage 1: per-view RPN proposals (view axis = batch axis)
-    feats = model.apply(variables, images, False,
-                        method=type(model).extract_feat)
-    cls_scores, bbox_preds = model.apply(variables, feats,
-                                         method=type(model).forward_rpn)
-    gen = make_anchor_generator()
-    anchors_np = gen.grid_anchors(fpn_shapes((img_h, img_w)))
-    proposals, prop_scores, prop_valid = rpn_proposals(
-        cls_scores, bbox_preds, [jnp.asarray(a) for a in anchors_np],
-        (img_h, img_w), nms_pre=cfg.rpn_nms_pre,
-        max_per_img=cfg.rpn_max_per_img, nms_iou=cfg.rpn_nms_iou)
-
-    # merge_aug_proposals: map every view's proposals back to original
-    # coords, one class-agnostic NMS over the union, keep top max_per_img
-    orig_props = _boxes_from_view(proposals, sf[:, None],
-                                  flips[:, None], cw[:, None])
-    flat_props = orig_props.reshape(-1, 4)
-    flat_scores = jnp.where(prop_valid.reshape(-1),
-                            prop_scores.reshape(-1), -jnp.inf)
-    keep, order = nms(flat_props, flat_scores, cfg.rpn_nms_iou)
-    # order is score-sorted; pick the first max_per_img kept entries
-    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    r = cfg.rpn_max_per_img
-    slots = jnp.where(keep & (rank < r), rank, r)
-    merged = jnp.zeros((r + 1, 4), flat_props.dtype).at[slots].set(
-        flat_props[order])[:r]
-    merged_valid = jnp.zeros((r + 1,), bool).at[slots].set(
-        keep & jnp.isfinite(flat_scores[order]))[:r]
+    feats, merged, merged_valid = _merged_aug_proposals(
+        model, variables, images, sf, flips, cw, cfg)
+    r = merged.shape[0]
 
     # ---- stage 2: re-score the merged set through the bbox head per view
     view_props = _boxes_to_view(merged[None], sf[:, None],
@@ -231,6 +247,107 @@ def maskrcnn_aug_test(
         probs = probs.reshape(v, k, *probs.shape[1:])
         # merge_aug_masks: mean of sigmoid maps; flipped views' masks are
         # horizontally mirrored back before averaging
+        probs = jnp.where(flips[:, None, None, None],
+                          probs[:, :, :, ::-1], probs)
+        out["masks"] = probs.mean(axis=0)
+    return out
+
+
+def cascade_aug_test(
+    model,
+    variables,
+    images: jnp.ndarray,         # (V, H, W, 3)
+    scale_factors: jnp.ndarray,  # (V,)
+    flips: jnp.ndarray,          # (V,) bool
+    content_hw: jnp.ndarray,     # (V, 2)
+    loss_cls_per_stage,
+    cfg=None,
+):
+    """Cascade aug-test (``cascade_roi_head.py:458-530``): per view the
+    merged proposals run all stages with between-stage label-selected
+    refinement, stage activations are averaged (matching our
+    ``cascade_simple_test``), then boxes/scores are averaged across views
+    and one multiclass NMS runs; masks average over stages AND views."""
+    from iif_tpu.detection.cascade import (CascadeMaskRCNN, _refine,
+                                           _select_pred)
+    from iif_tpu.detection.detector import DetTestCfg
+    from iif_tpu.detection.roi_extractor import SingleRoIExtractor
+    from iif_tpu.ops.nms import multiclass_nms
+
+    if cfg is None:
+        cfg = DetTestCfg()
+    v = images.shape[0]
+    sf = scale_factors.astype(jnp.float32)
+    cw = content_hw[:, 1].astype(jnp.float32)
+    ch = content_hw[:, 0].astype(jnp.float32)
+    feats, merged, merged_valid = _merged_aug_proposals(
+        model, variables, images, sf, flips, cw, cfg)
+    r = merged.shape[0]
+
+    def _clamp_view(boxes_vr4):
+        bx = jnp.clip(boxes_vr4[..., 0::2], 0.0, cw[:, None, None])
+        by = jnp.clip(boxes_vr4[..., 1::2], 0.0, ch[:, None, None])
+        return jnp.stack([bx[..., 0], by[..., 0], bx[..., 1], by[..., 1]],
+                         axis=-1)
+
+    rois = _boxes_to_view(merged[None], sf[:, None], flips[:, None],
+                          cw[:, None])                  # (V, R, 4)
+    vidx = jnp.repeat(jnp.arange(v, dtype=jnp.float32), r)
+    extractor = SingleRoIExtractor((7, 7))
+    stage_scores = []
+    for stage in range(model.num_stages):
+        rois5 = jnp.concatenate([vidx[:, None], rois.reshape(-1, 4)],
+                                axis=1)
+        roi_feats = extractor(feats[:4], rois5)
+        cls_score, bbox_pred, _ = model.apply(
+            variables, roi_feats, stage,
+            method=CascadeMaskRCNN.forward_bbox_stage)
+        lc = loss_cls_per_stage[stage]
+        if getattr(lc, "custom_activation", False):
+            stage_scores.append(lc.get_activation(cls_score))
+        else:
+            stage_scores.append(jax.nn.softmax(
+                cls_score.astype(jnp.float32), -1))
+        fg_label = cls_score[:, :-1].argmax(-1)
+        pred4 = _select_pred(bbox_pred, fg_label, model.num_classes,
+                             model.reg_class_agnostic)
+        if stage < model.num_stages - 1:
+            rois = _clamp_view(_refine(
+                rois.reshape(-1, 4), pred4, None,
+                model.stage_stds[stage]).reshape(v, r, 4))
+
+    final_view = _clamp_view(_refine(
+        rois.reshape(-1, 4), pred4, None,
+        model.stage_stds[-1]).reshape(v, r, 4))
+    boxes_orig = _boxes_from_view(final_view, sf[:, None], flips[:, None],
+                                  cw[:, None])          # (V, R, 4)
+    avg_scores = (sum(stage_scores) / len(stage_scores)).reshape(v, r, -1)
+    mean_boxes = boxes_orig.mean(axis=0)                # (R, 4)
+    mean_scores = avg_scores.mean(axis=0)               # (R, C+1)
+    mean_scores = jnp.where(merged_valid[:, None], mean_scores, 0.0)
+    dets, det_scores, det_labels, det_valid = multiclass_nms(
+        mean_boxes, mean_scores, cfg.score_thr, cfg.nms_iou,
+        cfg.max_per_img)
+
+    out = {"boxes": dets, "scores": det_scores, "labels": det_labels,
+           "valid": det_valid}
+    if getattr(model, "with_mask", False):
+        k = dets.shape[0]
+        det_view = _boxes_to_view(dets[None], sf[:, None], flips[:, None],
+                                  cw[:, None])
+        vidx2 = jnp.repeat(jnp.arange(v, dtype=jnp.float32), k)
+        mrois = jnp.concatenate([vidx2[:, None], det_view.reshape(-1, 4)],
+                                axis=1)
+        mfeats = SingleRoIExtractor((14, 14))(feats[:4], mrois)
+        cls_idx = jnp.clip(jnp.tile(det_labels, v), 0,
+                           model.num_classes - 1)
+        probs = 0.0
+        for stage in range(model.num_stages):
+            sel = model.apply(
+                variables, mfeats, cls_idx, stage,
+                method=CascadeMaskRCNN.forward_mask_for_labels_stage)
+            probs = probs + jax.nn.sigmoid(sel.astype(jnp.float32))
+        probs = (probs / model.num_stages).reshape(v, k, 28, 28)
         probs = jnp.where(flips[:, None, None, None],
                           probs[:, :, :, ::-1], probs)
         out["masks"] = probs.mean(axis=0)

@@ -137,3 +137,33 @@ def test_aug_test_box_mapping_roundtrip():
                                 jnp.float32(200.0))
         np.testing.assert_allclose(np.asarray(back), np.asarray(boxes),
                                    atol=1e-5)
+
+
+def test_cascade_aug_test_shapes():
+    """cascade_roi_head aug_test semantics: 3 stages on the merged
+    proposal set per view, averaged stage activations, stage-averaged
+    masks with flip-back."""
+    from iif_tpu.detection.cascade import CascadeMaskRCNN
+    from iif_tpu.detection.detector import DetTestCfg
+    from iif_tpu.detection.tta import cascade_aug_test
+
+    model = CascadeMaskRCNN(num_classes=NC, depth=18, frozen_stages=-1)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)), False)
+    cfg = DetTestCfg(rpn_nms_pre=64, rpn_max_per_img=32, max_per_img=10,
+                     score_thr=0.0)
+    img = jax.random.uniform(jax.random.PRNGKey(2), (H, W, 3))
+    views = jnp.stack([img, img[:, ::-1, :]])
+    sf = jnp.ones((2,))
+    flips = jnp.asarray([False, True])
+    content = jnp.asarray([[H, W], [H, W]], jnp.float32)
+    losses = [_iif_ones()] * model.num_stages
+
+    out = jax.jit(lambda v, im: cascade_aug_test(
+        model, v, im, sf, flips, content, losses, cfg))(variables, views)
+    assert out["boxes"].shape == (10, 4)
+    assert out["masks"].shape == (10, 28, 28)
+    b = np.asarray(out["boxes"])[np.asarray(out["valid"])]
+    assert np.isfinite(b).all()
+    assert (b >= -1e-3).all() and (b[:, 2] <= W + 1e-3).all() \
+        and (b[:, 3] <= H + 1e-3).all()
