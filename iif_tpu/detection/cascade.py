@@ -158,14 +158,18 @@ def cascade_loss(
     fasa_states: Optional[Tuple] = None,   # tuple of FasaState, per stage
     fasa_cfg: Optional[Dict[str, float]] = None,
     epoch: int = 0,
+    mesh=None,                     # Mesh with a 'spatial' axis -> H-sharded
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, Any]]:
-    images = batch["image"]
+    from iif_tpu.parallel.mesh import constrain_spatial_image, gather_spatial
+
+    images = constrain_spatial_image(batch["image"], mesh)
     b, img_h, img_w, _ = images.shape
     keys = jax.random.split(key, 2 * model.num_stages + 1)
 
     feats, mutated = model.apply(
         variables, images, True, method=CascadeMaskRCNN.extract_feat,
         mutable=["batch_stats"])
+    feats = gather_spatial(feats, mesh)
     cls_scores, bbox_preds = model.apply(
         variables, feats, method=CascadeMaskRCNN.forward_rpn)
 

@@ -177,6 +177,8 @@ def maskrcnn_loss(
     fasa_state=None,                # FasaState -> enables FASA
     fasa_cfg: Optional[Dict[str, float]] = None,
     epoch: int = 0,
+    mesh=None,                      # Mesh with a 'spatial' axis -> the
+    #                                 backbone runs on H-sharded canvases
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, Any]]:
     """Full forward + all losses for one global batch.
 
@@ -186,13 +188,16 @@ def maskrcnn_loss(
     Returns (total_loss, loss_dict, aux) with
     aux = {batch_stats, fasa_state?}.
     """
-    images = batch["image"]
+    from iif_tpu.parallel.mesh import constrain_spatial_image, gather_spatial
+
+    images = constrain_spatial_image(batch["image"], mesh)
     b, img_h, img_w, _ = images.shape
     k_rpn, k_rcnn, k_fasa = jax.random.split(key, 3)
 
     feats, mutated = model.apply(
         variables, images, True, method=MaskRCNN.extract_feat,
         mutable=["batch_stats"])
+    feats = gather_spatial(feats, mesh)
     cls_scores, bbox_preds = model.apply(
         variables, feats, method=MaskRCNN.forward_rpn)
 

@@ -114,6 +114,9 @@ class DetectionTrainer:
                          fasa_aug_on: bool = False
                          ) -> Tuple[DetTrainState, Dict[str, jnp.ndarray]]:
         key = jax.random.fold_in(self.base_rng, state.step)
+        from iif_tpu.parallel.mesh import spatial_size
+
+        sp_mesh = self.mesh if spatial_size(self.mesh) > 1 else None
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -122,13 +125,13 @@ class DetectionTrainer:
                     self.model, variables, batch, key, self.stage_losses,
                     self.train_cfg, fasa_states=state.fasa,
                     fasa_cfg=self.fasa_cfg,
-                    epoch=1 if fasa_aug_on else 0)
+                    epoch=1 if fasa_aug_on else 0, mesh=sp_mesh)
             else:
                 total, losses, aux = maskrcnn_loss(
                     self.model, variables, batch, key, self.loss_cls,
                     self.train_cfg, fasa_state=state.fasa,
                     fasa_cfg=self.fasa_cfg,
-                    epoch=1 if fasa_aug_on else 0)
+                    epoch=1 if fasa_aug_on else 0, mesh=sp_mesh)
             return total, (losses, aux)
 
         (total, (losses, aux)), grads = jax.value_and_grad(

@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SPATIAL_AXIS = "spatial"   # image-H sharding for oversize canvases
 
 
 def initialize_distributed() -> None:
@@ -46,18 +47,31 @@ def initialize_distributed() -> None:
 def make_mesh(
     data: Optional[int] = None,
     model: int = 1,
+    spatial: int = 1,
     *,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a ('data', 'model') mesh. ``model=1`` (default) is pure DP."""
+    """Build a ('data', 'model') mesh; ``model=1`` (default) is pure DP.
+    ``spatial>1`` adds a 'spatial' axis (image-H sharding: the backbone
+    runs on H-sharded canvases with GSPMD halo exchange, FPN outputs are
+    gathered) -> a ('data', 'spatial', 'model') mesh."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
+        data = n // (model * spatial)
+    if data * model * spatial != n:
+        raise ValueError(f"mesh {data}x{spatial}x{model} != {n} devices")
+    if spatial > 1:
+        dev_array = np.asarray(devices).reshape(data, spatial, model)
+        return Mesh(dev_array, (DATA_AXIS, SPATIAL_AXIS, MODEL_AXIS))
     dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def spatial_size(mesh: Mesh) -> int:
+    """Extent of the 'spatial' axis (1 when absent)."""
+    return (int(mesh.shape[SPATIAL_AXIS])
+            if SPATIAL_AXIS in mesh.axis_names else 1)
 
 
 def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
@@ -70,22 +84,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
+def shard_batch(batch: Any, mesh: Mesh,
+                spatial_keys: Sequence[str] = ("image",)) -> Any:
     """Device-put a pytree of host arrays with axis-0 sharded over 'data'.
+
+    On a mesh with a 'spatial' axis, leaves named in ``spatial_keys``
+    (the NHWC canvases) additionally shard their H axis over 'spatial'.
 
     In multi-host runs each process passes its local shard; we assemble the
     global array from per-process shards via
     ``jax.make_array_from_process_local_data``.
     """
+    sp = spatial_size(mesh)
 
-    def _put(x):
+    def _put(path, x):
         x = np.asarray(x)
-        sh = data_sharding(mesh, x.ndim)
+        keys = tuple(str(getattr(k, "key", k)) for k in path)
+        if sp > 1 and keys and keys[-1] in spatial_keys and x.ndim >= 3:
+            sh = NamedSharding(mesh, P(
+                DATA_AXIS, SPATIAL_AXIS, *([None] * (x.ndim - 2))))
+        else:
+            sh = data_sharding(mesh, x.ndim)
         if jax.process_count() > 1:
             return jax.make_array_from_process_local_data(sh, x)
         return jax.device_put(x, sh)
 
-    return jax.tree_util.tree_map(_put, batch)
+    return jax.tree_util.tree_map_with_path(_put, batch)
 
 
 def local_batch_slice(global_batch: int) -> Tuple[int, int]:
@@ -136,6 +160,28 @@ def shard_pytree_by_rules(tree: Any, mesh: Mesh, rules) -> Any:
     leaves = [jax.device_put(leaf, NamedSharding(mesh, _spec(path, leaf)))
               for path, leaf in flat]
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def constrain_spatial_image(images, mesh: Optional[Mesh]):
+    """Inside-jit constraint pinning an NHWC canvas to (data, spatial)
+    H-sharding — the backbone then runs spatially partitioned (GSPMD
+    inserts the conv halo exchanges). No-op without a spatial axis."""
+    if mesh is None or spatial_size(mesh) == 1:
+        return images
+    return jax.lax.with_sharding_constraint(
+        images, NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS)))
+
+
+def gather_spatial(feats, mesh: Optional[Mesh]):
+    """Constraint gathering FPN-level maps back to data-only sharding at
+    the backbone/head boundary: RoI gather and RPN top-k index the full
+    H extent, and the pyramid is ~8x smaller than the trunk activations
+    whose memory the spatial axis exists to split."""
+    if mesh is None or spatial_size(mesh) == 1:
+        return feats
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    return type(feats)(
+        jax.lax.with_sharding_constraint(f, sh) for f in feats)
 
 
 def detection_tp_rules():
