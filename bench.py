@@ -91,7 +91,9 @@ def bench_detection() -> dict:
     from iif_tpu.engine.detection import DetectionTrainer
     from iif_tpu.parallel import make_mesh, shard_batch
 
-    B, H, W, C, G = 4, 800, 1344, 1203, 100
+    # 8 img/chip: the v5e fits double the reference's 4/V100 (global batch
+    # 16 = the reference recipe on 2 chips); lr here is bench-only
+    B, H, W, C, G = 8, 800, 1344, 1203, 100
     mesh = make_mesh()
     n_chips = mesh.devices.size
     cfg = DetTrainCfg(rpn_nms_pre=2000, mask_gt_stride=2, roi_ext="ml")
@@ -99,7 +101,7 @@ def bench_detection() -> dict:
     loss_cls = DetIIFLoss(weights=jnp.asarray(
         np.log(100170.0 / np.linspace(64, 2000, C)).astype(np.float32)
         .tolist() + [1.0]))
-    tx = optax.sgd(0.02, momentum=0.9)
+    tx = optax.sgd(0.001, momentum=0.9)
     trainer = DetectionTrainer(model, loss_cls, tx, mesh, cfg)
     state = trainer.init_state((H, W, 3))
 
@@ -138,6 +140,9 @@ def bench_detection() -> dict:
 
 
 def main():
+    from iif_tpu.utils.compile_cache import enable as _enable_xla_cache
+    _enable_xla_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--metric", default="detection",
                     choices=["detection", "classification", "both"])

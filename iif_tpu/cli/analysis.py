@@ -14,6 +14,9 @@ import time
 
 
 def main():
+    from iif_tpu.utils.compile_cache import enable as _enable_xla_cache
+    _enable_xla_cache()
+
     p = argparse.ArgumentParser(description="analysis tools")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -135,6 +135,9 @@ def run_inference_tta(model, variables, dataset, pipeline, views, loss_cls,
 
 
 def main():
+    from iif_tpu.utils.compile_cache import enable as _enable_xla_cache
+    _enable_xla_cache()
+
     import jax
 
     from iif_tpu.config import Config, parse_cfg_options

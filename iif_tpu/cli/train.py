@@ -152,6 +152,9 @@ def record_result(result: float, args, path: str) -> None:
 
 
 def main(args, qat=None):
+    from iif_tpu.utils.compile_cache import enable as _enable_xla_cache
+    _enable_xla_cache()
+
     from iif_tpu.data import Loader, eval_batches
     from iif_tpu.data.augment import (
         cifar_eval_transform, cifar_train_augment, imagenet_eval_transform,

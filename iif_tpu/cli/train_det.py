@@ -68,6 +68,9 @@ def build_loss_cls(cfg_loss: Dict[str, Any], dataset, num_classes: int):
 
 
 def main():
+    from iif_tpu.utils.compile_cache import enable as _enable_xla_cache
+    _enable_xla_cache()
+
     args = parse_args()
     import jax
     import jax.numpy as jnp

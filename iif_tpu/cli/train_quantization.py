@@ -31,6 +31,9 @@ def get_args_parser():
 
 
 def main(args):
+    from iif_tpu.utils.compile_cache import enable as _enable_xla_cache
+    _enable_xla_cache()
+
     from iif_tpu.cli import train as train_cli
     from iif_tpu.quant import QatConfig
 

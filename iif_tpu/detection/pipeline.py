@@ -176,11 +176,223 @@ class Albu:
         return sample
 
 
+class Mosaic:
+    """4-image mosaic (reference ``transforms.py:1942``): paste the sample
+    and 3 partners around a jittered center on a 2x``img_scale`` canvas,
+    rescaling each keep-ratio; boxes shift/clip with their quadrant.
+    Bbox-only, like the reference (the YOLOX pipeline carries no masks).
+    Partners arrive in ``sample['mix_results']`` (see
+    ``MultiImageMixDataset`` / ``DetectionLoader``)."""
+
+    num_mix = 3
+
+    def __init__(self, img_scale: Tuple[int, int] = (640, 640),
+                 center_ratio_range: Tuple[float, float] = (0.5, 1.5),
+                 pad_val: float = 114.0, bbox_clip_border: bool = True):
+        self.img_scale = tuple(img_scale)          # (h, w)
+        self.center_ratio_range = center_ratio_range
+        self.pad_val = pad_val
+        self.bbox_clip_border = bbox_clip_border
+
+    def __call__(self, sample: Dict, rng: np.random.RandomState) -> Dict:
+        import cv2
+
+        sh, sw = self.img_scale
+        canvas = np.full((2 * sh, 2 * sw, 3), self.pad_val, np.uint8)
+        cy = int(rng.uniform(*self.center_ratio_range) * sh)
+        cx = int(rng.uniform(*self.center_ratio_range) * sw)
+        parts = [sample] + list(sample.pop("mix_results"))[:3]
+        all_boxes, all_labels = [], []
+        for pos, part in enumerate(parts):
+            img = part["image"]
+            h0, w0 = img.shape[:2]
+            f = min(sh / h0, sw / w0)
+            nh, nw = int(h0 * f), int(w0 * f)
+            img = cv2.resize(img, (nw, nh))
+            # quadrant paste rects around (cx, cy), cropping the source
+            # where the quadrant is smaller than the resized image
+            if pos == 0:    # top-left
+                x1, y1, x2, y2 = max(cx - nw, 0), max(cy - nh, 0), cx, cy
+                ox, oy = x1 - (cx - nw), y1 - (cy - nh)
+            elif pos == 1:  # top-right
+                x1, y1 = cx, max(cy - nh, 0)
+                x2, y2 = min(cx + nw, 2 * sw), cy
+                ox, oy = 0, y1 - (cy - nh)
+            elif pos == 2:  # bottom-left
+                x1, y1 = max(cx - nw, 0), cy
+                x2, y2 = cx, min(cy + nh, 2 * sh)
+                ox, oy = x1 - (cx - nw), 0
+            else:           # bottom-right
+                x1, y1 = cx, cy
+                x2, y2 = min(cx + nw, 2 * sw), min(cy + nh, 2 * sh)
+                ox, oy = 0, 0
+            canvas[y1:y2, x1:x2] = img[oy:oy + (y2 - y1),
+                                       ox:ox + (x2 - x1)]
+            if len(part["boxes"]):
+                b = part["boxes"] * f
+                b[:, 0::2] += x1 - ox
+                b[:, 1::2] += y1 - oy
+                all_boxes.append(b)
+                all_labels.append(part["labels"])
+        boxes = (np.concatenate(all_boxes) if all_boxes
+                 else np.zeros((0, 4), np.float32))
+        labels = (np.concatenate(all_labels) if all_labels
+                  else np.zeros((0,), np.int64))
+        if self.bbox_clip_border and len(boxes):
+            boxes[:, 0::2] = boxes[:, 0::2].clip(0, 2 * sw)
+            boxes[:, 1::2] = boxes[:, 1::2].clip(0, 2 * sh)
+        keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+        sample["image"] = canvas
+        sample["boxes"] = boxes[keep].astype(np.float32)
+        sample["labels"] = labels[keep]
+        return sample
+
+
+class DetMixUp:
+    """Two-image mixup (reference ``transforms.py:2191``): the partner is
+    keep-ratio resized with a jittered ratio (optionally flipped), pasted
+    on a pad canvas, cropped/padded to the sample's shape, then blended
+    0.5/0.5; GT boxes are concatenated. Bbox-only, as in the reference."""
+
+    num_mix = 1
+
+    def __init__(self, img_scale: Tuple[int, int] = (640, 640),
+                 ratio_range: Tuple[float, float] = (0.5, 1.5),
+                 flip_ratio: float = 0.5, pad_val: float = 114.0,
+                 bbox_clip_border: bool = True):
+        self.img_scale = tuple(img_scale)
+        self.ratio_range = ratio_range
+        self.flip_ratio = flip_ratio
+        self.pad_val = pad_val
+        self.bbox_clip_border = bbox_clip_border
+
+    def __call__(self, sample: Dict, rng: np.random.RandomState) -> Dict:
+        import cv2
+
+        other = list(sample.pop("mix_results"))[0]
+        oimg = other["image"]
+        flip = rng.rand() < self.flip_ratio
+        if flip:
+            oimg = oimg[:, ::-1]
+        sh, sw = self.img_scale
+        f = min(sh / oimg.shape[0], sw / oimg.shape[1])
+        f *= rng.uniform(*self.ratio_range)
+        nh, nw = int(oimg.shape[0] * f), int(oimg.shape[1] * f)
+        oimg = cv2.resize(oimg, (nw, nh))
+        dh, dw = sample["image"].shape[:2]
+        pad = np.full((max(dh, nh), max(dw, nw), 3), self.pad_val,
+                      np.float32)
+        pad[:nh, :nw] = oimg
+        x_off = rng.randint(0, max(pad.shape[1] - dw, 0) + 1)
+        y_off = rng.randint(0, max(pad.shape[0] - dh, 0) + 1)
+        crop = pad[y_off:y_off + dh, x_off:x_off + dw]
+        sample["image"] = (
+            0.5 * sample["image"].astype(np.float32) + 0.5 * crop
+        ).astype(np.uint8)
+        ob = other["boxes"].copy()
+        if len(ob):
+            if flip:
+                w0 = other["image"].shape[1]
+                ob[:, [0, 2]] = w0 - ob[:, [2, 0]]
+            ob *= f
+            ob[:, 0::2] -= x_off
+            ob[:, 1::2] -= y_off
+            if self.bbox_clip_border:
+                ob[:, 0::2] = ob[:, 0::2].clip(0, dw)
+                ob[:, 1::2] = ob[:, 1::2].clip(0, dh)
+            keep = (ob[:, 2] > ob[:, 0] + 2) & (ob[:, 3] > ob[:, 1] + 2)
+            sample["boxes"] = np.concatenate(
+                [sample["boxes"], ob[keep]]).astype(np.float32)
+            sample["labels"] = np.concatenate(
+                [sample["labels"], other["labels"][keep]])
+        return sample
+
+
+class RandomAffine:
+    """Random rotation/scale/shear/translation via one homography
+    (reference ``transforms.py:2428``), warping the image and the box
+    corner points; candidates filtered on size/aspect/area-shrink like
+    ``filter_gt_bboxes``. Bbox-only, as in the reference."""
+
+    num_mix = 0
+
+    def __init__(self, max_rotate_degree: float = 10.0,
+                 max_translate_ratio: float = 0.1,
+                 scaling_ratio_range: Tuple[float, float] = (0.5, 1.5),
+                 max_shear_degree: float = 2.0,
+                 border: Tuple[int, int] = (0, 0),
+                 border_val: Tuple[int, int, int] = (114, 114, 114),
+                 bbox_clip_border: bool = True):
+        self.max_rotate_degree = max_rotate_degree
+        self.max_translate_ratio = max_translate_ratio
+        self.scaling_ratio_range = scaling_ratio_range
+        self.max_shear_degree = max_shear_degree
+        self.border = border
+        self.border_val = border_val
+        self.bbox_clip_border = bbox_clip_border
+
+    def __call__(self, sample: Dict, rng: np.random.RandomState) -> Dict:
+        import cv2
+
+        img = sample["image"]
+        h, w = img.shape[:2]
+        oh, ow = h + self.border[0] * 2, w + self.border[1] * 2
+
+        deg = np.radians(rng.uniform(-self.max_rotate_degree,
+                                     self.max_rotate_degree))
+        scale = rng.uniform(*self.scaling_ratio_range)
+        rot = np.array([[np.cos(deg) * scale, -np.sin(deg) * scale, 0],
+                        [np.sin(deg) * scale, np.cos(deg) * scale, 0],
+                        [0, 0, 1]], np.float32)
+        sx = np.tan(np.radians(rng.uniform(-self.max_shear_degree,
+                                           self.max_shear_degree)))
+        sy = np.tan(np.radians(rng.uniform(-self.max_shear_degree,
+                                           self.max_shear_degree)))
+        shear = np.array([[1, sx, 0], [sy, 1, 0], [0, 0, 1]], np.float32)
+        tx = rng.uniform(0.5 - self.max_translate_ratio,
+                         0.5 + self.max_translate_ratio) * ow
+        ty = rng.uniform(0.5 - self.max_translate_ratio,
+                         0.5 + self.max_translate_ratio) * oh
+        trans = np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1]], np.float32)
+        center = np.array([[1, 0, -w / 2], [0, 1, -h / 2], [0, 0, 1]],
+                          np.float32)
+        m = trans @ shear @ rot @ center
+        sample["image"] = cv2.warpPerspective(
+            img, m, dsize=(ow, oh), borderValue=self.border_val)
+
+        boxes = sample["boxes"]
+        if len(boxes):
+            n = len(boxes)
+            corners = np.ones((n * 4, 3), np.float32)
+            corners[:, :2] = boxes[:, [0, 1, 2, 1, 2, 3, 0, 3]].reshape(
+                n * 4, 2)
+            warped = (corners @ m.T)
+            warped = (warped[:, :2] / warped[:, 2:3]).reshape(n, 8)
+            xs, ys = warped[:, 0::2], warped[:, 1::2]
+            nb = np.stack([xs.min(1), ys.min(1), xs.max(1), ys.max(1)], 1)
+            if self.bbox_clip_border:
+                nb[:, 0::2] = nb[:, 0::2].clip(0, ow)
+                nb[:, 1::2] = nb[:, 1::2].clip(0, oh)
+            # filter_gt_bboxes: wh_thr=2, ar_thr=20, area_thr=0.2
+            ow_, oh_ = (boxes[:, 2] - boxes[:, 0]) * scale, \
+                       (boxes[:, 3] - boxes[:, 1]) * scale
+            nw_, nh_ = nb[:, 2] - nb[:, 0], nb[:, 3] - nb[:, 1]
+            ar = np.maximum(nw_ / (nh_ + 1e-16), nh_ / (nw_ + 1e-16))
+            keep = ((nw_ > 2) & (nh_ > 2) & (ar < 20)
+                    & (nw_ * nh_ / (ow_ * oh_ + 1e-16) > 0.2))
+            sample["boxes"] = nb[keep].astype(np.float32)
+            sample["labels"] = sample["labels"][keep]
+        return sample
+
+
 EXTRA_TRANSFORMS = {
     "PhotoMetricDistortion": PhotoMetricDistortion,
     "RandomCrop": RandomCrop,
     "CutOut": CutOut,
     "Albu": Albu,
+    "Mosaic": Mosaic,
+    "MixUp": DetMixUp,
+    "RandomAffine": RandomAffine,
 }
 
 
@@ -250,7 +462,11 @@ class DetectionPipeline:
         }
 
     def __call__(self, image: np.ndarray, ann: Dict, rng: np.random.RandomState,
-                 train: bool = True) -> Dict[str, np.ndarray]:
+                 train: bool = True, mix_fetch=None) -> Dict[str, np.ndarray]:
+        """``mix_fetch(rng, n) -> [sample dict, ...]`` supplies partner
+        images for multi-image transforms (Mosaic/MixUp) — the
+        ``MultiImageMixDataset`` role (``dataset_wrappers.py:289``), owned
+        here by ``DetectionLoader`` since our pipeline is loader-driven."""
         import cv2
 
         ann_boxes = ann["boxes"]
@@ -263,6 +479,17 @@ class DetectionPipeline:
                       "labels": np.asarray(ann_labels).copy(),
                       "masks": mask_bitmaps}
             for t in self.extra_transforms:
+                n_mix = getattr(t, "num_mix", 0)
+                if n_mix:
+                    if self.with_mask:
+                        raise ValueError(
+                            f"{type(t).__name__} is bbox-only (as in the "
+                            "reference YOLOX pipeline); use with_mask=False")
+                    if mix_fetch is None:
+                        raise ValueError(
+                            f"{type(t).__name__} needs a mix_fetch source "
+                            "(run through DetectionLoader)")
+                    sample["mix_results"] = mix_fetch(rng, n_mix)
                 sample = t(sample, rng)
             image = sample["image"]
             ann_boxes = sample["boxes"]
@@ -392,12 +619,30 @@ class DetectionLoader:
 
         base_rng = np.random.RandomState(self.seed + self.epoch)
 
+        needs_mix = self.train and any(
+            getattr(t, "num_mix", 0)
+            for t in self.pipeline.extra_transforms)
+
+        def _mix_fetch(rng, n):
+            # MultiImageMixDataset.get_indexes + partner load
+            # (dataset_wrappers.py:289-340): random co-samples as raw
+            # bbox-level sample dicts
+            out = []
+            for _ in range(n):
+                j = int(rng.randint(len(self.dataset)))
+                ann_j = self.dataset.get_ann(j)
+                out.append({"image": self._load_image(j),
+                            "boxes": ann_j["boxes"].copy(),
+                            "labels": np.asarray(ann_j["labels"]).copy()})
+            return out
+
         def _one(args):
             i, sample_seed = args
             img = self._load_image(int(i))
             ann = self.dataset.get_ann(int(i))
             return self.pipeline(img, ann, np.random.RandomState(sample_seed),
-                                 self.train)
+                                 self.train,
+                                 mix_fetch=_mix_fetch if needs_mix else None)
 
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             for b0 in range(0, len(order) - self.batch_size + 1,

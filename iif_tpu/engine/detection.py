@@ -174,8 +174,15 @@ class DetectionTrainer:
             state, metrics = self._train_step(
                 state, gbatch, fasa_aug_on=(state.fasa is not None
                                             and epoch >= 1))
-            logger.update(**{k: float(v) for k, v in
-                             jax.device_get(metrics).items()})
+            host_metrics = {k: float(v) for k, v in
+                            jax.device_get(metrics).items()}
+            # CheckInvalidLossHook equivalent (mmdet checkloss_hook.py):
+            # the host readback is the natural interception point
+            if not np.isfinite(host_metrics.get("loss", 0.0)):
+                raise FloatingPointError(
+                    f"loss became non-finite at epoch {epoch} "
+                    f"(metrics: {host_metrics})")
+            logger.update(**host_metrics)
         return state, logger
 
     # ------------------------------------------------- FASA dynamic runner

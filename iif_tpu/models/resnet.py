@@ -24,6 +24,10 @@ from iif_tpu.models.layers import SEBlock, make_classifier_head
 
 # torch kaiming_normal_(mode='fan_out', relu) for convs.
 conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+# dtype rides through so post-BN activations stay in the compute dtype
+# (bf16): flax computes the statistics in f32 internally and keeps
+# params/stats f32, but without dtype= the OUTPUT promotes to f32 —
+# doubling HBM traffic for every activation tensor in the trunk.
 BatchNorm = partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5)
 
 
@@ -42,13 +46,15 @@ class BasicBlockV1(nn.Module):
         out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
                       use_bias=False, kernel_init=conv_init,
                       dtype=self.dtype, name="conv1")(x)
-        out = BatchNorm(use_running_average=not train, name="bn1")(out)
+        out = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                        name="bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
                       kernel_init=conv_init, dtype=self.dtype,
                       name="conv2")(out)
         out = BatchNorm(use_running_average=not train,
-                        scale_init=nn.initializers.zeros, name="bn2")(out)
+                        scale_init=nn.initializers.zeros,
+                        dtype=self.dtype, name="bn2")(out)
         if self.use_se:
             out = SEBlock(reduction=16, name="se")(out)
         if self.downsample:
@@ -56,6 +62,7 @@ class BasicBlockV1(nn.Module):
                                use_bias=False, kernel_init=conv_init,
                                dtype=self.dtype, name="downsample_conv")(x)
             identity = BatchNorm(use_running_average=not train,
+                                 dtype=self.dtype,
                                  name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
@@ -79,20 +86,23 @@ class Bottleneck(nn.Module):
         identity = x
         out = nn.Conv(width, (1, 1), use_bias=False, kernel_init=conv_init,
                       dtype=self.dtype, name="conv1")(x)
-        out = BatchNorm(use_running_average=not train, name="bn1")(out)
+        out = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                        name="bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(width, (3, 3), strides=self.stride, padding=1,
                       feature_group_count=self.groups, use_bias=False,
                       kernel_init=conv_init, dtype=self.dtype,
                       name="conv2")(out)
-        out = BatchNorm(use_running_average=not train, name="bn2")(out)
+        out = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                        name="bn2")(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
                       kernel_init=conv_init, dtype=self.dtype,
                       name="conv3")(out)
         # zero-init last BN gamma (zero_init_residual, Goyal et al.)
         out = BatchNorm(use_running_average=not train,
-                        scale_init=nn.initializers.zeros, name="bn3")(out)
+                        scale_init=nn.initializers.zeros,
+                        dtype=self.dtype, name="bn3")(out)
         if self.use_se:
             out = SEBlock(reduction=16, name="se")(out)
         if self.downsample:
@@ -101,6 +111,7 @@ class Bottleneck(nn.Module):
                                kernel_init=conv_init, dtype=self.dtype,
                                name="downsample_conv")(x)
             identity = BatchNorm(use_running_average=not train,
+                                 dtype=self.dtype,
                                  name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
@@ -152,7 +163,8 @@ class ResNet(nn.Module):
         out = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                       kernel_init=conv_init, dtype=self.dtype,
                       name="conv1")(x)
-        out = BatchNorm(use_running_average=not stem_train, name="bn1")(out)
+        out = BatchNorm(use_running_average=not stem_train,
+                        dtype=self.dtype, name="bn1")(out)
         out = nn.relu(out)
         out = nn.max_pool(out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         if self.frozen_stages >= 0:

@@ -161,3 +161,53 @@ def multiclass_nms(
             [out_labels, jnp.full(pad, -1, out_labels.dtype)])
         out_valid = jnp.concatenate([out_valid, jnp.zeros(pad, bool)])
     return dets, out_scores, out_labels, out_valid
+
+
+def fast_nms(
+    multi_bboxes: jnp.ndarray,   # (N, C*4) or (N, 4)
+    multi_scores: jnp.ndarray,   # (N, C+1), last column = background
+    score_thr: float = 0.05,
+    iou_threshold: float = 0.5,
+    top_k: int = 200,
+    max_per_img: int = 100,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """YOLACT fast NMS (reference ``bbox_nms.py:98-171``): per class, a
+    box is kept iff its IoU with every HIGHER-scored box of the same class
+    is <= threshold — one upper-triangular max over a per-class IoU
+    matrix instead of the sequential greedy loop. Slightly over-suppresses
+    vs exact NMS (a suppressed box still suppresses), which is the
+    documented trade-off. TPU-native: the whole decision is two batched
+    matmul-shaped ops, no fixpoint iteration.
+
+    Returns fixed-shape (dets (K,4), scores (K,), labels (K,), valid (K,))
+    with K = max_per_img.
+    """
+    num_classes = multi_scores.shape[1] - 1
+    n = multi_scores.shape[0]
+    if multi_bboxes.shape[-1] > 4:
+        boxes = multi_bboxes.reshape(n, num_classes, 4)
+    else:
+        boxes = jnp.broadcast_to(multi_bboxes[:, None, :],
+                                 (n, num_classes, 4))
+    scores_cn = multi_scores[:, :num_classes].T           # (C, N)
+    k = min(top_k, n)
+    top_scores, top_idx = jax.lax.top_k(scores_cn, k)     # (C, k)
+    boxes_ck = jnp.take_along_axis(
+        boxes.transpose(1, 0, 2), top_idx[:, :, None], axis=1)  # (C, k, 4)
+
+    iou = jax.vmap(bbox_overlaps)(boxes_ck, boxes_ck)     # (C, k, k)
+    # zero the diagonal and lower triangle: only higher-scored peers count
+    iou = jnp.triu(iou, k=1)
+    max_iou = iou.max(axis=1)                             # (C, k)
+    keep = (max_iou <= iou_threshold) & (top_scores > score_thr)
+
+    flat_scores = jnp.where(keep, top_scores, -jnp.inf).reshape(-1)
+    flat_boxes = boxes_ck.reshape(-1, 4)
+    flat_labels = jnp.repeat(jnp.arange(num_classes), k)
+    out_scores, sel = jax.lax.top_k(flat_scores, min(max_per_img,
+                                                     flat_scores.shape[0]))
+    out_valid = jnp.isfinite(out_scores)
+    dets = jnp.where(out_valid[:, None], flat_boxes[sel], 0.0)
+    out_scores = jnp.where(out_valid, out_scores, 0.0)
+    out_labels = jnp.where(out_valid, flat_labels[sel], -1)
+    return dets, out_scores, out_labels, out_valid

@@ -11,7 +11,7 @@ import numpy as np
 import jax.numpy as jnp
 
 
-def run(roi_ext):
+def run(roi_ext, B=4):
     import optax
 
     from iif_tpu.detection.detector import DetTrainCfg, MaskRCNN
@@ -19,7 +19,7 @@ def run(roi_ext):
     from iif_tpu.engine.detection import DetectionTrainer
     from iif_tpu.parallel import make_mesh, shard_batch
 
-    B, H, W, C, G = 4, 800, 1344, 1203, 100
+    H, W, C, G = 800, 1344, 1203, 100
     mesh = make_mesh()
     cfg = DetTrainCfg(rpn_nms_pre=2000, mask_gt_stride=2, roi_ext=roi_ext)
     model = MaskRCNN(num_classes=C, depth=50, compute_dtype=jnp.bfloat16)
@@ -27,7 +27,7 @@ def run(roi_ext):
         np.log(100170.0 / np.linspace(64, 2000, C)).astype(np.float32)
         .tolist() + [1.0]))
     trainer = DetectionTrainer(model, loss_cls,
-                               optax.sgd(0.02, momentum=0.9), mesh, cfg)
+                               optax.sgd(float(os.environ.get('BENCH_LR', 0.02)), momentum=0.9), mesh, cfg)
     state = trainer.init_state((H, W, 3))
 
     rng = np.random.RandomState(0)
@@ -61,8 +61,10 @@ def run(roi_ext):
 
 
 def main():
-    for kind in sys.argv[1:] or ("flat", "ml"):
-        run(kind)
+    args = sys.argv[1:] or ["flat", "ml"]
+    for a in args:
+        kind, _, b = a.partition(":")
+        run(kind, int(b) if b else 4)
 
 
 if __name__ == "__main__":
