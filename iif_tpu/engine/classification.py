@@ -67,6 +67,13 @@ class ClassificationTrainer:
         seed: int = 0,
         qat=None,                      # iif_tpu.quant.QatConfig
     ):
+        # thread the compute dtype into the model itself: casting only the
+        # input is useless — flax promotes bf16 activations back to f32
+        # against the f32 params at the first conv (measured: the bench
+        # R50 step ran entirely in f32, 199 ms vs 73 ms for true bf16)
+        if (compute_dtype not in (None, jnp.float32)
+                and hasattr(model, "dtype") and model.dtype is None):
+            model = model.clone(dtype=compute_dtype)
         self.model = model
         self.criterion = criterion
         self.tx = tx

@@ -38,15 +38,20 @@ class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     use_se: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         in_planes = x.shape[-1]
-        out = Conv3x3(self.planes, strides=self.stride, name="conv1")(x)
-        out = BatchNorm(use_running_average=not train, name="bn1")(out)
+        out = Conv3x3(self.planes, strides=self.stride, dtype=self.dtype,
+                      name="conv1")(x)
+        out = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                        name="bn1")(out)
         out = nn.relu(out)
-        out = Conv3x3(self.planes, strides=1, name="conv2")(out)
-        out = BatchNorm(use_running_average=not train, name="bn2")(out)
+        out = Conv3x3(self.planes, strides=1, dtype=self.dtype,
+                      name="conv2")(out)
+        out = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                        name="bn2")(out)
         if self.use_se:
             out = SEBlock(reduction=4, name="se")(out)
         if self.stride != 1 or in_planes != self.planes:
@@ -64,17 +69,22 @@ class ResNetS(nn.Module):
     num_classes: int = 10
     use_norm: Optional[str] = None
     use_se: bool = False
+    dtype: object = None    # compute dtype (params/BN stats stay f32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        out = Conv3x3(16, strides=1, name="conv1")(x)
-        out = BatchNorm(use_running_average=not train, name="bn1")(out)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        out = Conv3x3(16, strides=1, dtype=self.dtype, name="conv1")(x)
+        out = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                        name="bn1")(out)
         out = nn.relu(out)
         for stage, (planes, stride) in enumerate(
                 zip((16, 32, 64), (1, 2, 2)), start=1):
             for i in range(self.num_blocks[stage - 1]):
                 out = BasicBlock(
                     planes, stride if i == 0 else 1, use_se=self.use_se,
+                    dtype=self.dtype,
                     name=f"layer{stage}_{i}")(out, train)
         out = out.mean(axis=(1, 2))  # global average pool
         head = make_classifier_head(self.num_classes, self.use_norm)
