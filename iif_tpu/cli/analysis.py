@@ -51,6 +51,17 @@ def main():
     ea.add_argument("--topk", default=20, type=int,
                     help="print the K worst categories")
 
+    ar = sub.add_parser("analyze_results",
+                        help="rank images by per-image mAP; optionally "
+                             "render the best/worst K "
+                             "(tools/analysis_tools/analyze_results.py)")
+    ar.add_argument("config")
+    ar.add_argument("results")
+    ar.add_argument("--topk", default=20, type=int)
+    ar.add_argument("--show-dir", default=None,
+                    help="write good/<score>_<img> and bad/... renderings")
+    ar.add_argument("--show-score-thr", default=0.3, type=float)
+
     oa = sub.add_parser("optimize_anchors",
                         help="k-means IoU anchor search over the train "
                              "set (tools/analysis_tools/optimize_anchors.py)")
@@ -62,6 +73,9 @@ def main():
     args = p.parse_args()
     if args.cmd in ("eval_metric", "coco_error_analysis"):
         _offline_eval(args)
+        return
+    if args.cmd == "analyze_results":
+        _analyze_results(args)
         return
     if args.cmd == "optimize_anchors":
         _optimize_anchors(args)
@@ -177,6 +191,80 @@ def _offline_eval(args):
     for cid, r in worst:
         print(f"  {names.get(cid, cid):>30}: C75 {r['C75']:.3f} "
               f"C50 {r['C50']:.3f} Loc {r['Loc']:.3f} BG {r['BG']:.3f}")
+
+
+def _analyze_results(args):
+    """Reference ``analyze_results.py``: score every image by its own
+    single-image VOC mAP (iou 0.5), list/render the best and worst K."""
+    import os
+
+    import numpy as np
+
+    from iif_tpu.detection.voc_eval import eval_map
+
+    cfg, ds, ev, results = _build_test_evaluator(args)
+    ncls = len(ds.cat_ids)
+    cat2label = {cid: i for i, cid in enumerate(ds.cat_ids)}
+    by_img = {}
+    for r in results:
+        by_img.setdefault(r["image_id"], []).append(r)
+
+    scores = []
+    for idx, rec in enumerate(ds.img_infos):
+        dets = [np.zeros((0, 5), np.float32) for _ in range(ncls)]
+        per_cls = {}
+        for r in by_img.get(rec["id"], []):
+            c = cat2label.get(r["category_id"])
+            if c is None:
+                continue
+            x, y, w, h = r["bbox"]
+            per_cls.setdefault(c, []).append(
+                [x, y, x + w, y + h, r["score"]])
+        for c, rows in per_cls.items():
+            dets[c] = np.asarray(rows, np.float32)
+        gtb, gtl = [], []
+        for a in rec["anns"]:
+            if a.get("iscrowd"):
+                continue
+            x, y, w, h = a["bbox"]
+            gtb.append([x, y, x + w, y + h])
+            gtl.append(cat2label.get(a["category_id"], -1))
+        ann = {"bboxes": np.asarray(gtb, np.float32).reshape(-1, 4),
+               "labels": np.asarray(gtl, np.int64)}
+        mAP, _ = eval_map([dets], [ann], iou_thr=0.5)
+        scores.append((mAP, idx, dets))
+
+    ranked = sorted(scores, key=lambda t: t[0])
+    k = min(args.topk, len(ranked))
+    print(f"worst {k} images by single-image mAP@0.5:")
+    for mAP, idx, _ in ranked[:k]:
+        print(f"  {ds.img_infos[idx]['file_name']}: {mAP:.3f}")
+    print(f"best {k} images:")
+    for mAP, idx, _ in ranked[-k:][::-1]:
+        print(f"  {ds.img_infos[idx]['file_name']}: {mAP:.3f}")
+
+    if args.show_dir:
+        from iif_tpu.detection.inference import show_result
+
+        for sub_name, chunk in (("bad", ranked[:k]),
+                                ("good", ranked[-k:][::-1])):
+            os.makedirs(os.path.join(args.show_dir, sub_name),
+                        exist_ok=True)
+            for mAP, idx, dets in chunk:
+                rows = np.concatenate(
+                    [np.concatenate([d, np.full((len(d), 1), c)], 1)
+                     for c, d in enumerate(dets) if len(d)] or
+                    [np.zeros((0, 6), np.float32)])
+                res = {"boxes": rows[:, :4], "scores": rows[:, 4],
+                       "labels": rows[:, 5].astype(np.int64),
+                       "valid": np.ones(len(rows), bool)}
+                out = os.path.join(
+                    args.show_dir, sub_name,
+                    f"{mAP:.3f}_"
+                    + os.path.basename(ds.img_infos[idx]["file_name"]))
+                show_result(ds.image_path(idx), res, classes=ds.CLASSES,
+                            score_thr=args.show_score_thr, out_file=out)
+        print(f"renderings in {args.show_dir}/good|bad")
 
 
 def _optimize_anchors(args):

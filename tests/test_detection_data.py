@@ -419,3 +419,37 @@ def test_fast_nms_oversuppression_semantics():
                           0.05, 0.5, 10, 5)
     kept = np.asarray(s)[np.asarray(v)]
     assert 0.9 in kept and 0.8 not in kept and 0.7 not in kept
+
+
+def test_analyze_results_ranks_images(tmp_path, capsys, monkeypatch):
+    import json as _json
+    import sys
+
+    ann_path = _toy_coco(tmp_path)
+    cfg_path = tmp_path / "cfg.py"
+    cfg_path.write_text(
+        "model = dict(type='MaskRCNN', num_classes=2, depth=18)\n"
+        "data = dict(test=dict(type='CocoDataset', "
+        f"ann_file={str(ann_path)!r}, filter_empty_gt=False))\n")
+    # image 0: perfect detection; image 1: a bad one (wrong place)
+    results = [
+        {"image_id": 0, "category_id": 1, "bbox": [5, 5, 20, 20],
+         "score": 0.9},
+        {"image_id": 1, "category_id": 1, "bbox": [40, 30, 5, 5],
+         "score": 0.9},
+    ]
+    res_path = tmp_path / "res.json"
+    res_path.write_text(_json.dumps(results))
+    from iif_tpu.cli.analysis import main
+
+    monkeypatch.setattr(sys, "argv", [
+        "analysis", "analyze_results", str(cfg_path), str(res_path),
+        "--topk", "2"])
+    main()
+    out = capsys.readouterr().out
+    assert "worst 2 images" in out and "best 2 images" in out
+    # the perfect image ranks best, the mislocated one worst
+    best_block = out.split("best 2 images:")[1]
+    assert "0.jpg: 1.000" in best_block
+    worst_block = out.split("best 2 images:")[0]
+    assert "1.jpg: 0.000" in worst_block
