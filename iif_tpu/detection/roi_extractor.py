@@ -53,9 +53,11 @@ class SingleRoIExtractor:
                  ) -> jnp.ndarray:
         """feats: L x (B, H_l, W_l, C); rois (R, 5) = (batch_idx, x1..y2).
         Returns (R, oh, ow, C)."""
-        if self.use_pallas == "ml":
+        if self.use_pallas in ("ml", "ml_fast"):
             # single-pass multi-level DMA kernel with a custom-VJP
-            # backward (usable in training); falls back off-TPU
+            # backward (usable in training); falls back off-TPU.
+            # "ml_fast" drops the fwd one-hot matmuls to DEFAULT (bf16)
+            # precision: ~0.4% rel weight rounding, measurably faster.
             from iif_tpu.ops.pallas.roi_align_kernel import (
                 ml_supported, roi_align_pallas_ml)
 
@@ -65,7 +67,9 @@ class SingleRoIExtractor:
                     tuple(feats[:self.num_inputs]), rois, self.output_size,
                     self.featmap_strides,
                     self.sampling_ratio if self.sampling_ratio > 0 else 2,
-                    self.finest_scale).astype(feats[0].dtype)
+                    self.finest_scale,
+                    "default" if self.use_pallas == "ml_fast"
+                    else "highest").astype(feats[0].dtype)
             return self._flat_gather(feats, rois)
         if self.use_pallas:
             return self._per_level_pallas(feats, rois)

@@ -11,6 +11,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 import jax
+from iif_tpu.utils.compile_cache import enable as _ec
+_ec()
 import jax.numpy as jnp
 
 
@@ -55,8 +57,10 @@ def main():
 
         flat = SingleRoIExtractor(size)
         ml = SingleRoIExtractor(size, use_pallas="ml")
+        mlf = SingleRoIExtractor(size, use_pallas="ml_fast")
         f_flat = jax.jit(lambda ff, rr: flat(list(ff), rr))
         f_ml = jax.jit(lambda ff, rr: ml(list(ff), rr))
+        f_mlf = jax.jit(lambda ff, rr: mlf(list(ff), rr))
 
         a = np.asarray(f_flat(tuple(feats), rois), np.float32)
         bb = np.asarray(f_ml(tuple(feats), rois), np.float32)
@@ -66,8 +70,12 @@ def main():
 
         t_flat = bench(f_flat, (tuple(feats), rois))
         t_ml = bench(f_ml, (tuple(feats), rois))
+        t_mlf = bench(f_mlf, (tuple(feats), rois))
+        errf = np.abs(a - np.asarray(f_mlf(tuple(feats), rois),
+                                     np.float32)).max()
         print(f"  fwd: flat {t_flat:.2f} ms | ml {t_ml:.2f} ms "
-              f"({t_flat / t_ml:.2f}x)")
+              f"({t_flat / t_ml:.2f}x) | ml_fast {t_mlf:.2f} ms "
+              f"(err {errf:.1e})")
 
         def loss_flat(ff, rr):
             return (flat(list(ff), rr).astype(jnp.float32) ** 2).sum()
