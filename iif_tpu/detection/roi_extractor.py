@@ -61,7 +61,12 @@ class SingleRoIExtractor:
             from iif_tpu.ops.pallas.roi_align_kernel import (
                 ml_supported, roi_align_pallas_ml)
 
-            if (ml_supported(feats[:self.num_inputs])
+            # 14x14 with f32 features overflows the ~16 MB scoped-VMEM
+            # budget (two window scratches + both branch temporaries);
+            # bf16 training features fit. Guard to the flat path there.
+            fits_vmem = (self.output_size[0] <= 7
+                         or jnp.dtype(feats[0].dtype).itemsize <= 2)
+            if (ml_supported(feats[:self.num_inputs]) and fits_vmem
                     and self.output_size[0] == self.output_size[1]):
                 return roi_align_pallas_ml(
                     tuple(feats[:self.num_inputs]), rois, self.output_size,
