@@ -136,6 +136,8 @@ class DetTestCfg(NamedTuple):
     score_thr: float = 0.05          # LVIS configs use 1e-4
     nms_iou: float = 0.5
     max_per_img: int = 100           # LVIS: 300
+    roi_ext: str = "ml"              # "ml" (Pallas, inference default —
+    #                                   fwd-only, 1.75-2x) | "flat"
 
 
 def model_kwargs_from_cfg(model_cfg: Dict[str, Any]) -> Dict[str, Any]:
@@ -317,7 +319,8 @@ def maskrcnn_simple_test(
     batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.float32), p)
     rois5 = jnp.concatenate(
         [batch_idx[:, None], proposals.reshape(-1, 4)], axis=1)
-    extractor = SingleRoIExtractor((7, 7))
+    test_ext = "ml" if getattr(cfg, "roi_ext", "ml") == "ml" else False
+    extractor = SingleRoIExtractor((7, 7), use_pallas=test_ext)
     roi_feats = extractor(feats[:4], rois5)
     cls_score, bbox_pred, _ = model.apply(
         variables, roi_feats, method=MaskRCNN.forward_bbox)
@@ -346,7 +349,7 @@ def maskrcnn_simple_test(
         batch_idx2 = jnp.repeat(jnp.arange(b, dtype=jnp.float32), k)
         det_rois = jnp.concatenate(
             [batch_idx2[:, None], dets.reshape(-1, 4)], axis=1)
-        mask_extractor = SingleRoIExtractor((14, 14))
+        mask_extractor = SingleRoIExtractor((14, 14), use_pallas=test_ext)
         mfeats = mask_extractor(feats[:4], det_rois)
         cls_idx = jnp.clip(labels.reshape(-1), 0, model.num_classes - 1)
         # fast path: compute only the predicted class's mask channel
