@@ -51,6 +51,20 @@ def main():
     ea.add_argument("--topk", default=20, type=int,
                     help="print the K worst categories")
 
+    rb = sub.add_parser("test_robustness",
+                        help="corruption-robustness benchmark: AP per "
+                             "(corruption, severity) + mPC/rPC "
+                             "(tools/analysis_tools/test_robustness.py)")
+    rb.add_argument("config")
+    rb.add_argument("checkpoint")
+    rb.add_argument("--corruptions", nargs="+", default=["benchmark"],
+                    help="names or a set: benchmark/noise/blur/weather/"
+                         "digital/holdout")
+    rb.add_argument("--severities", nargs="+", type=int,
+                    default=[0, 1, 2, 3, 4, 5])
+    rb.add_argument("--eval", nargs="+", default=["bbox"])
+    rb.add_argument("--max-images", default=None, type=int)
+
     ar = sub.add_parser("analyze_results",
                         help="rank images by per-image mAP; optionally "
                              "render the best/worst K "
@@ -76,6 +90,9 @@ def main():
         return
     if args.cmd == "analyze_results":
         _analyze_results(args)
+        return
+    if args.cmd == "test_robustness":
+        _test_robustness(args)
         return
     if args.cmd == "optimize_anchors":
         _optimize_anchors(args)
@@ -191,6 +208,97 @@ def _offline_eval(args):
     for cid, r in worst:
         print(f"  {names.get(cid, cid):>30}: C75 {r['C75']:.3f} "
               f"C50 {r['C50']:.3f} Loc {r['Loc']:.3f} BG {r['BG']:.3f}")
+
+
+def _test_robustness(args):
+    """Reference ``test_robustness.py`` + ``robustness_eval.py``: run the
+    eval split under each (corruption, severity), report AP per cell,
+    clean performance P (severity 0), mean/relative performance under
+    corruption mPC = mean(AP[sev>=1]) and rPC = mPC / P."""
+    import functools
+
+    import numpy as np
+
+    from iif_tpu.cli.test_det import _EvalLoader, run_inference
+    from iif_tpu.cli.train_det import build_loss_cls
+    from iif_tpu.config import Config
+    from iif_tpu.detection.corruptions import CORRUPTION_SETS, corrupt
+    from iif_tpu.detection.datasets import DATASETS
+    from iif_tpu.detection.detector import (DetTestCfg, MaskRCNN,
+                                            model_kwargs_from_cfg)
+    from iif_tpu.detection.evaluation import DetEvaluator
+    from iif_tpu.detection.pipeline import DetectionPipeline
+    from iif_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = Config.fromfile(args.config)
+    names = []
+    for c in args.corruptions:
+        names.extend(CORRUPTION_SETS.get(c, [c]))
+    test_ds = DATASETS.build({k: v for k, v in cfg.data["test"].items()
+                              if k != "oversample_thr"})
+    pcfg = cfg.get("pipeline", {})
+    pipeline = DetectionPipeline(
+        canvas=tuple(pcfg.get("canvas", (800, 1344))),
+        scales=[tuple(s) for s in pcfg.get("scales", [(1333, 800)])],
+        flip_prob=0.0, max_gt=1)
+    num_classes = cfg.model["num_classes"]
+    loss_cls = build_loss_cls(cfg.loss_cls, test_ds, num_classes)
+    cfg.model.pop("pretrained_backbone", None)
+    model_kw = model_kwargs_from_cfg(cfg.model)
+    if cfg.model.get("type", "MaskRCNN") == "CascadeMaskRCNN":
+        from iif_tpu.detection.cascade import CascadeMaskRCNN
+
+        model = CascadeMaskRCNN(**model_kw)
+    else:
+        model = MaskRCNN(**model_kw)
+    restored = CheckpointManager(args.checkpoint).restore()
+    variables = {"params": restored["state"]["params"],
+                 "batch_stats": restored["state"]["batch_stats"]}
+    test_cfg = DetTestCfg(**cfg.get("test_cfg", {}))
+    gt_anns = [a for rec in test_ds.img_infos for a in rec["anns"]]
+    ev = DetEvaluator(test_ds.img_infos, gt_anns, test_ds.cat_ids,
+                      lvis=test_ds.lvis_style,
+                      cat_image_counts=test_ds.cat_image_counts,
+                      cat_frequency=getattr(test_ds, "cat_frequency", None),
+                      max_dets=cfg.get("test_cfg", {}).get(
+                          "max_per_img", 100))
+
+    def _ap(corr_hook):
+        loader = _EvalLoader(test_ds, pipeline,
+                             cfg.data.get("samples_per_gpu", 4),
+                             corrupt=corr_hook)
+        results = run_inference(
+            model, variables, loader, loss_cls, test_cfg, test_ds.cat_ids,
+            cfg.model.get("with_mask", True), max_images=args.max_images)
+        return {m: ev.evaluate(results,
+                               "segm" if m == "segm" else "bbox")["AP"]
+                for m in args.eval}
+
+    sev = sorted(set(args.severities))
+    table = {}        # corruption -> severity -> {metric: AP}
+    clean = _ap(None) if 0 in sev else None
+    for name in names:
+        table[name] = {}
+        if clean is not None:
+            table[name][0] = clean
+        for s in sev:
+            if s == 0:
+                continue
+            table[name][s] = _ap(functools.partial(corrupt, name=name,
+                                                   severity=s))
+        row = " ".join(f"s{si}={table[name][si][args.eval[0]]:.3f}"
+                       for si in sorted(table[name]))
+        print(f"{name}: {row}", flush=True)
+
+    for m in args.eval:
+        vals = np.asarray([[table[n][s][m] for s in sev if s > 0]
+                           for n in names])
+        mpc = float(vals.mean()) if vals.size else float("nan")
+        print(f"[{m}] P (clean) = "
+              f"{clean[m] if clean else float('nan'):.4f}")
+        print(f"[{m}] mPC = {mpc:.4f}")
+        if clean and clean[m] > 0:
+            print(f"[{m}] rPC = {mpc / clean[m]:.4f}")
 
 
 def _analyze_results(args):

@@ -276,11 +276,14 @@ class _EvalLoader:
     collect_results)."""
 
     def __init__(self, dataset, pipeline, batch_size, num_shards: int = 1,
-                 shard_id: int = 0):
+                 shard_id: int = 0, corrupt=None):
         self.dataset = dataset
         self.pipeline = pipeline
         self.batch_size = batch_size
         self.indices = list(range(shard_id, len(dataset), num_shards))
+        # optional image -> image hook (robustness benchmarking: the
+        # reference inserts a Corrupt pipeline step, test_robustness.py)
+        self.corrupt = corrupt
 
     def __iter__(self):
         import cv2
@@ -293,6 +296,8 @@ class _EvalLoader:
             for i in idxs:
                 img = cv2.cvtColor(cv2.imread(self.dataset.image_path(i)),
                                    cv2.COLOR_BGR2RGB)
+                if self.corrupt is not None:
+                    img = self.corrupt(img, seed=i)
                 ann = self.dataset.get_ann(i)
                 samples.append(self.pipeline(img, ann, rng, train=False))
                 ids.append(self.dataset.img_infos[i]["id"])

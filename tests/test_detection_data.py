@@ -453,3 +453,34 @@ def test_analyze_results_ranks_images(tmp_path, capsys, monkeypatch):
     assert "0.jpg: 1.000" in best_block
     worst_block = out.split("best 2 images:")[0]
     assert "1.jpg: 0.000" in worst_block
+
+
+def test_corruptions_shapes_and_determinism():
+    from iif_tpu.detection.corruptions import (CORRUPTION_SETS,
+                                               available_corruptions,
+                                               corrupt)
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (48, 64, 3), np.uint8)
+    for name in available_corruptions():
+        out = corrupt(img, name, 3, seed=7)
+        assert out.shape == img.shape and out.dtype == np.uint8, name
+        np.testing.assert_array_equal(out, corrupt(img, name, 3, seed=7))
+        assert np.abs(out.astype(int) - img.astype(int)).mean() > 0.1, name
+    # severity 0 = identity; groups reference only known names
+    np.testing.assert_array_equal(corrupt(img, "gaussian_noise", 0), img)
+    for group in CORRUPTION_SETS.values():
+        assert set(group) <= set(available_corruptions())
+    with pytest.raises(KeyError):
+        corrupt(img, "nope", 1)
+
+
+def test_corruption_severity_increases_distortion():
+    from iif_tpu.detection.corruptions import corrupt
+
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+    for name in ("gaussian_noise", "contrast", "pixelate"):
+        d = [np.abs(corrupt(img, name, s, seed=3).astype(float)
+                    - img).mean() for s in (1, 5)]
+        assert d[1] > d[0], name
