@@ -30,5 +30,9 @@ pipeline = dict(
     flip_prob=0.5,
     max_gt=100,
     mask_stride=2,   # gt masks rasterized at 1/2 canvas res (see pipeline)
+    # per-scale 32-divisible canvases (672..800 x 1344) instead of one max
+    # canvas: one compiled step per bucket, ~15% less conv work on average
+    # over the 6-scale recipe
+    canvas_buckets=True,
 )
 evaluation = dict(interval=12, metric=["bbox", "segm"])

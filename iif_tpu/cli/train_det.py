@@ -110,7 +110,8 @@ def main():
         flip_prob=pcfg.get("flip_prob", 0.5),
         max_gt=pcfg.get("max_gt", 100),
         mask_stride=pcfg.get("mask_stride", 1),
-        extra_transforms=build_extra_transforms(pcfg.get("extras", [])))
+        extra_transforms=build_extra_transforms(pcfg.get("extras", [])),
+        canvas_buckets=pcfg.get("canvas_buckets", False))
     loader = DetectionLoader(
         train_ds, pipeline, batch_size=dcfg.get("samples_per_gpu", 4)
         * mesh.shape["data"],   # global batch = per-DP-shard x data axis

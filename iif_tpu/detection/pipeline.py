@@ -413,6 +413,7 @@ class DetectionPipeline:
         mean: np.ndarray = IMAGENET_MEAN,
         std: np.ndarray = IMAGENET_STD,
         extra_transforms: Optional[Sequence] = None,
+        canvas_buckets: bool = False,
     ):
         self.canvas = canvas
         self.scales = list(scales)
@@ -425,6 +426,27 @@ class DetectionPipeline:
         # optional pre-resize transforms (RandomCrop / PhotoMetric-
         # Distortion / CutOut / Albu), train-time only
         self.extra_transforms = list(extra_transforms or [])
+        # multiscale canvas buckets: each train scale gets the smallest
+        # 32-divisible canvas that holds its content instead of the one
+        # max canvas. mmdet pads per-batch max shape (dynamic shapes);
+        # TPU-first we keep a FEW static canvases (one compiled step per
+        # bucket, amortized by the persistent compile cache) and the
+        # loader picks the bucket per batch — scale (1333,640) content on
+        # an 800x1344 canvas wastes ~37% of the conv work otherwise.
+        self.canvas_of = [tuple(canvas)] * len(self.scales)
+        if canvas_buckets and len(self.scales) > 1:
+            ch, cw = canvas
+            self.canvas_of = [
+                (min(ch, -(-min(s) // 32) * 32), cw) for s in self.scales]
+        # bucket id -> (canvas, [scale indices])
+        self.buckets = []
+        for idx, cv in enumerate(self.canvas_of):
+            for b in self.buckets:
+                if b[0] == cv:
+                    b[1].append(idx)
+                    break
+            else:
+                self.buckets.append((cv, [idx]))
 
     def _rasterize(self, ann: Dict, n: int) -> np.ndarray:
         masks = np.zeros((n, ann["height"], ann["width"]), np.uint8)
@@ -462,7 +484,8 @@ class DetectionPipeline:
         }
 
     def __call__(self, image: np.ndarray, ann: Dict, rng: np.random.RandomState,
-                 train: bool = True, mix_fetch=None) -> Dict[str, np.ndarray]:
+                 train: bool = True, mix_fetch=None,
+                 scale_idx: Optional[int] = None) -> Dict[str, np.ndarray]:
         """``mix_fetch(rng, n) -> [sample dict, ...]`` supplies partner
         images for multi-image transforms (Mosaic/MixUp) — the
         ``MultiImageMixDataset`` role (``dataset_wrappers.py:289``), owned
@@ -497,11 +520,16 @@ class DetectionPipeline:
             mask_bitmaps = sample.get("masks")
 
         h0, w0 = image.shape[:2]
-        scale = self.scales[rng.randint(len(self.scales))] if train \
-            else self.scales[0]
+        if train:
+            s_i = rng.randint(len(self.scales)) if scale_idx is None \
+                else int(scale_idx)
+            scale = self.scales[s_i]
+            ch, cw = self.canvas_of[s_i]
+        else:
+            scale = self.scales[0]
+            ch, cw = self.canvas
         factor = keep_ratio_scale(h0, w0, scale)
-        # never exceed the static canvas
-        ch, cw = self.canvas
+        # never exceed the (bucket) static canvas
         factor = min(factor, ch / h0, cw / w0)
         nh, nw = int(h0 * factor + 0.5), int(w0 * factor + 0.5)
         img = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
@@ -636,20 +664,37 @@ class DetectionLoader:
                             "labels": np.asarray(ann_j["labels"]).copy()})
             return out
 
+        buckets = self.pipeline.buckets if self.train else []
+        multi_bucket = len(buckets) > 1
+
         def _one(args):
-            i, sample_seed = args
+            i, sample_seed, scale_idx = args
             img = self._load_image(int(i))
             ann = self.dataset.get_ann(int(i))
             return self.pipeline(img, ann, np.random.RandomState(sample_seed),
                                  self.train,
-                                 mix_fetch=_mix_fetch if needs_mix else None)
+                                 mix_fetch=_mix_fetch if needs_mix else None,
+                                 scale_idx=scale_idx)
 
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             for b0 in range(0, len(order) - self.batch_size + 1,
                             self.batch_size):
                 idxs = order[b0:b0 + self.batch_size]
                 seeds = base_rng.randint(0, 2 ** 31, size=len(idxs))
-                samples = list(pool.map(_one, zip(idxs, seeds)))
+                if multi_bucket:
+                    # canvas-homogeneous batch: pick the bucket with prob
+                    # proportional to its scale count (keeps the marginal
+                    # per-image scale distribution uniform), then sample
+                    # each image's scale uniformly within the bucket
+                    weights = np.array([len(b[1]) for b in buckets],
+                                       np.float64)
+                    bidx = base_rng.choice(len(buckets),
+                                           p=weights / weights.sum())
+                    scale_ids = base_rng.choice(buckets[bidx][1],
+                                                size=len(idxs))
+                else:
+                    scale_ids = [None] * len(idxs)
+                samples = list(pool.map(_one, zip(idxs, seeds, scale_ids)))
                 batch = {k: np.stack([s[k] for s in samples])
                          for k in samples[0]}
                 batch["image_ids"] = np.array(

@@ -11,7 +11,7 @@ import numpy as np
 import jax.numpy as jnp
 
 
-def run(roi_ext, B=4):
+def run(roi_ext, B=4, H=800):
     import optax
 
     from iif_tpu.detection.detector import DetTrainCfg, MaskRCNN
@@ -19,7 +19,7 @@ def run(roi_ext, B=4):
     from iif_tpu.engine.detection import DetectionTrainer
     from iif_tpu.parallel import make_mesh, shard_batch
 
-    H, W, C, G = 800, 1344, 1203, 100
+    W, C, G = 1344, 1203, 100
     mesh = make_mesh()
     cfg = DetTrainCfg(rpn_nms_pre=2000, mask_gt_stride=2, roi_ext=roi_ext)
     model = MaskRCNN(num_classes=C, depth=50, compute_dtype=jnp.bfloat16)
@@ -63,8 +63,9 @@ def run(roi_ext, B=4):
 def main():
     args = sys.argv[1:] or ["flat", "ml"]
     for a in args:
-        kind, _, b = a.partition(":")
-        run(kind, int(b) if b else 4)
+        parts = a.split(":")
+        run(parts[0], int(parts[1]) if len(parts) > 1 else 4,
+            int(parts[2]) if len(parts) > 2 else 800)
 
 
 if __name__ == "__main__":

@@ -484,3 +484,39 @@ def test_corruption_severity_increases_distortion():
         d = [np.abs(corrupt(img, name, s, seed=3).astype(float)
                     - img).mean() for s in (1, 5)]
         assert d[1] > d[0], name
+
+
+def test_canvas_buckets(tmp_path):
+    import cv2
+
+    from iif_tpu.detection.pipeline import DetectionLoader
+
+    ann_path = _toy_coco(tmp_path, n_imgs=8)
+    rng = np.random.RandomState(0)
+    for i in range(8):
+        cv2.imwrite(str(tmp_path / f"{i}.jpg"),
+                    rng.randint(0, 255, (48, 64, 3), np.uint8))
+    ds = CocoStyleDataset(ann_path, img_prefix=str(tmp_path))
+    scales = [(320, 160), (320, 192), (320, 256)]
+    pipe = DetectionPipeline(canvas=(256, 320), scales=scales, max_gt=4,
+                             canvas_buckets=True)
+    # one canvas per distinct short side, clamped 32-divisible
+    assert pipe.canvas_of == [(160, 320), (192, 320), (256, 320)]
+    assert len(pipe.buckets) == 3
+    loader = DetectionLoader(ds, pipe, batch_size=2, seed=0, num_workers=2)
+    seen = set()
+    for epoch in range(4):
+        loader.set_epoch(epoch)
+        for batch in loader:
+            h, w = batch["image"].shape[1:3]
+            seen.add((h, w))
+            assert (h, w) in {(160, 320), (192, 320), (256, 320)}
+            assert batch["gt_masks"].shape[2:] == (h, w)
+    assert len(seen) >= 2  # multiple buckets actually sampled
+
+
+def test_canvas_buckets_off_by_default(tmp_path):
+    ds = CocoStyleDataset(_toy_coco(tmp_path))
+    pipe = DetectionPipeline(canvas=(256, 320),
+                             scales=[(320, 160), (320, 256)], max_gt=4)
+    assert pipe.buckets == [((256, 320), [0, 1])]
