@@ -232,6 +232,35 @@ def main():
                       cat_frequency=getattr(test_ds, "cat_frequency", None),
                       max_dets=cfg.get("test_cfg", {}).get("max_per_img", 100))
     for metric in args.eval:
+        if metric == "proposal_fast":
+            # mmdet CocoDataset.evaluate 'proposal_fast': class-agnostic
+            # AR@k from the dumped detections vs GT (fast_eval_recall)
+            from iif_tpu.detection.voc_eval import eval_recalls
+
+            by_img = {}
+            for r in results:
+                x, y, w, h = r["bbox"]
+                by_img.setdefault(r["image_id"], []).append(
+                    [x, y, x + w, y + h, r["score"]])
+            gts, props = [], []
+            for rec in test_ds.img_infos:
+                gts.append(np.asarray(
+                    [[a["bbox"][0], a["bbox"][1],
+                      a["bbox"][0] + a["bbox"][2],
+                      a["bbox"][1] + a["bbox"][3]]
+                     for a in rec["anns"] if not a.get("iscrowd")],
+                    np.float32).reshape(-1, 4))
+                p = np.asarray(by_img.get(rec["id"], []),
+                               np.float32).reshape(-1, 5)
+                props.append(p[np.argsort(-p[:, 4])] if len(p) else p)
+            nums = (100, 300, 1000)
+            thrs = np.arange(0.5, 0.96, 0.05)
+            rec_mat = eval_recalls(gts, props, nums, thrs)
+            ar = rec_mat.mean(axis=1)
+            print("proposal_fast",
+                  {f"AR@{n}": round(float(a), 4)
+                   for n, a in zip(nums, ar)})
+            continue
         res = ev.evaluate(results, "segm" if metric == "segm" else "bbox")
         print(metric, {k: round(v, 4) for k, v in res.items()})
 
