@@ -181,10 +181,23 @@ def main():
     else:
         model = MaskRCNN(**model_kw)
 
-    mngr = CheckpointManager(args.checkpoint)
-    restored = mngr.restore()
-    variables = {"params": restored["state"]["params"],
-                 "batch_stats": restored["state"]["batch_stats"]}
+    if args.checkpoint.endswith(".pth"):
+        # reference-trained mmdet checkpoint: convert + overlay
+        from iif_tpu.detection.pretrained_det import load_mmdet_checkpoint
+        from iif_tpu.models.pretrained import merge_pretrained
+
+        init_vars = jax.jit(model.init, static_argnums=(2,))(
+            jax.random.PRNGKey(0),
+            jax.numpy.zeros(
+                (1,) + tuple(pcfg.get("canvas", (800, 1344))) + (3,)),
+            False)
+        p, bs = load_mmdet_checkpoint(args.checkpoint, num_classes)
+        variables = merge_pretrained(init_vars, p, bs)
+    else:
+        mngr = CheckpointManager(args.checkpoint)
+        restored = mngr.restore()
+        variables = {"params": restored["state"]["params"],
+                     "batch_stats": restored["state"]["batch_stats"]}
     test_cfg = DetTestCfg(**cfg.get("test_cfg", {}))
 
     if args.tta:
