@@ -21,6 +21,9 @@ train_cfg = dict(
     rcnn_pos_fraction=0.25,
     mask_size=28,
     num_mask_rois=128,
+    # Pallas multi-level RoIAlign (custom-VJP backward) — falls back to
+    # the XLA gather off-TPU / for unsupported shapes automatically
+    roi_ext="ml",
 )
 test_cfg = dict(
     rpn_nms_pre=1000,
