@@ -193,8 +193,9 @@ def cascade_loss(
 
     losses: Dict[str, jnp.ndarray] = {
         "loss_rpn_cls": l_rpn_cls, "loss_rpn_bbox": l_rpn_bbox}
-    extractor = SingleRoIExtractor((7, 7))
-    mask_extractor = SingleRoIExtractor((14, 14))
+    ext_kind = "ml" if getattr(cfg, "roi_ext", "flat") == "ml" else False
+    extractor = SingleRoIExtractor((7, 7), use_pallas=ext_kind)
+    mask_extractor = SingleRoIExtractor((14, 14), use_pallas=ext_kind)
     r = cfg.rcnn_num_samples
     fcfg = fasa_cfg or {}
     new_fasa: List = []
@@ -306,7 +307,8 @@ def cascade_simple_test(
         (img_h, img_w), nms_pre=cfg.rpn_nms_pre,
         max_per_img=cfg.rpn_max_per_img, nms_iou=cfg.rpn_nms_iou)
 
-    extractor = SingleRoIExtractor((7, 7))
+    test_ext = "ml" if getattr(cfg, "roi_ext", "ml") == "ml" else False
+    extractor = SingleRoIExtractor((7, 7), use_pallas=test_ext)
     p = proposals.shape[1]
     batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.float32), p)
     rois = proposals
@@ -353,7 +355,7 @@ def cascade_simple_test(
         bidx = jnp.repeat(jnp.arange(b, dtype=jnp.float32), k)
         det_rois = jnp.concatenate(
             [bidx[:, None], dets.reshape(-1, 4)], axis=1)
-        mask_extractor = SingleRoIExtractor((14, 14))
+        mask_extractor = SingleRoIExtractor((14, 14), use_pallas=test_ext)
         mfeats = mask_extractor(feats[:4], det_rois)
         # average mask probs over stages (mmdet cascade test behaviour),
         # computing only each detection's predicted-class channel

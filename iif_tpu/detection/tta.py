@@ -188,6 +188,7 @@ def maskrcnn_aug_test(
     feats, merged, merged_valid = _merged_aug_proposals(
         model, variables, images, sf, flips, cw, cfg)
     r = merged.shape[0]
+    tta_ext = "ml" if getattr(cfg, "roi_ext", "ml") == "ml" else False
 
     # ---- stage 2: re-score the merged set through the bbox head per view
     view_props = _boxes_to_view(merged[None], sf[:, None],
@@ -195,7 +196,7 @@ def maskrcnn_aug_test(
     vidx = jnp.repeat(jnp.arange(v, dtype=jnp.float32), r)
     rois5 = jnp.concatenate([vidx[:, None], view_props.reshape(-1, 4)],
                             axis=1)
-    extractor = SingleRoIExtractor((7, 7))
+    extractor = SingleRoIExtractor((7, 7), use_pallas=tta_ext)
     roi_feats = extractor(feats[:4], rois5)
     fwd_bbox = getattr(type(model), "forward_bbox", None)
     cls_score, bbox_pred, _ = model.apply(variables, roi_feats,
@@ -238,7 +239,8 @@ def maskrcnn_aug_test(
         vidx2 = jnp.repeat(jnp.arange(v, dtype=jnp.float32), k)
         mrois = jnp.concatenate([vidx2[:, None], det_view.reshape(-1, 4)],
                                 axis=1)
-        mfeats = SingleRoIExtractor((14, 14))(feats[:4], mrois)
+        mfeats = SingleRoIExtractor(
+            (14, 14), use_pallas=tta_ext)(feats[:4], mrois)
         cls_idx = jnp.clip(jnp.tile(det_labels, v), 0,
                            model.num_classes - 1)
         sel = model.apply(variables, mfeats, cls_idx,
@@ -283,6 +285,7 @@ def cascade_aug_test(
     feats, merged, merged_valid = _merged_aug_proposals(
         model, variables, images, sf, flips, cw, cfg)
     r = merged.shape[0]
+    tta_ext = "ml" if getattr(cfg, "roi_ext", "ml") == "ml" else False
 
     def _clamp_view(boxes_vr4):
         bx = jnp.clip(boxes_vr4[..., 0::2], 0.0, cw[:, None, None])
@@ -293,7 +296,7 @@ def cascade_aug_test(
     rois = _boxes_to_view(merged[None], sf[:, None], flips[:, None],
                           cw[:, None])                  # (V, R, 4)
     vidx = jnp.repeat(jnp.arange(v, dtype=jnp.float32), r)
-    extractor = SingleRoIExtractor((7, 7))
+    extractor = SingleRoIExtractor((7, 7), use_pallas=tta_ext)
     stage_scores = []
     for stage in range(model.num_stages):
         rois5 = jnp.concatenate([vidx[:, None], rois.reshape(-1, 4)],
@@ -338,7 +341,8 @@ def cascade_aug_test(
         vidx2 = jnp.repeat(jnp.arange(v, dtype=jnp.float32), k)
         mrois = jnp.concatenate([vidx2[:, None], det_view.reshape(-1, 4)],
                                 axis=1)
-        mfeats = SingleRoIExtractor((14, 14))(feats[:4], mrois)
+        mfeats = SingleRoIExtractor(
+            (14, 14), use_pallas=tta_ext)(feats[:4], mrois)
         cls_idx = jnp.clip(jnp.tile(det_labels, v), 0,
                            model.num_classes - 1)
         probs = 0.0
