@@ -59,6 +59,7 @@ class CascadeMaskRCNN(nn.Module):
     mask_temperature: float = 20.0
     frozen_stages: int = 1
     norm_eval: bool = True            # reference config: norm_eval=True
+    backbone_remat: bool = False      # jax.checkpoint residual blocks
     iif_weights: tuple = ()
     compute_dtype: object = None      # e.g. jnp.bfloat16 for backbone/FPN/RPN
     # the reference FASA cascade trains class-SPECIFIC regressors
@@ -75,9 +76,11 @@ class CascadeMaskRCNN(nn.Module):
         self.backbone = ResNet(layers=layers, block=block,
                                frozen_stages=self.frozen_stages,
                                norm_eval=self.norm_eval,
+                               remat=self.backbone_remat,
                                dtype=self.compute_dtype, name="backbone")
-        self.neck = FPN(out_channels=256, num_outs=5,
-                        dtype=self.compute_dtype, name="neck")
+        neck_cls = nn.remat(FPN) if self.backbone_remat else FPN
+        self.neck = neck_cls(out_channels=256, num_outs=5,
+                             dtype=self.compute_dtype, name="neck")
         self.rpn_head = RPNHead(num_anchors=3, dtype=self.compute_dtype,
                                 name="rpn_head")
         self.bbox_heads = [

@@ -55,6 +55,7 @@ class MaskRCNN(nn.Module):
     mask_temperature: float = 20.0
     frozen_stages: int = 1            # reference config: frozen_stages=1
     norm_eval: bool = True            # reference config: norm_eval=True
+    backbone_remat: bool = False      # jax.checkpoint residual blocks
     compute_dtype: object = None      # e.g. jnp.bfloat16 for backbone/FPN/RPN
     iif_weights: tuple = ()           # for cls_predictor='iif_normed'
     cls_init: tuple = ("normal", 0.01)  # fc_cls weight init (IIF: constant)
@@ -64,9 +65,11 @@ class MaskRCNN(nn.Module):
         self.backbone = ResNet(layers=layers, block=block,
                                frozen_stages=self.frozen_stages,
                                norm_eval=self.norm_eval,
+                               remat=self.backbone_remat,
                                dtype=self.compute_dtype, name="backbone")
-        self.neck = FPN(out_channels=256, num_outs=5,
-                        dtype=self.compute_dtype, name="neck")
+        neck_cls = nn.remat(FPN) if self.backbone_remat else FPN
+        self.neck = neck_cls(out_channels=256, num_outs=5,
+                             dtype=self.compute_dtype, name="neck")
         self.rpn_head = RPNHead(num_anchors=3, dtype=self.compute_dtype,
                                 name="rpn_head")
         self.bbox_head = Shared2FCBBoxHead(

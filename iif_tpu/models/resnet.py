@@ -138,6 +138,10 @@ class ResNet(nn.Module):
     frozen_stages: int = -1
     norm_eval: bool = False
     dtype: object = None
+    # rematerialize residual blocks in the backward (jax.checkpoint):
+    # trades ~1/3 extra forward FLOPs for dropping per-block activations
+    # — lets cascade-R101-class models fit larger per-chip batches
+    remat: bool = False
 
     def stage_widths(self) -> List[int]:
         return [64, 128, 256, 512]
@@ -181,14 +185,17 @@ class ResNet(nn.Module):
                 first = i == 0
                 downsample = first and (
                     stride != 1 or out.shape[-1] != planes * self.expansion)
+                cls = block_cls
+                if self.remat and stage > self.frozen_stages:
+                    cls = nn.remat(block_cls, static_argnums=(2,))
                 if self.block == "bottleneck":
-                    blk = Bottleneck(
+                    blk = cls(
                         planes, stride if first else 1, downsample,
                         groups=self.groups, base_width=self.width_per_group,
                         use_se=self.use_se, dtype=self.dtype,
                         name=f"layer{stage}_{i}")
                 else:
-                    blk = BasicBlockV1(
+                    blk = cls(
                         planes, stride if first else 1, downsample,
                         use_se=self.use_se, dtype=self.dtype,
                         name=f"layer{stage}_{i}")
