@@ -81,3 +81,32 @@ def test_train_mode_updates_batch_stats():
     before = jax.tree_util.tree_leaves(variables["batch_stats"])
     after = jax.tree_util.tree_leaves(mutated["batch_stats"])
     assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+def test_backbone_remat_grads_bit_identical():
+    """ResNet.remat (jax.checkpoint on residual blocks) must not change
+    gradients — only the backward's memory/compute schedule."""
+    import jax
+    import jax.numpy as jnp
+
+    from iif_tpu.models.resnet import ResNet
+
+    m0 = ResNet(layers=(2, 2, 2, 2), block="basic", frozen_stages=1,
+                norm_eval=True, dtype=jnp.bfloat16)
+    m1 = m0.clone(remat=True)
+    v = jax.jit(m0.init, static_argnums=(2,))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), False)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3),
+                    jnp.float32)
+
+    def grads(m):
+        def f(p):
+            feats = m.apply({"params": p, "batch_stats": v["batch_stats"]},
+                            x, True, return_features=True)
+            return sum(t.astype(jnp.float32).sum() for t in feats)
+        return jax.grad(f)(v["params"])
+
+    g0, g1 = grads(m0), grads(m1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
