@@ -67,6 +67,25 @@ def build_loss_cls(cfg_loss: Dict[str, Any], dataset, num_classes: int):
     return DetCrossEntropyLoss(num_classes=num_classes)
 
 
+def fasa_train_fallback(loader, n_batches: int = 50):
+    """Capped-train fallback for the FASA DynamicRunner when no data.val
+    split is configured. Warns loudly: the adaptive-sampling signal flips
+    from val loss to train loss vs the reference workflow
+    (``tools/train.py`` builds ``[('train',1),('val',1)]`` with the val
+    split run through the train pipeline)."""
+    import warnings
+
+    warnings.warn(
+        "FASA DynamicRunner: no data.val split configured — falling "
+        "back to a 50-batch slice of the TRAIN loader for the "
+        "dynamic-sampling pass. This changes the algorithm: the "
+        "adaptive signal comes from train loss instead of val loss "
+        "(reference workflow [('train',1),('val',1)] uses the val "
+        "split). Configure data.val to match the reference.",
+        UserWarning, stacklevel=2)
+    return _capped(loader, n_batches)
+
+
 def main():
     from iif_tpu.utils.compile_cache import enable as _enable_xla_cache
     _enable_xla_cache()
@@ -232,13 +251,20 @@ def main():
             {"params": state.params["backbone"],
              "batch_stats": (state.batch_stats or {}).get("backbone", {})},
             bb_p, bb_bs)
+        from iif_tpu.parallel.mesh import replicated
+
+        # put only the overlaid backbone leaves, with the same replicated
+        # NamedSharding init_state used — a bare device_put would land them
+        # uncommitted on the default device, forcing jit to re-shard every
+        # step and defeating buffer donation for those leaves
         new_params = dict(state.params)
-        new_params["backbone"] = merged["params"]
+        new_params["backbone"] = jax.device_put(merged["params"],
+                                                replicated(mesh))
         new_bs = dict(state.batch_stats or {})
-        new_bs["backbone"] = merged.get("batch_stats",
-                                        new_bs.get("backbone", {}))
-        state = state.replace(params=jax.device_put(new_params),
-                              batch_stats=jax.device_put(new_bs))
+        new_bs["backbone"] = jax.device_put(
+            merged.get("batch_stats", new_bs.get("backbone", {})),
+            replicated(mesh))
+        state = state.replace(params=new_params, batch_stats=new_bs)
 
     mngr = CheckpointManager(os.path.join(work_dir, "checkpoints"))
     start_epoch = 0
@@ -280,7 +306,7 @@ def main():
                 batch_size=dcfg.get("samples_per_gpu", 4)
                 * mesh.devices.size, oversample_thr=0.0, seed=seed)
         else:
-            fasa_val_loader = _capped(loader, 50)
+            fasa_val_loader = fasa_train_fallback(loader)
     eval_cfg = cfg.get("evaluation", {})
     eval_interval = eval_cfg.get("interval", 0)
     print(f"Start training: {max_epochs} epochs, "

@@ -181,9 +181,12 @@ def bbox_head_get_bboxes(
     nms_iou: float = 0.5,
     max_per_img: int = 100,
     num_classes: Optional[int] = None,
+    nms_kind: str = "nms",
 ):
     """Decode + custom activation + multiclass NMS
-    (``bbox_head.py:315-377``). Returns fixed-shape detections."""
+    (``bbox_head.py:315-377``). ``nms_kind='fast'`` swaps in YOLACT fast
+    NMS (reference ``bbox_nms.py:98-171``). Returns fixed-shape
+    detections."""
     if hasattr(loss_cls, "get_activation") and getattr(
             loss_cls, "custom_activation", False):
         scores = loss_cls.get_activation(cls_score)
@@ -193,4 +196,9 @@ def bbox_head_get_bboxes(
                        max_shape=img_shape)
     if scale_factor is not None:
         boxes = boxes / jnp.tile(scale_factor, boxes.shape[-1] // 4)
+    if nms_kind == "fast":
+        from iif_tpu.ops.nms import fast_nms
+
+        return fast_nms(boxes, scores, score_thr, nms_iou,
+                        max_per_img=max_per_img)
     return multiclass_nms(boxes, scores, score_thr, nms_iou, max_per_img)

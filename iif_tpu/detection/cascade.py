@@ -346,6 +346,11 @@ def cascade_simple_test(
                           model.stage_stds[-1]).reshape(b, p, 4)
 
     def _one(bx, sc):
+        if getattr(cfg, "nms_kind", "nms") == "fast":
+            from iif_tpu.ops.nms import fast_nms
+
+            return fast_nms(bx, sc, cfg.score_thr, cfg.nms_iou,
+                            max_per_img=cfg.max_per_img)
         return multiclass_nms(bx, sc, cfg.score_thr, cfg.nms_iou,
                               cfg.max_per_img)
 

@@ -141,6 +141,8 @@ class DetTestCfg(NamedTuple):
     max_per_img: int = 100           # LVIS: 300
     roi_ext: str = "ml"              # "ml" (Pallas, inference default —
     #                                   fwd-only, 1.75-2x) | "flat"
+    nms_kind: str = "nms"            # "nms" (exact greedy) | "fast"
+    #                                   (YOLACT fast NMS, bbox_nms.py:98)
 
 
 def model_kwargs_from_cfg(model_cfg: Dict[str, Any]) -> Dict[str, Any]:
@@ -339,7 +341,8 @@ def maskrcnn_simple_test(
             props, cs, bp, (img_h, img_w), loss_cls,
             scale_factor=None, score_thr=cfg.score_thr,
             nms_iou=cfg.nms_iou, max_per_img=cfg.max_per_img,
-            num_classes=model.num_classes)
+            num_classes=model.num_classes,
+            nms_kind=getattr(cfg, "nms_kind", "nms"))
 
     dets, scores, labels, det_valid = jax.vmap(_one)(
         proposals, cls_score, bbox_pred)

@@ -97,6 +97,13 @@ def build_optimizer(
         if weight_decay:
             chain.append(optax.add_decayed_weights(weight_decay,
                                                    mask=decay_mask))
+            if trainable_mask is not None:
+                # re-zero frozen params: the decoupled decay above runs
+                # after the earlier set_to_zero, so without this frozen
+                # leaves would still drift under adamw+freeze
+                chain.append(optax.masked(
+                    optax.set_to_zero(),
+                    lambda p: _invert_mask(trainable_mask, p)))
         chain.append(optax.scale_by_learning_rate(lr_schedule))
     elif opt_name == "sgd":
         chain += [optax.trace(decay=momentum),

@@ -318,8 +318,12 @@ def _rapg_bwd(output_size, spatial_scale, sampling_ratio, aligned,
     b, h, w, c = features.shape
     out_h, out_w = output_size
     if (out_h != out_w or jax.default_backend() not in ("tpu", "axon")
-            or h < WINDOW_Y or w < WINDOW_X or c % 128):
-        # XLA fallback path: differentiate the gather formulation
+            or h < WINDOW_Y or w < WINDOW_X or c % 128
+            or (w - WINDOW_X) % 8):
+        # XLA fallback path: differentiate the gather formulation (the
+        # (w - WINDOW_X) % 8 clause must match the forward's guard so fwd
+        # and bwd take the same path — a non-8-multiple ox clip bound would
+        # violate the pl.multiple_of(ox, 8) promise in the bwd kernel)
         from iif_tpu.ops.roi_align import roi_align as xla_roi_align
 
         _, vjp = jax.vjp(lambda f: xla_roi_align(
