@@ -158,7 +158,7 @@ def main():
     pipeline = DetectionPipeline(
         canvas=tuple(pcfg.get("canvas", (800, 1344))),
         scales=[tuple(s) for s in pcfg.get("scales", [(1333, 800)])],
-        flip_prob=0.0, max_gt=1)
+        flip_prob=0.0, max_gt=1, emit_uint8=pcfg.get("uint8", True))
     loader = _EvalLoader(test_ds, pipeline,
                          cfg.data.get("samples_per_gpu", 4),
                          num_shards=jax.process_count(),

@@ -130,7 +130,11 @@ def main():
         max_gt=pcfg.get("max_gt", 100),
         mask_stride=pcfg.get("mask_stride", 1),
         extra_transforms=build_extra_transforms(pcfg.get("extras", [])),
-        canvas_buckets=pcfg.get("canvas_buckets", False))
+        canvas_buckets=pcfg.get("canvas_buckets", False),
+        # default ON: uint8 canvas + bit-packed masks -> ~7x less
+        # host->device traffic; normalization/unpack run on device
+        emit_uint8=pcfg.get("uint8", True),
+        pack_masks=pcfg.get("pack_masks", True))
     loader = DetectionLoader(
         train_ds, pipeline, batch_size=dcfg.get("samples_per_gpu", 4)
         * mesh.shape["data"],   # global batch = per-DP-shard x data axis

@@ -37,7 +37,8 @@ from iif_tpu.detection.necks import FPN
 from iif_tpu.detection.roi_extractor import SingleRoIExtractor
 from iif_tpu.detection.rpn import RPNHead, rpn_loss, rpn_proposals
 from iif_tpu.detection.detector import (
-    DetTrainCfg, DetTestCfg, _DEPTH_LAYERS, fpn_shapes, make_anchor_generator)
+    DetTrainCfg, DetTestCfg, _DEPTH_LAYERS, fpn_shapes,
+    make_anchor_generator, normalize_if_uint8, resolve_gt_masks)
 from iif_tpu.models.resnet import ResNet
 from iif_tpu.ops.boxes import bbox2delta, delta2bbox
 from iif_tpu.ops.nms import multiclass_nms
@@ -100,8 +101,8 @@ class CascadeMaskRCNN(nn.Module):
                 for i in range(self.num_stages)]
 
     def extract_feat(self, images, train: bool = False):
-        return self.neck(self.backbone(images, train=train,
-                                       return_features=True))
+        return self.neck(self.backbone(normalize_if_uint8(images),
+                                       train=train, return_features=True))
 
     def forward_rpn(self, feats):
         return self.rpn_head(feats)
@@ -270,8 +271,10 @@ def cascade_loss(
             mask_pred = model.apply(
                 variables, mfeats, cls_idx, stage,
                 method=CascadeMaskRCNN.forward_mask_for_labels_stage)
-            mt = mask_targets(pos_rois5, pos_gt, batch["gt_masks"],
-                              cfg.mask_size, gt_stride=cfg.mask_gt_stride)
+            mt = mask_targets(
+                pos_rois5, pos_gt,
+                resolve_gt_masks(batch, img_w // cfg.mask_gt_stride),
+                cfg.mask_size, gt_stride=cfg.mask_gt_stride)
             losses[f"s{stage}.loss_mask"] = sw * mask_head_loss(
                 mask_pred, mt, pos_labels, pos_w)
 

@@ -41,6 +41,39 @@ _DEPTH_LAYERS = {18: ((2, 2, 2, 2), "basic"), 34: ((3, 4, 6, 3), "basic"),
                  101: ((3, 4, 23, 3), "bottleneck"),
                  152: ((3, 8, 36, 3), "bottleneck")}
 
+# ImageNet pixel stats (0-255 scale) for DEVICE-side normalization of
+# uint8 canvases (DetectionPipeline(emit_uint8=True) ships raw pixels —
+# 4x less host->device traffic, no per-sample float math on the host)
+IMG_MEAN = (123.675, 116.28, 103.53)
+IMG_STD = (58.395, 57.12, 57.375)
+
+
+def normalize_if_uint8(images: jnp.ndarray) -> jnp.ndarray:
+    """(x - mean) / std when the canvas arrives as raw uint8 pixels;
+    identity for already-normalized float input."""
+    if images.dtype != jnp.uint8:
+        return images
+    mean = jnp.asarray(IMG_MEAN, jnp.float32)
+    std = jnp.asarray(IMG_STD, jnp.float32)
+    return (images.astype(jnp.float32) - mean) / std
+
+
+def unpack_mask_bits(packed: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Device-side inverse of ``np.packbits(masks, axis=-1)`` (big-endian
+    bit order): (..., W/8) uint8 -> (..., width) uint8 in {0, 1}."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(packed.shape[:-1] + (-1,))[..., :width]
+
+
+def resolve_gt_masks(batch: Dict[str, jnp.ndarray], mask_width: int
+                     ) -> jnp.ndarray:
+    """gt masks from either the dense 'gt_masks' key or the bit-packed
+    'gt_masks_packed' key (unpacked on device)."""
+    if "gt_masks" in batch:
+        return batch["gt_masks"]
+    return unpack_mask_bits(batch["gt_masks_packed"], mask_width)
+
 
 class MaskRCNN(nn.Module):
     num_classes: int = 1203
@@ -85,7 +118,8 @@ class MaskRCNN(nn.Module):
 
     # ----------------------------------------------------------- sub-passes
     def extract_feat(self, images: jnp.ndarray, train: bool = False):
-        feats = self.backbone(images, train=train, return_features=True)
+        feats = self.backbone(normalize_if_uint8(images), train=train,
+                              return_features=True)
         return self.neck(feats)
 
     def forward_rpn(self, fpn_feats):
@@ -286,8 +320,10 @@ def maskrcnn_loss(
         mask_pred = model.apply(
             variables, mask_feats, cls_idx,
             method=MaskRCNN.forward_mask_for_labels)
-        mask_tgt = mask_targets(pos_rois5, pos_gt, batch["gt_masks"],
-                                cfg.mask_size, gt_stride=cfg.mask_gt_stride)
+        mask_tgt = mask_targets(
+            pos_rois5, pos_gt,
+            resolve_gt_masks(batch, img_w // cfg.mask_gt_stride),
+            cfg.mask_size, gt_stride=cfg.mask_gt_stride)
         losses["loss_mask"] = mask_head_loss(
             mask_pred, mask_tgt, pos_labels, pos_w)
 

@@ -62,7 +62,7 @@ def init_detector(config: Union[str, Any], checkpoint: Optional[str] = None
     pipeline = DetectionPipeline(
         canvas=tuple(pcfg.get("canvas", (800, 1344))),
         scales=[tuple(s) for s in pcfg.get("scales", [(1333, 800)])],
-        flip_prob=0.0, max_gt=1)
+        flip_prob=0.0, max_gt=1, emit_uint8=pcfg.get("uint8", True))
 
     canvas = pipeline.canvas
     variables = jax.jit(model.init, static_argnums=(2,))(

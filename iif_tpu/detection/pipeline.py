@@ -414,7 +414,25 @@ class DetectionPipeline:
         std: np.ndarray = IMAGENET_STD,
         extra_transforms: Optional[Sequence] = None,
         canvas_buckets: bool = False,
+        emit_uint8: bool = False,
+        pack_masks: bool = False,
     ):
+        # emit_uint8: keep the canvas as uint8 pixels and normalize ON
+        # DEVICE inside the jitted step (MaskRCNN.extract_feat) — 4x less
+        # host->device transfer + no 8MP float math per sample on the
+        # host. Padding uses the rounded per-channel mean pixel so the
+        # normalized pad is ~0 (within uint8 rounding) like the float
+        # path's zero pad. Requires the default ImageNet mean/std (the
+        # device side owns the constants).
+        if emit_uint8 and not (np.allclose(mean, IMAGENET_MEAN)
+                               and np.allclose(std, IMAGENET_STD)):
+            raise ValueError("emit_uint8 requires the default ImageNet "
+                             "mean/std (device-side normalization)")
+        self.emit_uint8 = emit_uint8
+        # pack_masks: ship gt masks bit-packed (np.packbits along W, 8x
+        # smaller) under 'gt_masks_packed'; the loss unpacks on device
+        self.pack_masks = pack_masks
+        self._pad_pixel = np.round(np.asarray(mean)).astype(np.uint8)
         self.canvas = canvas
         self.scales = list(scales)
         self.flip_prob = flip_prob
@@ -474,8 +492,14 @@ class DetectionPipeline:
         img = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
         if flip:
             img = img[:, ::-1]
-        out_img = np.zeros((ch, cw, 3), np.float32)
-        out_img[:nh, :nw] = (img.astype(np.float32) - self.mean) / self.std
+        if self.emit_uint8:
+            out_img = np.empty((ch, cw, 3), np.uint8)
+            out_img[:] = self._pad_pixel
+            out_img[:nh, :nw] = img
+        else:
+            out_img = np.zeros((ch, cw, 3), np.float32)
+            out_img[:nh, :nw] = (img.astype(np.float32) - self.mean) \
+                / self.std
         return {
             "image": out_img,
             "img_shape": np.array([nh, nw], np.int32),
@@ -543,8 +567,14 @@ class DetectionPipeline:
             flipped[:, 2] = nw - boxes[:, 0]
             boxes = flipped
 
-        out_img = np.zeros((ch, cw, 3), np.float32)
-        out_img[:nh, :nw] = (img.astype(np.float32) - self.mean) / self.std
+        if self.emit_uint8:
+            out_img = np.empty((ch, cw, 3), np.uint8)
+            out_img[:] = self._pad_pixel
+            out_img[:nh, :nw] = img
+        else:
+            out_img = np.zeros((ch, cw, 3), np.float32)
+            out_img[:nh, :nw] = (img.astype(np.float32) - self.mean) \
+                / self.std
 
         g = self.max_gt
         n = min(len(boxes), g)
@@ -568,17 +598,39 @@ class DetectionPipeline:
         if self.with_mask:
             s = self.mask_stride
             mh, mw = ch // s, cw // s
-            masks = np.zeros((g, mh, mw), np.uint8)
+            # rasterize only the n valid instances; the g-n padding slots
+            # exist only in the (8x smaller) packed output — cuts the
+            # per-sample mask-memory traffic ~8x at LVIS scale (g=100,
+            # ~12 real objects)
+            masks = np.zeros((n if self.pack_masks else g, mh, mw),
+                             np.uint8)
             for i in range(n):
+                segm = None if mask_bitmaps is not None \
+                    else ann["segms"][i]
                 if mask_bitmaps is not None:       # extras pre-rasterized
                     m = mask_bitmaps[i]
-                elif ann["segms"][i] is None:
+                elif segm is None:
                     x1, y1, x2, y2 = boxes[i].astype(int)
                     masks[i, y1 // s:y2 // s, x1 // s:x2 // s] = 1
                     continue
-                else:
-                    m = segm_to_bitmap(ann["segms"][i], ann["height"],
-                                       ann["width"])
+                elif isinstance(segm, (list, tuple)):
+                    # polygon: rasterize DIRECTLY at stride resolution
+                    # with scaled (+flipped) coords — PolygonMasks
+                    # rescale semantics (mmdet structures.py:533 keeps
+                    # polygons as polygons through resize); skips the two
+                    # full-canvas nearest resizes of the bitmap path
+                    # (the host-pipeline hot spot at LVIS scale)
+                    for p in segm:
+                        q = np.asarray(p, np.float32).reshape(-1, 2) \
+                            * factor
+                        if flip:
+                            q[:, 0] = nw - q[:, 0]
+                        cv2.fillPoly(
+                            masks[i],
+                            [np.round(q / s).astype(np.int32)], 1)
+                    continue
+                else:                              # RLE dict
+                    m = segm_to_bitmap(segm, ann["height"], ann["width"])
                 m = cv2.resize(m, (nw, nh),
                                interpolation=cv2.INTER_NEAREST)
                 if flip:
@@ -587,7 +639,15 @@ class DetectionPipeline:
                     m = cv2.resize(m, (nw // s, nh // s),
                                    interpolation=cv2.INTER_NEAREST)
                 masks[i, :m.shape[0], :m.shape[1]] = m
-            out["gt_masks"] = masks
+            if self.pack_masks:
+                # 8x smaller transfer; big-endian bit order — the device
+                # unpack (detector.unpack_mask_bits) mirrors np.packbits
+                packed = np.zeros((g, mh, (mw + 7) // 8), np.uint8)
+                if n:
+                    packed[:n] = np.packbits(masks, axis=-1)
+                out["gt_masks_packed"] = packed
+            else:
+                out["gt_masks"] = masks
         return out
 
 
@@ -597,7 +657,8 @@ class DetectionLoader:
 
     def __init__(self, dataset: CocoStyleDataset, pipeline: DetectionPipeline,
                  batch_size: int, oversample_thr: float = 0.0,
-                 seed: int = 0, train: bool = True, num_workers: int = 8):
+                 seed: int = 0, train: bool = True, num_workers: int = 8,
+                 prefetch: int = 3):
         from iif_tpu.detection.datasets import (expand_indices_by_repeat,
                                                 group_epoch_order,
                                                 repeat_factors)
@@ -611,6 +672,11 @@ class DetectionLoader:
         # host-parallel decode+pipeline (the reference's DataLoader
         # num_workers; threads suffice — cv2 releases the GIL)
         self.num_workers = num_workers
+        # producer-thread depth: batches built ahead of the consumer so the
+        # host pipeline overlaps the device step (the reference hides
+        # data_time under the iter via DataLoader worker prefetch,
+        # mmdet/datasets/builder.py:84); 0 disables
+        self.prefetch = prefetch
         if train and oversample_thr > 0:
             self.base_indices = expand_indices_by_repeat(
                 repeat_factors(dataset, oversample_thr))
@@ -634,6 +700,38 @@ class DetectionLoader:
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
     def __iter__(self):
+        """Prefetching iterator: ``_batches`` runs in a producer thread
+        with a bounded queue so decode+pipeline for batch N+1..N+prefetch
+        overlaps the device step on batch N. Worker exceptions re-raise in
+        the consumer."""
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        import queue as _queue
+        import threading
+
+        q: _queue.Queue = _queue.Queue(maxsize=self.prefetch)
+        _DONE, _ERR = object(), object()
+
+        def _producer():
+            try:
+                for b in self._batches():
+                    q.put(b)
+                q.put(_DONE)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                q.put((_ERR, e))
+
+        t = threading.Thread(target=_producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _DONE:
+                return
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+                raise item[1]
+            yield item
+
+    def _batches(self):
         if self.train:
             order = self._group_order(self.dataset.flag[self.base_indices]
                                       if len(self.dataset.flag) else

@@ -149,12 +149,23 @@ class DetectionTrainer:
 
     def train_one_epoch(self, state: DetTrainState, loader, epoch: int,
                         print_freq: int = 50, print_fn=print,
-                        log_writer=None, lr_fn=None
+                        log_writer=None, lr_fn=None, sync_window: int = 4
                         ) -> Tuple[DetTrainState, MetricLogger]:
+        """Epoch loop with ASYNC metric readback: per-step device metrics
+        are buffered and read back only when the sliding window fills (one
+        oldest-step readback — keeps the device pipelined while bounding
+        in-flight batch buffers to ~``sync_window``) or at a print point
+        (full drain so meters are current). The per-step ``float()`` sync
+        of round 2 serialized dispatch with the ~30 ms tunnel RTT.
+
+        CheckInvalidLossHook fires at readback granularity, matching the
+        reference hook's ``interval`` semantics (mmdet checkloss_hook.py —
+        it too runs every ``interval`` iters, not every iter)."""
         logger = MetricLogger(print_fn=print_fn)
         loader.set_epoch(epoch)
         header = f"Epoch: [{epoch}]"
         steps_per_epoch = len(loader)
+        total = len(loader)
 
         def _sink(rec):
             if log_writer is None:
@@ -165,24 +176,38 @@ class DetectionTrainer:
                 rec["lr"] = float(lr_fn(step))
             log_writer.write(rec, step=step)
 
+        pending: list = []   # FIFO of un-read device metric dicts
+
+        def _absorb(device_metrics):
+            host = {k: float(v) for k, v in
+                    jax.device_get(device_metrics).items()}
+            # CheckInvalidLossHook equivalent (mmdet checkloss_hook.py)
+            if not np.isfinite(host.get("loss", 0.0)):
+                raise FloatingPointError(
+                    f"loss became non-finite at epoch {epoch} "
+                    f"(metrics: {host})")
+            logger.update(**host)
+
+        i = 0
         for batch in logger.log_every(iter(loader), print_freq, header,
-                                      total=len(loader), sink=_sink):
+                                      total=total, sink=_sink):
             feed = {k: v for k, v in batch.items()
                     if k in ("image", "gt_boxes", "gt_labels", "gt_valid",
-                             "gt_masks")}
+                             "gt_masks", "gt_masks_packed")}
             gbatch = shard_batch(feed, self.mesh)
             state, metrics = self._train_step(
                 state, gbatch, fasa_aug_on=(state.fasa is not None
                                             and epoch >= 1))
-            host_metrics = {k: float(v) for k, v in
-                            jax.device_get(metrics).items()}
-            # CheckInvalidLossHook equivalent (mmdet checkloss_hook.py):
-            # the host readback is the natural interception point
-            if not np.isfinite(host_metrics.get("loss", 0.0)):
-                raise FloatingPointError(
-                    f"loss became non-finite at epoch {epoch} "
-                    f"(metrics: {host_metrics})")
-            logger.update(**host_metrics)
+            pending.append(metrics)
+            at_print = print_freq and (i % print_freq == 0 or i == total - 1)
+            if at_print:
+                while pending:
+                    _absorb(pending.pop(0))
+            elif len(pending) >= max(sync_window, 1):
+                _absorb(pending.pop(0))
+            i += 1
+        while pending:
+            _absorb(pending.pop(0))
         return state, logger
 
     # ------------------------------------------------- FASA dynamic runner
@@ -196,9 +221,10 @@ class DetectionTrainer:
         assert state.fasa is not None
         fasa = state.fasa
         for batch in loader:
+            # masks are not consumed by the FASA val forward — skip the
+            # (large) host->device mask transfer entirely
             feed = {k: v for k, v in batch.items()
-                    if k in ("image", "gt_boxes", "gt_labels", "gt_valid",
-                             "gt_masks")}
+                    if k in ("image", "gt_boxes", "gt_labels", "gt_valid")}
             gbatch = shard_batch(feed, self.mesh)
             fasa = self._fasa_accumulate_batch(state, gbatch, fasa)
         up = (self.fasa_cfg or {}).get("dynamic_up", 1.1)

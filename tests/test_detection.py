@@ -225,6 +225,43 @@ def test_maskrcnn_loss_positive_finite(model_and_vars, small_cfg):
     assert aux["batch_stats"]  # batch stats mutated
 
 
+def test_maskrcnn_loss_packed_masks_equals_dense(model_and_vars, small_cfg):
+    """Bit-packed gt masks (the round-3 default loader feed) must give the
+    IDENTICAL loss as the dense path — unpack happens on device."""
+    model, variables = model_and_vars
+    batch = _demo_inputs()
+    loss_cls = DetIIFLoss(weights=jnp.ones(NUM_CLASSES + 1))
+    total_d, losses_d, _ = maskrcnn_loss(
+        model, variables, batch, jax.random.PRNGKey(0), loss_cls, small_cfg)
+    packed = dict(batch)
+    packed["gt_masks_packed"] = jnp.asarray(
+        np.packbits(np.asarray(batch["gt_masks"]), axis=-1))
+    del packed["gt_masks"]
+    total_p, losses_p, _ = maskrcnn_loss(
+        model, variables, packed, jax.random.PRNGKey(0), loss_cls,
+        small_cfg)
+    assert float(total_d) == float(total_p)
+    for k in losses_d:
+        assert float(losses_d[k]) == float(losses_p[k]), k
+
+
+def test_uint8_input_normalize_parity(model_and_vars):
+    """uint8 images through extract_feat == host-normalized float input."""
+    from iif_tpu.detection.detector import IMG_MEAN, IMG_STD
+
+    model, variables = model_and_vars
+    rng = np.random.RandomState(3)
+    u8 = rng.randint(0, 256, (1, H, W, 3), np.uint8)
+    f32 = (u8.astype(np.float32) - np.asarray(IMG_MEAN, np.float32)) \
+        / np.asarray(IMG_STD, np.float32)
+    fu = model.apply(variables, jnp.asarray(u8), False,
+                     method=MaskRCNN.extract_feat)
+    ff = model.apply(variables, jnp.asarray(f32), False,
+                     method=MaskRCNN.extract_feat)
+    for a, b in zip(fu, ff):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_maskrcnn_loss_empty_gt(model_and_vars, small_cfg):
     """Empty-GT edge case (reference test_forward.py:86-103)."""
     model, variables = model_and_vars

@@ -520,3 +520,75 @@ def test_canvas_buckets_off_by_default(tmp_path):
     pipe = DetectionPipeline(canvas=(256, 320),
                              scales=[(320, 160), (320, 256)], max_gt=4)
     assert pipe.buckets == [((256, 320), [0, 1])]
+
+
+# ------------------------------------------- uint8 canvas + packed masks
+def test_pipeline_emit_uint8_matches_float_path(tmp_path):
+    """uint8 emission + device-side normalize must reproduce the float
+    pipeline's normalized pixels exactly on the content region (pad region
+    differs only by the uint8 rounding of the mean pixel)."""
+    import jax.numpy as jnp
+
+    from iif_tpu.detection.detector import normalize_if_uint8
+
+    ds = CocoStyleDataset(_toy_coco(tmp_path))
+    img = np.random.RandomState(1).randint(0, 255, (48, 64, 3), np.uint8)
+    rng_a, rng_b = np.random.RandomState(7), np.random.RandomState(7)
+    pf = DetectionPipeline(canvas=(96, 160), scales=[(160, 96)], max_gt=5)
+    pu = DetectionPipeline(canvas=(96, 160), scales=[(160, 96)], max_gt=5,
+                           emit_uint8=True, pack_masks=True)
+    of = pf(img, ds.get_ann(0), rng_a, train=True)
+    ou = pu(img, ds.get_ann(0), rng_b, train=True)
+    assert ou["image"].dtype == np.uint8
+    norm = np.asarray(normalize_if_uint8(jnp.asarray(ou["image"])))
+    nh, nw = ou["img_shape"]
+    np.testing.assert_array_equal(norm[:nh, :nw], of["image"][:nh, :nw])
+    # pad region (right of the 2x-scaled 64-wide content): normalized
+    # rounded-mean pixel is ~0
+    assert nw < 160
+    assert np.abs(norm[:, nw:]).max() < 0.01
+    # packed masks roundtrip through the device unpack
+    from iif_tpu.detection.detector import unpack_mask_bits
+
+    unpacked = np.asarray(unpack_mask_bits(
+        jnp.asarray(ou["gt_masks_packed"]), 160))
+    np.testing.assert_array_equal(unpacked, of["gt_masks"])
+
+
+def test_pipeline_emit_uint8_rejects_custom_stats():
+    with pytest.raises(ValueError, match="emit_uint8"):
+        DetectionPipeline(canvas=(96, 160), scales=[(160, 96)],
+                          mean=np.array([0.0, 0.0, 0.0], np.float32),
+                          emit_uint8=True)
+
+
+def test_detection_loader_prefetch_deterministic(tmp_path):
+    """The producer-thread prefetch must yield exactly the sequence the
+    unprefetched loader yields, and propagate worker exceptions."""
+    import cv2
+
+    ann_path = _toy_coco(tmp_path, n_imgs=8)
+    rng = np.random.RandomState(0)
+    for i in range(8):
+        cv2.imwrite(str(tmp_path / f"{i}.jpg"),
+                    rng.randint(0, 255, (48, 64, 3), np.uint8))
+    ds = CocoStyleDataset(ann_path, img_prefix=str(tmp_path))
+    pipe = DetectionPipeline(canvas=(96, 160), scales=[(160, 96)], max_gt=4)
+    from iif_tpu.detection.pipeline import DetectionLoader
+
+    l0 = DetectionLoader(ds, pipe, batch_size=2, seed=3, num_workers=2,
+                         prefetch=0)
+    l3 = DetectionLoader(ds, pipe, batch_size=2, seed=3, num_workers=2,
+                         prefetch=3)
+    b0, b3 = list(l0), list(l3)
+    assert len(b0) == len(b3) > 0
+    for x, y in zip(b0, b3):
+        assert sorted(x) == sorted(y)
+        for k in x:
+            np.testing.assert_array_equal(x[k], y[k])
+    # exception propagation: point the loader at a missing image
+    ds_bad = CocoStyleDataset(ann_path, img_prefix=str(tmp_path / "nope"))
+    l_bad = DetectionLoader(ds_bad, pipe, batch_size=2, seed=3,
+                            num_workers=2, prefetch=3)
+    with pytest.raises(FileNotFoundError):
+        list(l_bad)
