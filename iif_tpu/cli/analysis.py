@@ -26,14 +26,25 @@ def main():
     b.add_argument("--num-iters", default=50, type=int)
     b.add_argument("--warmup", default=5, type=int)
     b.add_argument("--batch-size", default=1, type=int)
+    b.add_argument("--fuse-conv-bn", action="store_true",
+                   help="fold frozen BN into convs before timing")
 
     f = sub.add_parser("flops")
     f.add_argument("config")
     f.add_argument("--shape", nargs=2, type=int, default=[800, 1344])
 
     l = sub.add_parser("logs")
-    l.add_argument("path")
-    l.add_argument("--key", default="time")
+    l.add_argument("path", nargs="+",
+                   help=".log.json file(s); several overlay in one plot")
+    l.add_argument("--key", default="time",
+                   help="speed-stats field (cal_train_time mode)")
+    l.add_argument("--plot-keys", nargs="+", default=None,
+                   help="plot these metrics instead of printing speed "
+                        "stats (analyze_logs.py plot_curve: losses/lr "
+                        "over iters, *AP*/acc over epochs)")
+    l.add_argument("--legend", nargs="+", default=None)
+    l.add_argument("--title", default=None)
+    l.add_argument("--out", default=None, help="figure path (png/pdf)")
 
     e = sub.add_parser("eval_metric",
                        help="offline eval of a dumped results json "
@@ -98,9 +109,16 @@ def main():
         _optimize_anchors(args)
         return
     if args.cmd == "logs":
-        from iif_tpu.utils.profiling import analyze_log_json
+        from iif_tpu.utils.profiling import (analyze_log_json,
+                                             plot_log_curves)
 
-        print(analyze_log_json(args.path, args.key))
+        if args.plot_keys:
+            plot_log_curves(args.path, args.plot_keys,
+                            legend=args.legend, title=args.title,
+                            out=args.out)
+        else:
+            for path in args.path:
+                print(path, analyze_log_json(path, args.key))
         return
 
     import jax
@@ -138,6 +156,11 @@ def main():
         restored = CheckpointManager(args.checkpoint).restore()
         variables = {"params": restored["state"]["params"],
                      "batch_stats": restored["state"]["batch_stats"]}
+    if getattr(args, "fuse_conv_bn", False):
+        from iif_tpu.models.fuse import fuse_conv_bn
+
+        variables, n_fused = fuse_conv_bn(variables)
+        print(f"fuse-conv-bn: folded {n_fused} conv/BN pairs")
     test_cfg = DetTestCfg(**cfg.get("test_cfg", {}))
     x = jnp.zeros((args.batch_size,) + canvas + (3,))
 

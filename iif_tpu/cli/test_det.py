@@ -29,6 +29,9 @@ def parse_args():
     p.add_argument("--tta", action="store_true",
                    help="multi-scale+flip aug-test (reference aug_test: "
                         "merged proposals re-scored per view)")
+    p.add_argument("--fuse-conv-bn", action="store_true",
+                   help="fold frozen BN into conv kernels at load "
+                        "(reference tools/test.py:45-47)")
     return p.parse_args()
 
 
@@ -198,6 +201,11 @@ def main():
         restored = mngr.restore()
         variables = {"params": restored["state"]["params"],
                      "batch_stats": restored["state"]["batch_stats"]}
+    if args.fuse_conv_bn:
+        from iif_tpu.models.fuse import fuse_conv_bn
+
+        variables, n_fused = fuse_conv_bn(variables)
+        print(f"fuse-conv-bn: folded {n_fused} conv/BN pairs")
     test_cfg = DetTestCfg(**cfg.get("test_cfg", {}))
 
     if args.tta:

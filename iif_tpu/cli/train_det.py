@@ -214,10 +214,14 @@ def main():
 
     from iif_tpu.parallel import detection_tp_rules
 
+    # grad_accum k: the global batch is split into k sequential
+    # micro-batches inside one jitted step (reaches the reference's
+    # global batch when it exceeds per-chip HBM, e.g. cascade R101 b8)
     trainer = DetectionTrainer(model, loss_cls, tx, mesh, train_cfg,
                                fasa_cfg=fasa_cfg, seed=seed,
                                param_rules=(detection_tp_rules()
-                                            if tp > 1 else None))
+                                            if tp > 1 else None),
+                               grad_accum=dcfg.get("grad_accum", 1))
     canvas = pipeline.canvas
     state = trainer.init_state((canvas[0], canvas[1], 3),
                                fasa_state=fasa_state, seed=seed)

@@ -22,9 +22,11 @@ class Detector:
         self._run = None  # lazily-built jitted inference fn
 
 
-def init_detector(config: Union[str, Any], checkpoint: Optional[str] = None
-                  ) -> Detector:
-    """Build a detector from a config path (+ optional orbax checkpoint)."""
+def init_detector(config: Union[str, Any], checkpoint: Optional[str] = None,
+                  fuse_conv_bn: bool = False) -> Detector:
+    """Build a detector from a config path (+ optional orbax checkpoint).
+    ``fuse_conv_bn`` folds frozen BN into the conv kernels at load
+    (reference ``tools/test.py:45-47``)."""
     import jax
     import jax.numpy as jnp
 
@@ -73,6 +75,10 @@ def init_detector(config: Union[str, Any], checkpoint: Optional[str] = None
         restored = CheckpointManager(checkpoint).restore()
         variables = {"params": restored["state"]["params"],
                      "batch_stats": restored["state"]["batch_stats"]}
+    if fuse_conv_bn:
+        from iif_tpu.models.fuse import fuse_conv_bn as _fuse
+
+        variables, _ = _fuse(variables)
     return Detector(model, variables, loss_cls,
                     DetTestCfg(**cfg.get("test_cfg", {})), pipeline, classes)
 

@@ -187,17 +187,28 @@ def paste_masks(
     one scale_and_translate per RoI, fully batched. Returns (R, H, W) bool."""
     h, w = img_shape
     s = mask_pred.shape[-1]
+    # grid_sample zero-pads outside the mask while scale_and_translate
+    # clamps to the border value; a 1-cell zero ring (with the box grown
+    # by one bin to match) makes the clamped sample equal the reference's
+    # zero-padded one at every canvas pixel (caught by
+    # test_geometry_oracle: without it, border mask values leak over the
+    # entire canvas outside the box).
+    padded = jnp.pad(mask_pred, ((0, 0), (1, 1), (1, 1)))
 
     def _one(m, box):
         x1, y1, x2, y2 = box
-        bw = jnp.maximum(x2 - x1, 1.0)
-        bh = jnp.maximum(y2 - y1, 1.0)
-        scale = jnp.stack([bh / s, bw / s])
-        translation = jnp.stack([y1, x1])
+        bw = jnp.maximum(x2 - x1, 1.0) / s
+        bh = jnp.maximum(y2 - y1, 1.0) / s
+        scale = jnp.stack([bh, bw])
+        translation = jnp.stack([y1 - bh, x1 - bw])
+        # antialias=False: the reference's grid_sample point-samples the
+        # 28x28 mask bilinearly even when the box is smaller than 28px;
+        # jax's antialiased downscale flips border pixels vs
+        # _do_paste_mask.
         out = jax.image.scale_and_translate(
             m[..., None], (h, w, 1), (0, 1), scale, translation,
-            method="bilinear")[..., 0]
+            method="bilinear", antialias=False)[..., 0]
         return out
 
-    pasted = jax.vmap(_one)(mask_pred, boxes)
+    pasted = jax.vmap(_one)(padded, boxes)
     return pasted >= threshold

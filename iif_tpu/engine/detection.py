@@ -60,6 +60,7 @@ class DetectionTrainer:
         fasa_cfg: Optional[Dict[str, float]] = None,
         seed: int = 0,
         param_rules=None,
+        grad_accum: int = 1,
     ):
         self.model = model
         self.loss_cls = loss_cls
@@ -79,6 +80,14 @@ class DetectionTrainer:
         # params + optimizer state sharded over the mesh 'model' axis,
         # everything else replicated; XLA inserts the head collectives
         self.param_rules = param_rules
+        # micro-batching: split each global batch into ``grad_accum``
+        # sequential chunks inside ONE jitted step (lax.scan) and apply
+        # the averaged gradient — reaches the reference's global batch
+        # when the full batch exceeds per-chip HBM (e.g. cascade R101
+        # b8 = 2 x b4; VERDICT round-2 item 4). Peak activation memory
+        # is one chunk's; the only extra residency is a params-sized
+        # gradient accumulator.
+        self.grad_accum = int(grad_accum)
         self.base_rng = jax.random.PRNGKey(seed)
         # NOTE: the only epoch-dependent behaviour is the FASA aug gate
         # (active from epoch >= 1); a static boolean keeps it to at most
@@ -113,36 +122,66 @@ class DetectionTrainer:
                          batch: Dict[str, jnp.ndarray], *,
                          fasa_aug_on: bool = False
                          ) -> Tuple[DetTrainState, Dict[str, jnp.ndarray]]:
-        key = jax.random.fold_in(self.base_rng, state.step)
         from iif_tpu.parallel.mesh import spatial_size
 
         sp_mesh = self.mesh if spatial_size(self.mesh) > 1 else None
 
-        def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
+        def loss_fn(params, batch_stats, fasa, mb, key):
+            variables = {"params": params, "batch_stats": batch_stats}
             if self.is_cascade:
                 total, losses, aux = cascade_loss(
-                    self.model, variables, batch, key, self.stage_losses,
-                    self.train_cfg, fasa_states=state.fasa,
+                    self.model, variables, mb, key, self.stage_losses,
+                    self.train_cfg, fasa_states=fasa,
                     fasa_cfg=self.fasa_cfg,
                     epoch=1 if fasa_aug_on else 0, mesh=sp_mesh)
             else:
                 total, losses, aux = maskrcnn_loss(
-                    self.model, variables, batch, key, self.loss_cls,
-                    self.train_cfg, fasa_state=state.fasa,
+                    self.model, variables, mb, key, self.loss_cls,
+                    self.train_cfg, fasa_state=fasa,
                     fasa_cfg=self.fasa_cfg,
                     epoch=1 if fasa_aug_on else 0, mesh=sp_mesh)
             return total, (losses, aux)
 
-        (total, (losses, aux)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        n = self.grad_accum
+        if n <= 1:
+            key = jax.random.fold_in(self.base_rng, state.step)
+            (total, (losses, aux)), grads = grad_fn(
+                state.params, state.batch_stats, state.fasa, batch, key)
+            new_stats = aux["batch_stats"]
+            new_fasa = aux.get("fasa_state", state.fasa)
+        else:
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((n, x.shape[0] // n) + x.shape[1:]),
+                batch)
+
+            def body(carry, xs):
+                acc, bstats, fasa = carry
+                i, mb = xs
+                key = jax.random.fold_in(self.base_rng,
+                                         state.step * n + i)
+                (t, (ls, aux)), g = grad_fn(state.params, bstats, fasa,
+                                            mb, key)
+                acc = jax.tree_util.tree_map(jnp.add, acc, g)
+                return (acc, aux["batch_stats"],
+                        aux.get("fasa_state", fasa)), (t, ls)
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (acc, new_stats, new_fasa), (totals, losses_seq) = \
+                jax.lax.scan(body,
+                             (zeros, state.batch_stats, state.fasa),
+                             (jnp.arange(n), micro))
+            grads = jax.tree_util.tree_map(lambda g: g / n, acc)
+            total = totals.mean()
+            losses = jax.tree_util.tree_map(lambda x: x.mean(),
+                                            losses_seq)
+
         updates, new_opt = self.tx.update(grads, state.opt_state,
                                           state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = DetTrainState(
             step=state.step + 1, params=new_params,
-            batch_stats=aux["batch_stats"], opt_state=new_opt,
-            fasa=aux.get("fasa_state", state.fasa))
+            batch_stats=new_stats, opt_state=new_opt, fasa=new_fasa)
         metrics = dict(losses)
         metrics["loss"] = total
         return new_state, metrics

@@ -1,0 +1,82 @@
+"""Frozen-BN -> conv folding for inference (``--fuse-conv-bn``).
+
+Parity with the reference's ``tools/test.py:45-47`` (mmcv
+``fuse_conv_bn``): at eval time BN is an affine per-channel transform, so
+its multiplicative factor can be folded into the preceding conv's kernel
+and its additive part kept as a bias — one fewer elementwise multiply
+per BN, and (more relevantly on TPU) the scale is applied once to the
+f32 kernel instead of per-activation in the bf16 compute stream.
+
+Our flax convs are ``use_bias=False``, so the BN module cannot be
+removed from the graph; instead its parameters are rewritten to an exact
+identity-plus-bias: ``mean=0, var=1-eps, scale=1`` makes
+``(x - mean) / sqrt(var + eps) * scale`` equal ``x`` bit-exactly, and
+the folded additive term lands in the BN bias. Works on any model using
+the repo's ResNet naming (``convN``/``bnN``, ``downsample_conv``/
+``downsample_bn``) — MaskRCNN/Cascade backbones and the classification
+ResNets alike.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import numpy as np
+
+BN_EPS = 1e-5
+# conv param name that feeds each BN name in the repo's ResNet modules
+_BN_TO_CONV = {"bn1": "conv1", "bn2": "conv2", "bn3": "conv3",
+               "downsample_bn": "downsample_conv"}
+
+
+def _is_bn_params(node: Any) -> bool:
+    return (isinstance(node, dict) and set(node) >= {"scale", "bias"}
+            and np.ndim(node["scale"]) == 1)
+
+
+def fuse_conv_bn(variables: Dict[str, Any]) -> Tuple[Dict[str, Any], int]:
+    """Returns (fused_variables, n_fused). ``variables`` must carry both
+    'params' and 'batch_stats'; the input tree is not mutated."""
+    params = jax.tree_util.tree_map(lambda x: x, variables["params"])
+    stats = jax.tree_util.tree_map(lambda x: x, variables["batch_stats"])
+    n_fused = 0
+
+    def _walk(p: Dict[str, Any], s: Dict[str, Any]):
+        nonlocal n_fused
+        for name in list(p):
+            conv_name = _BN_TO_CONV.get(name)
+            if (conv_name is not None and conv_name in p
+                    and isinstance(s, dict) and name in s
+                    and _is_bn_params(p[name])
+                    and "kernel" in p.get(conv_name, {})):
+                bn_p, bn_s = p[name], s[name]
+                kernel = np.asarray(p[conv_name]["kernel"])
+                scale = np.asarray(bn_p["scale"], np.float64)
+                bias = np.asarray(bn_p["bias"], np.float64)
+                mean = np.asarray(bn_s["mean"], np.float64)
+                var = np.asarray(bn_s["var"], np.float64)
+                factor = scale / np.sqrt(var + BN_EPS)
+                p[conv_name] = dict(
+                    p[conv_name],
+                    kernel=(kernel.astype(np.float64)
+                            * factor).astype(kernel.dtype))
+                p[name] = dict(
+                    bn_p,
+                    scale=np.ones_like(np.asarray(bn_p["scale"])),
+                    bias=(bias - mean * factor).astype(
+                        np.asarray(bn_p["bias"]).dtype))
+                s[name] = dict(
+                    bn_s,
+                    mean=np.zeros_like(np.asarray(bn_s["mean"])),
+                    var=np.full_like(np.asarray(bn_s["var"]),
+                                     1.0 - BN_EPS))
+                n_fused += 1
+            elif isinstance(p[name], dict):
+                _walk(p[name], s.get(name, {})
+                      if isinstance(s, dict) else {})
+
+    _walk(params, stats)
+    out = dict(variables)
+    out["params"] = params
+    out["batch_stats"] = stats
+    return out, n_fused

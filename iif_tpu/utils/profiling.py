@@ -115,3 +115,81 @@ def analyze_log_json(path: str, key: str = "time") -> Dict[str, float]:
     arr = np.asarray(vals or [0.0])
     return {"mean": float(arr.mean()), "std": float(arr.std()),
             "median": float(np.median(arr)), "n": len(vals)}
+
+
+def load_log_json(path: str) -> List[Dict]:
+    """All parseable records of a ``.log.json`` file, in file order."""
+    recs = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            recs.append(rec)
+    return recs
+
+
+def plot_log_curves(paths: List[str], keys: List[str],
+                    legend: Optional[List[str]] = None,
+                    title: Optional[str] = None,
+                    out: Optional[str] = None) -> None:
+    """``analyze_logs.py plot_curve`` parity: epoch-indexed marker plots
+    for eval metrics (key contains 'AP'/'mAP'/'acc', taken from val-mode
+    records) and global-iter line plots for train losses/lr, overlaid
+    for any number of log files. Saves to ``out`` or shows interactively.
+    """
+    import matplotlib
+
+    if out is not None:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if legend is None:
+        legend = [f"{p}_{k}" for p in paths for k in keys]
+    if len(legend) != len(paths) * len(keys):
+        raise ValueError("--legend must have len(paths) * len(keys) "
+                         "entries")
+
+    for i, path in enumerate(paths):
+        recs = load_log_json(path)
+        train = [r for r in recs if r.get("mode", "train") == "train"
+                 and "iter" in r]
+        vals = [r for r in recs if r.get("mode") == "val"]
+        iters_per_epoch = max((r.get("iter", 0) for r in train),
+                              default=1)
+        for j, key in enumerate(keys):
+            label = legend[i * len(keys) + j]
+            is_eval = any(t in key for t in ("AP", "mAP", "acc"))
+            src = vals if is_eval else train
+            xs, ys = [], []
+            for r in src:
+                if key not in r:
+                    continue
+                if is_eval:
+                    xs.append(r.get("epoch", len(xs) + 1))
+                else:
+                    xs.append((r.get("epoch", 1) - 1) * iters_per_epoch
+                              + r.get("iter", 0))
+                ys.append(float(r[key]))
+            if not xs:
+                raise KeyError(f"{path} has no records with key "
+                               f"'{key}'")
+            if is_eval:
+                plt.plot(xs, ys, label=label, marker="o")
+                plt.xlabel("epoch")
+            else:
+                plt.plot(xs, ys, label=label, linewidth=0.8)
+                plt.xlabel("iter")
+    plt.legend()
+    if title:
+        plt.title(title)
+    if out is None:
+        plt.show()
+    else:
+        plt.savefig(out)
+        plt.cla()
+        print(f"saved curve to: {out}")

@@ -1,0 +1,219 @@
+"""Test oracle: a full mmdet-MaskRCNN forward chain composed in torch
+from a reference-format ``state_dict`` (VERDICT round-2 item 3 — prove
+that an ingested reference checkpoint reproduces reference outputs
+end-to-end: backbone -> FPN -> RPN -> proposals -> RoIAlign -> bbox head
+-> decoded detections -> mask head).
+
+The learned-weight layers are plain ``torch.nn.functional`` compositions
+(the reference's modules are conv/bn/fc stacks — ``mmdet/models/
+backbones/resnet.py``, ``necks/fpn.py``, ``dense_heads/rpn_head.py``,
+``roi_heads/bbox_heads/convfc_bbox_head.py``, ``mask_heads/
+fcn_mask_head.py``); the geometry comes from ``geometry_oracle``
+(lifted reference ``delta2bbox`` / anchors / NMS / RoIAlign semantics).
+Static-shape caps mirror the product's inference config so the two
+chains are comparable detection-for-detection.
+"""
+from __future__ import annotations
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from tests.oracles.geometry_oracle import (
+    AnchorOracle,
+    delta2bbox_t,
+    nms_np,
+    roi_align_np,
+)
+
+BBOX_STDS = (0.1, 0.1, 0.2, 0.2)
+
+
+def _bn(x, sd, prefix):
+    return F.batch_norm(
+        x, sd[f"{prefix}.running_mean"], sd[f"{prefix}.running_var"],
+        sd[f"{prefix}.weight"], sd[f"{prefix}.bias"], training=False)
+
+
+def _basic_block(x, sd, prefix, stride):
+    identity = x
+    out = F.conv2d(x, sd[f"{prefix}.conv1.weight"], stride=stride,
+                   padding=1)
+    out = F.relu(_bn(out, sd, f"{prefix}.bn1"))
+    out = F.conv2d(out, sd[f"{prefix}.conv2.weight"], padding=1)
+    out = _bn(out, sd, f"{prefix}.bn2")
+    if f"{prefix}.downsample.0.weight" in sd:
+        identity = F.conv2d(x, sd[f"{prefix}.downsample.0.weight"],
+                            stride=stride)
+        identity = _bn(identity, sd, f"{prefix}.downsample.1")
+    return F.relu(out + identity)
+
+
+def resnet18_features(img_nchw, sd):
+    """Eval-mode torchvision-layout R18 -> [C2, C3, C4, C5]."""
+    x = F.conv2d(img_nchw, sd["backbone.conv1.weight"], stride=2,
+                 padding=3)
+    x = F.relu(_bn(x, sd, "backbone.bn1"))
+    x = F.max_pool2d(x, 3, stride=2, padding=1)
+    feats = []
+    for stage, blocks in zip((1, 2, 3, 4), (2, 2, 2, 2)):
+        for b in range(blocks):
+            stride = 2 if (b == 0 and stage > 1) else 1
+            x = _basic_block(x, sd, f"backbone.layer{stage}.{b}", stride)
+        feats.append(x)
+    return feats
+
+
+def fpn_forward(feats, sd, num_outs=5):
+    laterals = [
+        F.conv2d(f, sd[f"neck.lateral_convs.{i}.conv.weight"],
+                 sd[f"neck.lateral_convs.{i}.conv.bias"])
+        for i, f in enumerate(feats)
+    ]
+    for i in range(len(laterals) - 1, 0, -1):
+        th, tw = laterals[i - 1].shape[-2:]
+        up = F.interpolate(laterals[i], scale_factor=2, mode="nearest")
+        laterals[i - 1] = laterals[i - 1] + up[..., :th, :tw]
+    outs = [
+        F.conv2d(l, sd[f"neck.fpn_convs.{i}.conv.weight"],
+                 sd[f"neck.fpn_convs.{i}.conv.bias"], padding=1)
+        for i, l in enumerate(laterals)
+    ]
+    while len(outs) < num_outs:
+        outs.append(F.max_pool2d(outs[-1], 1, stride=2))
+    return outs
+
+
+def rpn_forward(fpn_outs, sd):
+    cls_scores, bbox_preds = [], []
+    for f in fpn_outs:
+        h = F.relu(F.conv2d(f, sd["rpn_head.rpn_conv.weight"],
+                            sd["rpn_head.rpn_conv.bias"], padding=1))
+        cls_scores.append(F.conv2d(h, sd["rpn_head.rpn_cls.weight"],
+                                   sd["rpn_head.rpn_cls.bias"]))
+        bbox_preds.append(F.conv2d(h, sd["rpn_head.rpn_reg.weight"],
+                                   sd["rpn_head.rpn_reg.bias"]))
+    return cls_scores, bbox_preds
+
+
+def rpn_proposals_oracle(cls_scores, bbox_preds, img_hw, strides,
+                         nms_pre=300, max_per_img=200, nms_iou=0.7):
+    """Single-image proposals: per-level topk -> decode -> NMS, then a
+    global score top-k — the reference RPN test path
+    (``rpn_head.py`` _get_bboxes_single with per-level batched_nms)."""
+    gen = AnchorOracle(strides)
+    sizes = [s.shape[-2:] for s in cls_scores]
+    anchors = gen.grid_anchors(sizes)
+    all_boxes, all_scores = [], []
+    for lvl, (cs, bp, anc) in enumerate(zip(cls_scores, bbox_preds,
+                                            anchors)):
+        scores = torch.sigmoid(
+            cs[0].permute(1, 2, 0).reshape(-1).float())
+        deltas = bp[0].permute(1, 2, 0).reshape(-1, 4).float()
+        k = min(nms_pre, scores.numel())
+        top_s, top_i = scores.topk(k)
+        boxes = delta2bbox_t(anc[top_i], deltas[top_i],
+                             max_shape=img_hw)
+        bn = boxes.numpy()
+        sn = top_s.numpy()
+        ok = ((bn[:, 2] - bn[:, 0]) > 0) & ((bn[:, 3] - bn[:, 1]) > 0)
+        keep = nms_np(bn[ok], sn[ok], nms_iou)
+        all_boxes.append(bn[ok][keep])
+        all_scores.append(sn[ok][keep])
+    boxes = np.concatenate(all_boxes, 0)
+    scores = np.concatenate(all_scores, 0)
+    order = np.argsort(-scores, kind="stable")[:max_per_img]
+    return boxes[order], scores[order]
+
+
+def bbox_head_forward(roi_feats_nhwc, sd):
+    """(R,7,7,256) numpy -> (cls_logits, reg) torch."""
+    x = torch.tensor(roi_feats_nhwc).permute(0, 3, 1, 2).reshape(
+        len(roi_feats_nhwc), -1)
+    h = F.relu(F.linear(x, sd["roi_head.bbox_head.shared_fcs.0.weight"],
+                        sd["roi_head.bbox_head.shared_fcs.0.bias"]))
+    h = F.relu(F.linear(h, sd["roi_head.bbox_head.shared_fcs.1.weight"],
+                        sd["roi_head.bbox_head.shared_fcs.1.bias"]))
+    cls = F.linear(h, sd["roi_head.bbox_head.fc_cls.weight"],
+                   sd["roi_head.bbox_head.fc_cls.bias"])
+    reg = F.linear(h, sd["roi_head.bbox_head.fc_reg.weight"],
+                   sd["roi_head.bbox_head.fc_reg.bias"])
+    return cls, reg
+
+
+def mask_head_forward(roi_feats_nhwc, sd):
+    """(R,14,14,256) numpy -> (R,28,28,C) sigmoid probs numpy."""
+    x = torch.tensor(roi_feats_nhwc).permute(0, 3, 1, 2)
+    for i in range(4):
+        x = F.relu(F.conv2d(
+            x, sd[f"roi_head.mask_head.convs.{i}.conv.weight"],
+            sd[f"roi_head.mask_head.convs.{i}.conv.bias"], padding=1))
+    x = F.relu(F.conv_transpose2d(
+        x, sd["roi_head.mask_head.upsample.weight"],
+        sd["roi_head.mask_head.upsample.bias"], stride=2))
+    x = F.conv2d(x, sd["roi_head.mask_head.conv_logits.weight"],
+                 sd["roi_head.mask_head.conv_logits.bias"])
+    return torch.sigmoid(x).permute(0, 2, 3, 1).numpy()
+
+
+def extract_rois(fpn_outs, boxes, out_size, strides=(4, 8, 16, 32),
+                 finest_scale=56.0):
+    """Multi-level RoIAlign at the mmdet level-assignment rule."""
+    feats = [f.permute(0, 2, 3, 1).numpy() for f in fpn_outs[:4]]
+    scale = np.sqrt((boxes[:, 2] - boxes[:, 0])
+                    * (boxes[:, 3] - boxes[:, 1]))
+    lvls = np.clip(np.floor(np.log2(scale / finest_scale + 1e-6)),
+                   0, 3).astype(int)
+    out = np.zeros((len(boxes), out_size, out_size, feats[0].shape[-1]),
+                   np.float32)
+    for i, box in enumerate(boxes):
+        roi = np.concatenate([[0.0], box])[None]
+        out[i] = roi_align_np(feats[lvls[i]], roi,
+                              1.0 / strides[lvls[i]], out_size,
+                              sampling_ratio=2, aligned=True)[0]
+    return out
+
+
+def detector_forward_oracle(img_nchw, sd, num_classes, img_hw,
+                            rpn_nms_pre=300, rpn_max_per_img=200,
+                            score_thr=0.3, nms_iou=0.5, max_per_img=20):
+    """Single-image full-chain reference forward. Returns dict with
+    proposals, det boxes/scores/labels, and 28x28 mask probs for the
+    predicted classes."""
+    with torch.no_grad():
+        feats = resnet18_features(img_nchw, sd)
+        fpn_outs = fpn_forward(feats, sd)
+        cls_scores, bbox_preds = rpn_forward(fpn_outs, sd)
+        proposals, prop_scores = rpn_proposals_oracle(
+            cls_scores, bbox_preds, img_hw, [4, 8, 16, 32, 64],
+            nms_pre=rpn_nms_pre, max_per_img=rpn_max_per_img)
+
+        roi_feats = extract_rois(fpn_outs, proposals, 7)
+        cls_logits, reg = bbox_head_forward(roi_feats, sd)
+        scores = torch.softmax(cls_logits.float(), -1).numpy()
+        boxes_dec = delta2bbox_t(
+            torch.tensor(proposals), reg, (0., 0., 0., 0.), BBOX_STDS,
+            max_shape=img_hw).numpy().reshape(len(proposals),
+                                              num_classes, 4)
+
+        # multiclass NMS: flatten, score filter, class-offset greedy NMS
+        flat_boxes = boxes_dec.reshape(-1, 4)
+        flat_scores = scores[:, :num_classes].reshape(-1)
+        flat_labels = np.tile(np.arange(num_classes), len(proposals))
+        m = flat_scores > score_thr
+        fb, fs, fl = flat_boxes[m], flat_scores[m], flat_labels[m]
+        off = fb + fl[:, None] * (flat_boxes.max() + 1)
+        kept = nms_np(off, fs, nms_iou)
+        kept = kept[np.argsort(-fs[kept], kind="stable")][:max_per_img]
+        det_boxes, det_scores, det_labels = fb[kept], fs[kept], fl[kept]
+
+        mask_probs = np.zeros((len(det_boxes), 28, 28), np.float32)
+        if len(det_boxes):
+            mfeats = extract_rois(fpn_outs, det_boxes, 14)
+            all_probs = mask_head_forward(mfeats, sd)
+            for i, lab in enumerate(det_labels):
+                mask_probs[i] = all_probs[i, :, :, lab]
+
+    return {"proposals": proposals, "prop_scores": prop_scores,
+            "boxes": det_boxes, "scores": det_scores,
+            "labels": det_labels, "masks": mask_probs}

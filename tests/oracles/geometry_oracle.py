@@ -1,0 +1,259 @@
+"""Test oracles: the reference's pure-torch geometry functions, lifted
+for differential testing of the iif_tpu geometry stack (VERDICT round-2
+item 3 — "lift the pure-torch reference functions as oracles").
+
+Lifted behaviors (trimmed of onnx/YOLOF branches the IIF configs never
+take):
+
+- ``bbox2delta_t`` / ``delta2bbox_t`` —
+  ``mmdet/core/bbox/coder/delta_xywh_bbox_coder.py:96-272``.
+- ``AnchorOracle`` — ``mmdet/core/anchor/anchor_generator.py:131-440``
+  (gen_single_level_base_anchors, _meshgrid, single_level_grid_anchors,
+  valid_flags) restricted to the RPN config every IIF experiment uses.
+- ``do_paste_mask_t`` — the detectron2-derived ``_do_paste_mask``
+  (``mmdet/models/roi_heads/mask_heads/fcn_mask_head.py:344-416``),
+  skip_empty=False path (the batch/GPU path the reference exports).
+- ``roi_align_np`` — mmcv's RoIAlign sampling rule (aligned=True,
+  explicit sampling_ratio; average pooling of bilinear taps with
+  boundary clamping, ``mmcv/ops/roi_align.py`` CPU kernel semantics)
+  re-expressed as a plain numpy loop, sharing no code with either the
+  product's flat-gather or Pallas extractors.
+- ``nms_np`` — greedy score-ordered hard NMS (torchvision semantics,
+  what mmcv.ops.nms computes) as an independent numpy loop.
+
+These oracles are deliberately written in the reference's torch idiom
+(interleaved per-class delta layout, expand_as broadcasting, grid_sample
+normalized coords) so a mismatch localizes a semantic divergence in the
+product code rather than in the test.
+"""
+from __future__ import annotations
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+
+# --------------------------------------------------------------- box coder
+def bbox2delta_t(proposals, gt, means=(0., 0., 0., 0.),
+                 stds=(1., 1., 1., 1.)):
+    proposals = proposals.float()
+    gt = gt.float()
+    px = (proposals[..., 0] + proposals[..., 2]) * 0.5
+    py = (proposals[..., 1] + proposals[..., 3]) * 0.5
+    pw = proposals[..., 2] - proposals[..., 0]
+    ph = proposals[..., 3] - proposals[..., 1]
+
+    gx = (gt[..., 0] + gt[..., 2]) * 0.5
+    gy = (gt[..., 1] + gt[..., 3]) * 0.5
+    gw = gt[..., 2] - gt[..., 0]
+    gh = gt[..., 3] - gt[..., 1]
+
+    dx = (gx - px) / pw
+    dy = (gy - py) / ph
+    dw = torch.log(gw / pw)
+    dh = torch.log(gh / ph)
+    deltas = torch.stack([dx, dy, dw, dh], dim=-1)
+
+    means = deltas.new_tensor(means).unsqueeze(0)
+    stds = deltas.new_tensor(stds).unsqueeze(0)
+    return deltas.sub_(means).div_(stds)
+
+
+def delta2bbox_t(rois, deltas, means=(0., 0., 0., 0.),
+                 stds=(1., 1., 1., 1.), max_shape=None,
+                 wh_ratio_clip=16 / 1000):
+    means = deltas.new_tensor(means).view(1, -1).repeat(
+        1, deltas.size(-1) // 4)
+    stds = deltas.new_tensor(stds).view(1, -1).repeat(
+        1, deltas.size(-1) // 4)
+    denorm_deltas = deltas * stds + means
+    dx = denorm_deltas[..., 0::4]
+    dy = denorm_deltas[..., 1::4]
+    dw = denorm_deltas[..., 2::4]
+    dh = denorm_deltas[..., 3::4]
+
+    x1, y1 = rois[..., 0], rois[..., 1]
+    x2, y2 = rois[..., 2], rois[..., 3]
+    px = ((x1 + x2) * 0.5).unsqueeze(-1).expand_as(dx)
+    py = ((y1 + y2) * 0.5).unsqueeze(-1).expand_as(dy)
+    pw = (x2 - x1).unsqueeze(-1).expand_as(dw)
+    ph = (y2 - y1).unsqueeze(-1).expand_as(dh)
+
+    dx_width = pw * dx
+    dy_height = ph * dy
+
+    max_ratio = np.abs(np.log(wh_ratio_clip))
+    dw = dw.clamp(min=-max_ratio, max=max_ratio)
+    dh = dh.clamp(min=-max_ratio, max=max_ratio)
+    gw = pw * dw.exp()
+    gh = ph * dh.exp()
+    gx = px + dx_width
+    gy = py + dy_height
+    x1 = gx - gw * 0.5
+    y1 = gy - gh * 0.5
+    x2 = gx + gw * 0.5
+    y2 = gy + gh * 0.5
+    bboxes = torch.stack([x1, y1, x2, y2], dim=-1).view(deltas.size())
+
+    if max_shape is not None:
+        max_shape = x1.new_tensor(max_shape)[..., :2]
+        min_xy = x1.new_tensor(0)
+        max_xy = torch.cat([max_shape] * (deltas.size(-1) // 2),
+                           dim=-1).flip(-1).unsqueeze(-2)
+        bboxes = torch.where(bboxes < min_xy, min_xy, bboxes)
+        bboxes = torch.where(bboxes > max_xy, max_xy, bboxes)
+    return bboxes
+
+
+# ----------------------------------------------------------------- anchors
+class AnchorOracle:
+    """The reference AnchorGenerator restricted to the MaskRCNN-RPN
+    configuration family (no octave scales, no explicit centers,
+    scale_major=True, center_offset=0 by default)."""
+
+    def __init__(self, strides, ratios=(0.5, 1.0, 2.0), scales=(8.0,),
+                 center_offset=0.0):
+        self.strides = [(s, s) for s in strides]
+        self.base_sizes = [min(st) for st in self.strides]
+        self.scales = torch.tensor(scales, dtype=torch.float32)
+        self.ratios = torch.tensor(ratios, dtype=torch.float32)
+        self.center_offset = center_offset
+        self.base_anchors = self.gen_base_anchors()
+
+    @property
+    def num_base_anchors(self):
+        return [a.size(0) for a in self.base_anchors]
+
+    def gen_base_anchors(self):
+        out = []
+        for base_size in self.base_sizes:
+            w = h = base_size
+            x_center = self.center_offset * w
+            y_center = self.center_offset * h
+            h_ratios = torch.sqrt(self.ratios)
+            w_ratios = 1 / h_ratios
+            ws = (w * w_ratios[:, None] * self.scales[None, :]).view(-1)
+            hs = (h * h_ratios[:, None] * self.scales[None, :]).view(-1)
+            out.append(torch.stack([
+                x_center - 0.5 * ws, y_center - 0.5 * hs,
+                x_center + 0.5 * ws, y_center + 0.5 * hs], dim=-1))
+        return out
+
+    @staticmethod
+    def _meshgrid(x, y):
+        xx = x.repeat(y.shape[0])
+        yy = y.view(-1, 1).repeat(1, x.shape[0]).view(-1)
+        return xx, yy
+
+    def grid_anchors(self, featmap_sizes):
+        out = []
+        for i, (feat_h, feat_w) in enumerate(featmap_sizes):
+            stride = self.strides[i]
+            shift_x = torch.arange(0, feat_w) * stride[0]
+            shift_y = torch.arange(0, feat_h) * stride[1]
+            shift_xx, shift_yy = self._meshgrid(shift_x, shift_y)
+            shifts = torch.stack(
+                [shift_xx, shift_yy, shift_xx, shift_yy], dim=-1).float()
+            all_anchors = (self.base_anchors[i][None, :, :]
+                           + shifts[:, None, :])
+            out.append(all_anchors.view(-1, 4))
+        return out
+
+    def valid_flags(self, featmap_sizes, pad_shape):
+        out = []
+        for i, (feat_h, feat_w) in enumerate(featmap_sizes):
+            stride = self.strides[i]
+            h, w = pad_shape[:2]
+            valid_h = min(int(np.ceil(h / stride[1])), feat_h)
+            valid_w = min(int(np.ceil(w / stride[0])), feat_w)
+            valid_x = torch.zeros(feat_w, dtype=torch.bool)
+            valid_y = torch.zeros(feat_h, dtype=torch.bool)
+            valid_x[:valid_w] = 1
+            valid_y[:valid_h] = 1
+            valid_xx, valid_yy = self._meshgrid(valid_x, valid_y)
+            valid = valid_xx & valid_yy
+            out.append(valid[:, None].expand(
+                valid.size(0), self.num_base_anchors[i]).reshape(-1))
+        return out
+
+
+# -------------------------------------------------------------- mask paste
+def do_paste_mask_t(masks, boxes, img_h, img_w):
+    """masks (N,1,S,S) logits-or-probs, boxes (N,4) -> (N,img_h,img_w)
+    float; skip_empty=False path."""
+    x0, y0, x1, y1 = torch.split(boxes, 1, dim=1)
+    N = masks.shape[0]
+    img_y = torch.arange(0, img_h).float() + 0.5
+    img_x = torch.arange(0, img_w).float() + 0.5
+    img_y = (img_y - y0) / (y1 - y0) * 2 - 1
+    img_x = (img_x - x0) / (x1 - x0) * 2 - 1
+    gx = img_x[:, None, :].expand(N, img_y.size(1), img_x.size(1))
+    gy = img_y[:, :, None].expand(N, img_y.size(1), img_x.size(1))
+    grid = torch.stack([gx, gy], dim=3)
+    img_masks = F.grid_sample(masks.float(), grid, align_corners=False)
+    return img_masks[:, 0]
+
+
+# --------------------------------------------------------------- roi align
+def roi_align_np(feat, rois, spatial_scale, out_size=7, sampling_ratio=2,
+                 aligned=True):
+    """feat (B,H,W,C) numpy; rois (R,5)=(batch,x1,y1,x2,y2) image coords.
+    mmcv aligned RoIAlign: per output bin, average ``s*s`` bilinear taps
+    placed at ``(i+0.5)/s`` fractions of the bin, coords clamped to the
+    feature grid."""
+    b, h, w, c = feat.shape
+    r = rois.shape[0]
+    s = sampling_ratio
+    off = 0.5 if aligned else 0.0
+    out = np.zeros((r, out_size, out_size, c), np.float32)
+    for i in range(r):
+        bi = int(rois[i, 0])
+        x1 = rois[i, 1] * spatial_scale - off
+        y1 = rois[i, 2] * spatial_scale - off
+        x2 = rois[i, 3] * spatial_scale - off
+        y2 = rois[i, 4] * spatial_scale - off
+        bw = (x2 - x1) / out_size
+        bh = (y2 - y1) / out_size
+        for oy in range(out_size):
+            for ox in range(out_size):
+                acc = np.zeros(c, np.float32)
+                for sy in range(s):
+                    for sx in range(s):
+                        yy = y1 + bh * (oy + (sy + 0.5) / s)
+                        xx = x1 + bw * (ox + (sx + 0.5) / s)
+                        yy = min(max(yy, 0.0), h - 1.0)
+                        xx = min(max(xx, 0.0), w - 1.0)
+                        y0i = int(np.floor(yy))
+                        x0i = int(np.floor(xx))
+                        y1i = min(y0i + 1, h - 1)
+                        x1i = min(x0i + 1, w - 1)
+                        ly = yy - y0i
+                        lx = xx - x0i
+                        acc += ((1 - ly) * (1 - lx) * feat[bi, y0i, x0i]
+                                + (1 - ly) * lx * feat[bi, y0i, x1i]
+                                + ly * (1 - lx) * feat[bi, y1i, x0i]
+                                + ly * lx * feat[bi, y1i, x1i])
+                out[i, oy, ox] = acc / (s * s)
+    return out
+
+
+# --------------------------------------------------------------------- nms
+def nms_np(boxes, scores, iou_thr):
+    """Greedy hard NMS; returns kept indices in score order."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(scores), bool)
+    areas = ((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]))
+    for idx in order:
+        if suppressed[idx]:
+            continue
+        keep.append(idx)
+        xx1 = np.maximum(boxes[idx, 0], boxes[:, 0])
+        yy1 = np.maximum(boxes[idx, 1], boxes[:, 1])
+        xx2 = np.minimum(boxes[idx, 2], boxes[:, 2])
+        yy2 = np.minimum(boxes[idx, 3], boxes[:, 3])
+        inter = (np.clip(xx2 - xx1, 0, None)
+                 * np.clip(yy2 - yy1, 0, None))
+        iou = inter / np.maximum(areas[idx] + areas - inter, 1e-12)
+        suppressed |= iou > iou_thr
+    return np.asarray(keep, np.int64)

@@ -66,6 +66,32 @@ def test_analyze_log_json(tmp_path):
     assert stats["n"] == 2
 
 
+def test_plot_log_curves(tmp_path):
+    """analyze_logs plot_curve parity: loss over iters + mAP over epochs
+    rendered to a file (reference tools/analysis_tools/analyze_logs.py)."""
+    pytest.importorskip("matplotlib")
+    from iif_tpu.utils.profiling import plot_log_curves
+
+    p = tmp_path / "run.log.json"
+    lines = []
+    for ep in (1, 2):
+        for it in (10, 20):
+            lines.append(json.dumps({"mode": "train", "epoch": ep,
+                                     "iter": it, "loss_cls": 1.0 / it,
+                                     "lr": 0.02}))
+        lines.append(json.dumps({"mode": "val", "epoch": ep,
+                                 "bbox_mAP": 0.1 * ep}))
+    p.write_text("\n".join(lines) + "\n")
+
+    out = tmp_path / "curve.png"
+    plot_log_curves([str(p)], ["loss_cls", "bbox_mAP"], out=str(out))
+    assert out.exists() and out.stat().st_size > 0
+
+    with pytest.raises(KeyError):
+        plot_log_curves([str(p)], ["nope"],
+                        out=str(tmp_path / "x.png"))
+
+
 def test_store_model_weights(tmp_path):
     import jax.numpy as jnp
 
