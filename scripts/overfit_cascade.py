@@ -80,7 +80,8 @@ data = dict(
               img_prefix="{root}"),
 )
 pipeline = dict(canvas=(96, 128), scales=[(128, 96)], max_gt=4)
-optimizer = dict(type="sgd", lr=0.02, momentum=0.9, weight_decay=1e-4)
+optimizer = dict(type="sgd", lr=0.01, momentum=0.9, weight_decay=1e-4)
+optimizer_config = dict(grad_clip=dict(max_norm=35, norm_type=2))
 lr_config = dict(milestones=[{epochs - 5}], gamma=0.1, warmup_iters=5)
 fasa_cfg = dict(decay_ratio=0.1, loss_aug_weight=0.1, dynamic_up=1.1,
                 dynamic_down=0.9)

@@ -34,3 +34,8 @@ def single_mesh():
     from iif_tpu.parallel import make_mesh
 
     return make_mesh(devices=jax.devices()[:1])
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end test")
