@@ -125,13 +125,14 @@ def main():
     import jax.numpy as jnp
 
     from iif_tpu.config import Config
-    from iif_tpu.detection.detector import (DetTestCfg, MaskRCNN,
-                                            maskrcnn_simple_test)
+    from iif_tpu.detection import build_detector
+    from iif_tpu.detection.detector import MaskRCNN, maskrcnn_simple_test
     from iif_tpu.detection.losses import DetCrossEntropyLoss
 
     cfg = Config.fromfile(args.config)
-    model_kw = {k: v for k, v in cfg.model.items() if k != "type"}
-    model = MaskRCNN(**model_kw)
+    mcfg = dict(cfg.model)
+    mcfg.pop("pretrained_backbone", None)
+    model, _, test_cfg_cls = build_detector(mcfg)
     canvas = tuple(cfg.get("pipeline", {}).get("canvas", (800, 1344)))
     loss_cls = DetCrossEntropyLoss(num_classes=cfg.model["num_classes"])
 
@@ -142,7 +143,7 @@ def main():
             jax.random.PRNGKey(0), jnp.zeros((1,) + canvas + (3,)), False)
         fl = flops_of(
             lambda v, x: model.apply(v, x, False,
-                                     method=MaskRCNN.extract_feat),
+                                     method=type(model).extract_feat),
             variables, jnp.zeros((1,) + canvas + (3,)))
         print(f"backbone+FPN flops for input {canvas}: {fl / 1e9:.2f} GFLOPs")
         return
@@ -161,14 +162,27 @@ def main():
 
         variables, n_fused = fuse_conv_bn(variables)
         print(f"fuse-conv-bn: folded {n_fused} conv/BN pairs")
-    test_cfg = DetTestCfg(**cfg.get("test_cfg", {}))
+    test_cfg = test_cfg_cls(**cfg.get("test_cfg", {}))
     x = jnp.zeros((args.batch_size,) + canvas + (3,))
 
     # NOTE: block_until_ready is unreliable on tunneled TPU backends; a
     # host readback of a value depending on the outputs is the only
     # honest sync. Chain iterations through the input so they serialize.
+    from iif_tpu.detection.cascade import CascadeMaskRCNN, cascade_simple_test
+    from iif_tpu.detection.single_stage import (
+        _SingleStageBase,
+        single_stage_simple_test,
+    )
+
     def _one_iter(v, img):
-        out = maskrcnn_simple_test(model, v, img, loss_cls, test_cfg)
+        if isinstance(model, _SingleStageBase):
+            out = single_stage_simple_test(model, v, img, test_cfg)
+        elif isinstance(model, CascadeMaskRCNN):
+            out = cascade_simple_test(model, v, img,
+                                      [loss_cls] * model.num_stages,
+                                      test_cfg)
+        else:
+            out = maskrcnn_simple_test(model, v, img, loss_cls, test_cfg)
         return out, out["scores"].sum()
 
     run = jax.jit(_one_iter)

@@ -44,8 +44,15 @@ def run_inference(model, variables, loader, loss_cls, test_cfg, cat_ids,
     from iif_tpu.detection.evaluation import detections_to_coco_results
     from iif_tpu.detection.mask_utils import rle_encode
     from iif_tpu.detection.mask_head import paste_masks
+    from iif_tpu.detection.single_stage import (
+        _SingleStageBase,
+        single_stage_simple_test,
+    )
 
-    if isinstance(model, CascadeMaskRCNN):
+    if isinstance(model, _SingleStageBase):
+        run = jax.jit(lambda v, img: single_stage_simple_test(
+            model, v, img, test_cfg))
+    elif isinstance(model, CascadeMaskRCNN):
         run = jax.jit(lambda v, img: cascade_simple_test(
             model, v, img, [loss_cls] * model.num_stages, test_cfg))
     else:
@@ -146,7 +153,6 @@ def main():
     from iif_tpu.config import Config, parse_cfg_options
     from iif_tpu.cli.train_det import build_loss_cls
     from iif_tpu.detection.datasets import DATASETS
-    from iif_tpu.detection.detector import DetTestCfg, MaskRCNN
     from iif_tpu.detection.evaluation import DetEvaluator
     from iif_tpu.detection.pipeline import DetectionLoader, DetectionPipeline
     from iif_tpu.utils.checkpoint import CheckpointManager
@@ -169,20 +175,13 @@ def main():
 
     num_classes = cfg.model["num_classes"]
     loss_cls = build_loss_cls(cfg.loss_cls, test_ds, num_classes)
-    mtype = cfg.model.get("type", "MaskRCNN")
-    from iif_tpu.detection.detector import model_kwargs_from_cfg
+    from iif_tpu.detection import build_detector
 
     cfg.model.pop("pretrained_backbone", None)   # train-time only
-    model_kw = model_kwargs_from_cfg(cfg.model)
-    if model_kw.get("cls_predictor") == "iif_normed":
-        model_kw["iif_weights"] = tuple(
+    if cfg.model.get("cls_predictor") == "iif_normed":
+        cfg.model["iif_weights"] = tuple(
             float(x) for x in np.asarray(loss_cls.weights))
-    if mtype == "CascadeMaskRCNN":
-        from iif_tpu.detection.cascade import CascadeMaskRCNN
-
-        model = CascadeMaskRCNN(**model_kw)
-    else:
-        model = MaskRCNN(**model_kw)
+    model, _, test_cfg_cls = build_detector(cfg.model)
 
     if args.checkpoint.endswith(".pth"):
         # reference-trained mmdet checkpoint: convert + overlay
@@ -206,7 +205,7 @@ def main():
 
         variables, n_fused = fuse_conv_bn(variables)
         print(f"fuse-conv-bn: folded {n_fused} conv/BN pairs")
-    test_cfg = DetTestCfg(**cfg.get("test_cfg", {}))
+    test_cfg = test_cfg_cls(**cfg.get("test_cfg", {}))
 
     if args.tta:
         from iif_tpu.detection.tta import multi_scale_flip_views

@@ -96,7 +96,7 @@ def main():
 
     from iif_tpu.config import Config, parse_cfg_options
     from iif_tpu.detection.datasets import DATASETS
-    from iif_tpu.detection.detector import DetTestCfg, DetTrainCfg, MaskRCNN
+    from iif_tpu.detection.detector import DetTrainCfg
     from iif_tpu.detection.fasa import init_fasa_state
     from iif_tpu.detection.pipeline import DetectionLoader, DetectionPipeline
     from iif_tpu.engine.detection import DetectionTrainer, selectp_mask
@@ -128,6 +128,7 @@ def main():
         scales=[tuple(s) for s in pcfg.get("scales", [(1333, 800)])],
         flip_prob=pcfg.get("flip_prob", 0.5),
         max_gt=pcfg.get("max_gt", 100),
+        with_mask=cfg.model.get("with_mask", True),
         mask_stride=pcfg.get("mask_stride", 1),
         extra_transforms=build_extra_transforms(pcfg.get("extras", [])),
         canvas_buckets=pcfg.get("canvas_buckets", False),
@@ -149,29 +150,24 @@ def main():
     loss_cls = build_loss_cls(cfg.loss_cls, train_ds, num_classes)
 
     # ----------------------------------------------------------------- model
-    from iif_tpu.detection.detector import model_kwargs_from_cfg
+    from iif_tpu.detection import build_detector
 
     mtype = cfg.model.get("type", "MaskRCNN")
     pretrained_backbone = cfg.model.pop("pretrained_backbone", None)
-    model_kw = model_kwargs_from_cfg(cfg.model)
-    if model_kw.get("cls_predictor") == "iif_normed":
+    if cfg.model.get("cls_predictor") == "iif_normed":
         # thread the dataset-derived IIF vector into the head (the
         # reference pre-multiplies fc_cls weights by IIF,
         # normed_predictor.py IIFNormedLinear)
         import numpy as _np
 
-        model_kw["iif_weights"] = tuple(
+        cfg.model["iif_weights"] = tuple(
             float(x) for x in _np.asarray(loss_cls.weights))
-    if mtype == "CascadeMaskRCNN":
-        from iif_tpu.detection.cascade import CascadeMaskRCNN
-
-        model = CascadeMaskRCNN(**model_kw)
-    else:
-        model = MaskRCNN(**model_kw)
+    model, train_cfg_cls, _ = build_detector(cfg.model)
 
     tc = dict(cfg.get("train_cfg", {}))
-    tc.setdefault("mask_gt_stride", pcfg.get("mask_stride", 1))
-    train_cfg = DetTrainCfg(**tc)
+    if train_cfg_cls is DetTrainCfg:
+        tc.setdefault("mask_gt_stride", pcfg.get("mask_stride", 1))
+    train_cfg = train_cfg_cls(**tc)
     ocfg = cfg.optimizer
     steps_per_epoch = max(len(loader), 1)
     max_epochs = cfg.runner["max_epochs"]
@@ -358,10 +354,11 @@ def _run_eval(cfg, model, state, loss_cls, pipeline, metrics):
     import jax
 
     from iif_tpu.cli.test_det import _EvalLoader, run_inference
+    from iif_tpu.detection import build_detector
     from iif_tpu.detection.datasets import DATASETS
-    from iif_tpu.detection.detector import DetTestCfg
     from iif_tpu.detection.evaluation import DetEvaluator
 
+    _, _, test_cfg_cls = build_detector(dict(cfg.model))
     val_ds = DATASETS.build({k: v for k, v in cfg.data["val"].items()
                              if k != "oversample_thr"})
     loader = _EvalLoader(val_ds, pipeline,
@@ -371,7 +368,7 @@ def _run_eval(cfg, model, state, loss_cls, pipeline, metrics):
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     results = run_inference(
         model, variables, loader, loss_cls,
-        DetTestCfg(**cfg.get("test_cfg", {})), val_ds.cat_ids,
+        test_cfg_cls(**cfg.get("test_cfg", {})), val_ds.cat_ids,
         cfg.model.get("with_mask", True))
     if jax.process_count() > 1:
         from iif_tpu.parallel import gather_objects, is_main_process

@@ -32,20 +32,14 @@ def init_detector(config: Union[str, Any], checkpoint: Optional[str] = None,
 
     from iif_tpu.cli.train_det import build_loss_cls
     from iif_tpu.config import Config
+    from iif_tpu.detection import build_detector
     from iif_tpu.detection.datasets import DATASETS
-    from iif_tpu.detection.detector import DetTestCfg, MaskRCNN
     from iif_tpu.detection.pipeline import DetectionPipeline
 
     cfg = config if not isinstance(config, str) else Config.fromfile(config)
-    from iif_tpu.detection.detector import model_kwargs_from_cfg
-
-    model_kw = model_kwargs_from_cfg(cfg.model)
-    if cfg.model.get("type") == "CascadeMaskRCNN":
-        from iif_tpu.detection.cascade import CascadeMaskRCNN
-
-        model = CascadeMaskRCNN(**model_kw)
-    else:
-        model = MaskRCNN(**model_kw)
+    mcfg = dict(cfg.model)
+    mcfg.pop("pretrained_backbone", None)
+    model, _, test_cfg_cls = build_detector(mcfg)
 
     ds_cfg = {k: v for k, v in cfg.data["test"].items()
               if k != "oversample_thr"}
@@ -80,7 +74,8 @@ def init_detector(config: Union[str, Any], checkpoint: Optional[str] = None,
 
         variables, _ = _fuse(variables)
     return Detector(model, variables, loss_cls,
-                    DetTestCfg(**cfg.get("test_cfg", {})), pipeline, classes)
+                    test_cfg_cls(**cfg.get("test_cfg", {})), pipeline,
+                    classes)
 
 
 def inference_detector(detector: Detector,
@@ -106,7 +101,15 @@ def inference_detector(detector: Detector,
                                train=False)
     batch_img = jnp.asarray(sample["image"][None])
     if detector._run is None:
-        if isinstance(detector.model, CascadeMaskRCNN):
+        from iif_tpu.detection.single_stage import (
+            _SingleStageBase,
+            single_stage_simple_test,
+        )
+
+        if isinstance(detector.model, _SingleStageBase):
+            detector._run = jax.jit(lambda v, img: single_stage_simple_test(
+                detector.model, v, img, detector.test_cfg))
+        elif isinstance(detector.model, CascadeMaskRCNN):
             detector._run = jax.jit(lambda v, img: cascade_simple_test(
                 detector.model, v, img,
                 [detector.loss_cls] * detector.model.num_stages,

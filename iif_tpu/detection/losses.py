@@ -211,3 +211,53 @@ def smooth_l1_loss(pred: jnp.ndarray, target: jnp.ndarray,
 
 def l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.abs(pred - target)
+
+
+def sigmoid_focal_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                       num_classes: int, gamma: float = 2.0,
+                       alpha: float = 0.25) -> jnp.ndarray:
+    """Per-anchor sigmoid focal loss, the mmcv ``sigmoid_focal_loss``
+    CUDA kernel's math in pure jnp (reference call site
+    ``mmdet/models/losses/focal_loss.py:5``; RetinaNet/FCOS cls loss).
+
+    ``labels`` in [0, C-1] are foreground, label == C is background
+    (all-zero one-hot, the sigmoid convention). Returns the (N,) per-item
+    loss summed over classes; the caller divides by ``avg_factor``
+    (= num_pos in mmdet's anchor heads).
+    """
+    logits = logits.astype(jnp.float32)
+    t = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    p = jax.nn.sigmoid(logits)
+    ce = (jnp.maximum(logits, 0) - logits * t
+          + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    p_t = p * t + (1.0 - p) * (1.0 - t)
+    alpha_t = alpha * t + (1.0 - alpha) * (1.0 - t)
+    return (alpha_t * (1.0 - p_t) ** gamma * ce).sum(-1)
+
+
+def iou_loss(pred: jnp.ndarray, target: jnp.ndarray,
+             mode: str = "log", eps: float = 1e-6) -> jnp.ndarray:
+    """IoU loss on (N, 4) xyxy boxes (reference
+    ``mmdet/models/losses/iou_loss.py``: 'log' = -log(IoU), the FCOS
+    default; 'linear' = 1 - IoU; 'giou' = 1 - GIoU)."""
+    lt = jnp.maximum(pred[..., :2], target[..., :2])
+    rb = jnp.minimum(pred[..., 2:], target[..., 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    ap = ((pred[..., 2] - pred[..., 0])
+          * (pred[..., 3] - pred[..., 1]))
+    at = ((target[..., 2] - target[..., 0])
+          * (target[..., 3] - target[..., 1]))
+    union = ap + at - inter
+    iou = inter / jnp.maximum(union, eps)
+    if mode == "log":
+        return -jnp.log(jnp.clip(iou, eps, 1.0))
+    if mode == "linear":
+        return 1.0 - iou
+    # giou
+    lt_e = jnp.minimum(pred[..., :2], target[..., :2])
+    rb_e = jnp.maximum(pred[..., 2:], target[..., 2:])
+    wh_e = jnp.clip(rb_e - lt_e, 0.0)
+    enclose = jnp.maximum(wh_e[..., 0] * wh_e[..., 1], eps)
+    giou = iou - (enclose - union) / enclose
+    return 1.0 - giou

@@ -62,9 +62,12 @@ class DetectionTrainer:
         param_rules=None,
         grad_accum: int = 1,
     ):
+        from iif_tpu.detection.single_stage import _SingleStageBase
+
         self.model = model
         self.loss_cls = loss_cls
         self.is_cascade = isinstance(model, CascadeMaskRCNN)
+        self.is_single_stage = isinstance(model, _SingleStageBase)
         # cascade stages share one loss object unless per-stage losses are
         # given (the reference builds one FasaIIFLoss per stage from the
         # same CSV — identical weights, so sharing is equivalent)
@@ -128,7 +131,14 @@ class DetectionTrainer:
 
         def loss_fn(params, batch_stats, fasa, mb, key):
             variables = {"params": params, "batch_stats": batch_stats}
-            if self.is_cascade:
+            if self.is_single_stage:
+                from iif_tpu.detection.single_stage import (
+                    single_stage_loss_fn,
+                )
+
+                total, losses, aux = single_stage_loss_fn(self.model)(
+                    self.model, variables, mb, key, self.train_cfg)
+            elif self.is_cascade:
                 total, losses, aux = cascade_loss(
                     self.model, variables, mb, key, self.stage_losses,
                     self.train_cfg, fasa_states=fasa,

@@ -19,24 +19,25 @@ CONFIGS = sorted(
                                                for p in CONFIGS])
 def test_config_builds_model(path):
     cfg = Config.fromfile(path)
-    from iif_tpu.detection.detector import MaskRCNN, model_kwargs_from_cfg
+    from iif_tpu.detection import build_detector
 
     mcfg = dict(cfg.model)
-    mtype = mcfg.get("type", "MaskRCNN")
     mcfg.pop("pretrained_backbone", None)
-    kw = model_kwargs_from_cfg(mcfg)
-    if mtype == "CascadeMaskRCNN":
-        from iif_tpu.detection.cascade import CascadeMaskRCNN
-
-        model = CascadeMaskRCNN(**kw)
-    else:
-        assert mtype == "MaskRCNN", mtype
-        model = MaskRCNN(**kw)
+    model, train_cfg_cls, test_cfg_cls = build_detector(mcfg)
     assert model.num_classes == cfg.model["num_classes"]
+    # the config's train/test knobs construct the right cfg tuples
+    tc = dict(cfg.get("train_cfg", {}))
+    from iif_tpu.detection.detector import DetTrainCfg
+
+    if train_cfg_cls is DetTrainCfg:
+        tc.setdefault("mask_gt_stride", 1)
+    train_cfg_cls(**tc)
+    test_cfg_cls(**cfg.get("test_cfg", {}))
 
     # loss cfg is well-formed
     lc = cfg.loss_cls
-    assert lc["type"] in ("DetIIFLoss", "DetCrossEntropyLoss")
+    assert lc["type"] in ("DetIIFLoss", "DetCrossEntropyLoss",
+                          "FocalLossDet")
     if lc["type"] == "DetIIFLoss" and lc.get("path") is None:
         from iif_tpu.detection.losses import compute_det_iif_from_counts
         import numpy as np

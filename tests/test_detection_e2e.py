@@ -158,6 +158,64 @@ def test_cascade_fasa_cli_train_and_eval(tmp_path):
     assert "AP" in r2.stdout
 
 
+def _write_retinanet_config(root, ann_path):
+    cfg = f'''
+model = dict(type="RetinaNet", depth=18, num_classes=1, with_mask=False,
+             frozen_stages=-1)
+loss_cls = dict(type="FocalLossDet")
+train_cfg = dict(gamma=2.0, alpha=0.25)
+test_cfg = dict(nms_pre=64, score_thr=0.0, max_per_img=5)
+data = dict(
+    samples_per_gpu=2,
+    train=dict(type="CocoDataset", ann_file="{ann_path}",
+               img_prefix="{root}", oversample_thr=0.0),
+    val=dict(type="CocoDataset", ann_file="{ann_path}",
+             img_prefix="{root}"),
+    test=dict(type="CocoDataset", ann_file="{ann_path}",
+              img_prefix="{root}"),
+)
+pipeline = dict(canvas=(96, 128), scales=[(128, 96)], max_gt=4)
+optimizer = dict(type="sgd", lr=0.01, momentum=0.9, weight_decay=1e-4)
+lr_config = dict(milestones=[10], gamma=0.1)
+runner = dict(type="EpochBasedRunner", max_epochs=1)
+checkpoint_config = dict(interval=1)
+log_config = dict(interval=1)
+seed = 0
+'''
+    path = os.path.join(root, "retina_cfg.py")
+    with open(path, "w") as f:
+        f.write(cfg)
+    return path
+
+
+@pytest.mark.slow
+def test_retinanet_cli_train_and_eval(tmp_path):
+    """The single-stage family trains and evals through the same CLIs
+    as the R-CNN path (migration.md single-stage table)."""
+    root = str(tmp_path)
+    ann = _make_dataset(root)
+    cfg = _write_retinanet_config(root, ann)
+    work = os.path.join(root, "work")
+    env = _cpu_env()
+
+    r = subprocess.run(
+        [sys.executable, "-m", "iif_tpu.cli.train_det", cfg,
+         "--work-dir", work, "--max-steps", "2"],
+        capture_output=True, text=True, env=env, timeout=900,
+        cwd="/root/repo")
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    ckpt = os.path.join(work, "checkpoints")
+    assert os.path.isdir(ckpt)
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "iif_tpu.cli.test_det", cfg, ckpt,
+         "--eval", "bbox"],
+        capture_output=True, text=True, env=env, timeout=900,
+        cwd="/root/repo")
+    assert r2.returncode == 0, r2.stdout[-3000:] + r2.stderr[-3000:]
+    assert "AP" in r2.stdout
+
+
 @pytest.mark.slow
 def test_detection_cli_train_and_eval(tmp_path):
     root = str(tmp_path)
