@@ -1,0 +1,82 @@
+"""On-TPU single-stage overfit validation (RetinaNet / FCOS).
+
+Same harness as ``overfit_cascade.py``: synthetic bright-square COCO
+dataset on disk, smoke-scale config, N epochs through the real train
+CLI, eval through the test CLI. Validates that the single-stage family
+learns end-to-end on the chip, not just in unit tests.
+
+Usage:  python scripts/overfit_retinanet.py [--model RetinaNet|FCOS]
+        [--root /tmp/retina_overfit] [--epochs 30]
+"""
+import argparse
+import os
+import subprocess
+import sys
+
+from overfit_cascade import make_dataset  # same synthetic dataset
+
+
+def write_config(root, ann_path, epochs, batch, mtype):
+    extra = ('gamma=2.0, alpha=0.25' if mtype == "RetinaNet"
+             else 'gamma=2.0, alpha=0.25, center_sampling=False')
+    cfg = f'''
+model = dict(type="{mtype}", depth=18, num_classes=2, with_mask=False,
+             frozen_stages=-1)
+loss_cls = dict(type="FocalLossDet")
+train_cfg = dict({extra})
+test_cfg = dict(nms_pre=256, score_thr=0.02, max_per_img=5)
+data = dict(
+    samples_per_gpu={batch},
+    train=dict(type="CocoDataset", ann_file="{ann_path}",
+               img_prefix="{root}", oversample_thr=0.0),
+    val=dict(type="CocoDataset", ann_file="{ann_path}",
+             img_prefix="{root}"),
+    test=dict(type="CocoDataset", ann_file="{ann_path}",
+              img_prefix="{root}"),
+)
+pipeline = dict(canvas=(96, 128), scales=[(128, 96)], max_gt=4)
+# adamw: focal-from-scratch on a tiny corpus barely moves under SGD
+# (validated: 30ep sgd 0.005 plateaus at loss_cls 1.06 / AP 0)
+optimizer = dict(type="adamw", lr=0.001, weight_decay=1e-8)
+optimizer_config = dict(grad_clip=dict(max_norm=35, norm_type=2))
+lr_config = dict(milestones=[{epochs - 5}], gamma=0.1, warmup_iters=10)
+runner = dict(type="EpochBasedRunner", max_epochs={epochs})
+checkpoint_config = dict(interval={epochs})
+log_config = dict(interval=5)
+seed = 0
+'''
+    path = os.path.join(root, "ss_overfit_cfg.py")
+    with open(path, "w") as f:
+        f.write(cfg)
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="RetinaNet",
+                    choices=["RetinaNet", "FCOS"])
+    ap.add_argument("--root", default="/tmp/retina_overfit")
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--batch", type=int, default=4)
+    args = ap.parse_args()
+
+    os.makedirs(args.root, exist_ok=True)
+    ann = make_dataset(args.root)
+    cfg = write_config(args.root, ann, args.epochs, args.batch, args.model)
+    work = os.path.join(args.root, "work")
+
+    r = subprocess.run(
+        [sys.executable, "-m", "iif_tpu.cli.train_det", cfg,
+         "--work-dir", work], cwd="/root/repo")
+    if r.returncode != 0:
+        sys.exit(r.returncode)
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "iif_tpu.cli.test_det", cfg,
+         os.path.join(work, "checkpoints"), "--eval", "bbox"],
+        cwd="/root/repo")
+    sys.exit(r2.returncode)
+
+
+if __name__ == "__main__":
+    main()
