@@ -277,7 +277,9 @@ def _test_robustness(args):
     pipeline = DetectionPipeline(
         canvas=tuple(pcfg.get("canvas", (800, 1344))),
         scales=[tuple(s) for s in pcfg.get("scales", [(1333, 800)])],
-        flip_prob=0.0, max_gt=1, emit_uint8=pcfg.get("uint8", True))
+        flip_prob=0.0, max_gt=1, emit_uint8=pcfg.get("uint8", True),
+        with_mask=cfg.model.get("with_mask", True),
+        keep_ratio=pcfg.get("keep_ratio", True))
     num_classes = cfg.model["num_classes"]
     loss_cls = build_loss_cls(cfg.loss_cls, test_ds, num_classes)
     cfg.model.pop("pretrained_backbone", None)

@@ -63,8 +63,10 @@ def run_inference(model, variables, loader, loss_cls, test_cfg, cat_ids,
     n_done = 0
     for batch in loader:
         out = jax.device_get(run(variables, batch["image"]))
-        # undo the resize: boxes back to original image coords
-        sf = batch["scale_factor"][:, None, None]
+        # undo the resize: boxes back to original image coords. Scalar
+        # (keep-ratio) or (4,) [fx, fy, fx, fy] (keep_ratio=False / SSD)
+        sf = np.asarray(batch["scale_factor"])
+        sf = sf[:, None, None] if sf.ndim == 1 else sf[:, None, :]
         boxes = np.asarray(out["boxes"]) / sf
         masks_rle = None
         if with_mask and "masks" in out:
@@ -167,7 +169,9 @@ def main():
     pipeline = DetectionPipeline(
         canvas=tuple(pcfg.get("canvas", (800, 1344))),
         scales=[tuple(s) for s in pcfg.get("scales", [(1333, 800)])],
-        flip_prob=0.0, max_gt=1, emit_uint8=pcfg.get("uint8", True))
+        flip_prob=0.0, max_gt=1, emit_uint8=pcfg.get("uint8", True),
+        with_mask=cfg.model.get("with_mask", True),
+        keep_ratio=pcfg.get("keep_ratio", True))
     loader = _EvalLoader(test_ds, pipeline,
                          cfg.data.get("samples_per_gpu", 4),
                          num_shards=jax.process_count(),

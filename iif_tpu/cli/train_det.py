@@ -135,7 +135,8 @@ def main():
         # default ON: uint8 canvas + bit-packed masks -> ~7x less
         # host->device traffic; normalization/unpack run on device
         emit_uint8=pcfg.get("uint8", True),
-        pack_masks=pcfg.get("pack_masks", True))
+        pack_masks=pcfg.get("pack_masks", True),
+        keep_ratio=pcfg.get("keep_ratio", True))
     loader = DetectionLoader(
         train_ds, pipeline, batch_size=dcfg.get("samples_per_gpu", 4)
         * mesh.shape["data"],   # global batch = per-DP-shard x data axis

@@ -24,17 +24,26 @@ def build_detector(model_cfg: dict):
 
     mtype = model_cfg.get("type", "MaskRCNN")
     kw = model_kwargs_from_cfg(model_cfg)
-    if mtype in ("RetinaNet", "FCOS"):
+    if mtype in ("RetinaNet", "FCOS", "ATSS", "SSD", "YOLOX"):
+        from iif_tpu.detection.atss import ATSS
         from iif_tpu.detection.single_stage import (
             FCOS,
             RetinaNet,
             SSTestCfg,
             SSTrainCfg,
         )
+        from iif_tpu.detection.ssd import SSD
+        from iif_tpu.detection.yolox import YOLOX
 
         kw.pop("cls_predictor", None)
         kw.pop("mask_predictor", None)
-        cls = RetinaNet if mtype == "RetinaNet" else FCOS
+        cls = {"RetinaNet": RetinaNet, "FCOS": FCOS, "ATSS": ATSS,
+               "SSD": SSD, "YOLOX": YOLOX}[mtype]
+        if mtype == "SSD":
+            kw["input_size"] = model_cfg.get("input_size", 300)
+        elif mtype == "YOLOX":
+            kw["deepen"] = model_cfg.get("deepen", 0.33)
+            kw["widen"] = model_cfg.get("widen", 0.5)
         return cls(**kw), SSTrainCfg, SSTestCfg
     if mtype == "CascadeMaskRCNN":
         from iif_tpu.detection.cascade import CascadeMaskRCNN

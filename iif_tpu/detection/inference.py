@@ -58,7 +58,9 @@ def init_detector(config: Union[str, Any], checkpoint: Optional[str] = None,
     pipeline = DetectionPipeline(
         canvas=tuple(pcfg.get("canvas", (800, 1344))),
         scales=[tuple(s) for s in pcfg.get("scales", [(1333, 800)])],
-        flip_prob=0.0, max_gt=1, emit_uint8=pcfg.get("uint8", True))
+        flip_prob=0.0, max_gt=1, emit_uint8=pcfg.get("uint8", True),
+        with_mask=cfg.model.get("with_mask", True),
+        keep_ratio=pcfg.get("keep_ratio", True))
 
     canvas = pipeline.canvas
     variables = jax.jit(model.init, static_argnums=(2,))(
@@ -119,7 +121,7 @@ def inference_detector(detector: Detector,
                 detector.model, v, img, detector.loss_cls,
                 detector.test_cfg))
     out = jax.device_get(detector._run(detector.variables, batch_img))
-    f = float(sample["scale_factor"])
+    f = np.asarray(sample["scale_factor"])   # scalar or (4,) per-axis
     boxes = np.asarray(out["boxes"][0]) / f
     result = {
         "boxes": boxes,

@@ -416,7 +416,17 @@ class DetectionPipeline:
         canvas_buckets: bool = False,
         emit_uint8: bool = False,
         pack_masks: bool = False,
+        keep_ratio: bool = True,
     ):
+        # keep_ratio=False: stretch to exactly ``scale`` (w, h) like the
+        # reference SSD pipeline (Resize keep_ratio=False,
+        # ssd300_coco.py); per-axis factors, emitted as a (4,)
+        # [fx, fy, fx, fy] scale_factor. Bbox-only (the reference SSD
+        # pipeline carries no masks either).
+        if not keep_ratio and with_mask:
+            raise ValueError("keep_ratio=False is bbox-only "
+                             "(reference SSD pipeline parity)")
+        self.keep_ratio = keep_ratio
         # emit_uint8: keep the canvas as uint8 pixels and normalize ON
         # DEVICE inside the jitted step (MaskRCNN.extract_feat) — 4x less
         # host->device transfer + no 8MP float math per sample on the
@@ -485,10 +495,16 @@ class DetectionPipeline:
         import cv2
 
         h0, w0 = image.shape[:2]
-        factor = keep_ratio_scale(h0, w0, scale)
         ch, cw = self.canvas
-        factor = min(factor, ch / h0, cw / w0)
-        nh, nw = int(h0 * factor + 0.5), int(w0 * factor + 0.5)
+        if self.keep_ratio:
+            factor = keep_ratio_scale(h0, w0, scale)
+            factor = min(factor, ch / h0, cw / w0)
+            nh, nw = int(h0 * factor + 0.5), int(w0 * factor + 0.5)
+            sf_out = np.float32(factor)
+        else:
+            nw, nh = min(scale[0], cw), min(scale[1], ch)
+            fx, fy = nw / w0, nh / h0
+            sf_out = np.array([fx, fy, fx, fy], np.float32)
         img = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
         if flip:
             img = img[:, ::-1]
@@ -503,7 +519,7 @@ class DetectionPipeline:
         return {
             "image": out_img,
             "img_shape": np.array([nh, nw], np.int32),
-            "scale_factor": np.float32(factor),
+            "scale_factor": sf_out,
             "flip": np.bool_(flip),
         }
 
@@ -552,13 +568,22 @@ class DetectionPipeline:
         else:
             scale = self.scales[0]
             ch, cw = self.canvas
-        factor = keep_ratio_scale(h0, w0, scale)
-        # never exceed the (bucket) static canvas
-        factor = min(factor, ch / h0, cw / w0)
-        nh, nw = int(h0 * factor + 0.5), int(w0 * factor + 0.5)
+        if self.keep_ratio:
+            factor = keep_ratio_scale(h0, w0, scale)
+            # never exceed the (bucket) static canvas
+            factor = min(factor, ch / h0, cw / w0)
+            nh, nw = int(h0 * factor + 0.5), int(w0 * factor + 0.5)
+            sf_out = np.float32(factor)
+            box_scale = factor
+        else:
+            nw, nh = min(scale[0], cw), min(scale[1], ch)
+            fx, fy = nw / w0, nh / h0
+            factor = min(fx, fy)        # only used by the mask path (off)
+            sf_out = np.array([fx, fy, fx, fy], np.float32)
+            box_scale = sf_out[None, :]
         img = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
 
-        boxes = ann_boxes * factor
+        boxes = ann_boxes * box_scale
         flip = train and rng.rand() < self.flip_prob
         if flip:
             img = img[:, ::-1]
@@ -591,7 +616,7 @@ class DetectionPipeline:
             "gt_labels": gt_labels,
             "gt_valid": gt_valid,
             "img_shape": np.array([nh, nw], np.int32),
-            "scale_factor": np.float32(factor),
+            "scale_factor": sf_out,
             "flip": np.bool_(flip),
         }
 

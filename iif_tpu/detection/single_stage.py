@@ -569,12 +569,33 @@ def fcos_simple_test(
 
 def single_stage_loss_fn(model):
     """Dispatch used by ``DetectionTrainer``."""
+    from iif_tpu.detection.atss import ATSS, atss_loss
+    from iif_tpu.detection.ssd import SSD, ssd_loss
+    from iif_tpu.detection.yolox import YOLOX, yolox_loss
+
+    if isinstance(model, ATSS):
+        return atss_loss
+    if isinstance(model, SSD):
+        return ssd_loss
+    if isinstance(model, YOLOX):
+        return yolox_loss
     return fcos_loss if isinstance(model, FCOS) else retinanet_loss
 
 
 def single_stage_simple_test(model, variables, images,
                              cfg: SSTestCfg = SSTestCfg(),
                              scale_factor=None):
-    fn = (fcos_simple_test if isinstance(model, FCOS)
-          else retinanet_simple_test)
+    from iif_tpu.detection.atss import ATSS, atss_simple_test
+    from iif_tpu.detection.ssd import SSD, ssd_simple_test
+    from iif_tpu.detection.yolox import YOLOX, yolox_simple_test
+
+    if isinstance(model, ATSS):
+        fn = atss_simple_test
+    elif isinstance(model, SSD):
+        fn = ssd_simple_test
+    elif isinstance(model, YOLOX):
+        fn = yolox_simple_test
+    else:
+        fn = (fcos_simple_test if isinstance(model, FCOS)
+              else retinanet_simple_test)
     return fn(model, variables, images, cfg, scale_factor)

@@ -65,8 +65,13 @@ def max_iou_assign(
             last_claim = jnp.where(claim, g_idx[None, :] + 1, 0).max(axis=1)
             assigned = jnp.where(last_claim > 0, last_claim, assigned)
         else:
+            # each gt claims only its single argmax box (SSD convention,
+            # gt_max_assign_all=False). The reference loops i in order and
+            # overwrites, so when two gts share an argmax box the LAST
+            # (highest-index) gt wins -> scatter-max of (i+1).
             ok = (gt_max >= min_pos_iou) & gt_valid
-            assigned = assigned.at[gt_argmax].set(
-                jnp.where(ok, jnp.arange(gt_boxes.shape[0], jnp.int32) + 1,
-                          assigned[gt_argmax]))
+            g_plus1 = jnp.arange(gt_boxes.shape[0], dtype=jnp.int32) + 1
+            claim = jnp.zeros(boxes.shape[0], jnp.int32).at[gt_argmax].max(
+                jnp.where(ok, g_plus1, 0))
+            assigned = jnp.where(claim > 0, claim, assigned)
     return assigned, max_overlaps

@@ -257,3 +257,83 @@ def nms_np(boxes, scores, iou_thr):
         iou = inter / np.maximum(areas[idx] + areas - inter, 1e-12)
         suppressed |= iou > iou_thr
     return np.asarray(keep, np.int64)
+
+
+# -------------------------------------------------------------------- atss
+def atss_assign_t(anchors, num_level_bboxes, gt_bboxes, topk=9):
+    """The ATSS adaptive assigner
+    (``mmdet/core/bbox/assigners/atss_assigner.py:34-180``) lifted in its
+    torch idiom: per-level top-k closest centers -> candidate IoU
+    mean+std threshold -> center-inside-gt filter -> per-anchor max-IoU
+    conflict resolution. Returns assigned_gt_inds (N,) with 0=bg,
+    i+1=gt i (no ignore regions, matching the ATSS config)."""
+    INF = 100000000
+    num_gt, num_bboxes = gt_bboxes.size(0), anchors.size(0)
+
+    def iou_mat(a, b):
+        area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+        area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        lt = torch.max(a[:, None, :2], b[None, :, :2])
+        rb = torch.min(a[:, None, 2:], b[None, :, 2:])
+        wh = (rb - lt).clamp(min=0)
+        inter = wh[..., 0] * wh[..., 1]
+        return inter / (area_a[:, None] + area_b[None, :]
+                        - inter).clamp(min=1e-6)
+
+    overlaps = iou_mat(anchors, gt_bboxes)
+    assigned_gt_inds = overlaps.new_full((num_bboxes,), 0,
+                                         dtype=torch.long)
+    if num_gt == 0:
+        return assigned_gt_inds
+
+    gt_cx = (gt_bboxes[:, 0] + gt_bboxes[:, 2]) / 2.0
+    gt_cy = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) / 2.0
+    gt_points = torch.stack((gt_cx, gt_cy), dim=1)
+    bboxes_cx = (anchors[:, 0] + anchors[:, 2]) / 2.0
+    bboxes_cy = (anchors[:, 1] + anchors[:, 3]) / 2.0
+    bboxes_points = torch.stack((bboxes_cx, bboxes_cy), dim=1)
+    distances = (bboxes_points[:, None, :]
+                 - gt_points[None, :, :]).pow(2).sum(-1).sqrt()
+
+    candidate_idxs = []
+    start_idx = 0
+    for bboxes_per_level in num_level_bboxes:
+        end_idx = start_idx + bboxes_per_level
+        distances_per_level = distances[start_idx:end_idx, :]
+        selectable_k = min(topk, bboxes_per_level)
+        _, topk_idxs_per_level = distances_per_level.topk(
+            selectable_k, dim=0, largest=False)
+        candidate_idxs.append(topk_idxs_per_level + start_idx)
+        start_idx = end_idx
+    candidate_idxs = torch.cat(candidate_idxs, dim=0)
+
+    candidate_overlaps = overlaps[candidate_idxs, torch.arange(num_gt)]
+    overlaps_thr_per_gt = (candidate_overlaps.mean(0)
+                           + candidate_overlaps.std(0))
+    is_pos = candidate_overlaps >= overlaps_thr_per_gt[None, :]
+
+    for gt_idx in range(num_gt):
+        candidate_idxs[:, gt_idx] += gt_idx * num_bboxes
+    ep_bboxes_cx = bboxes_cx.view(1, -1).expand(
+        num_gt, num_bboxes).contiguous().view(-1)
+    ep_bboxes_cy = bboxes_cy.view(1, -1).expand(
+        num_gt, num_bboxes).contiguous().view(-1)
+    candidate_idxs = candidate_idxs.view(-1)
+
+    l_ = ep_bboxes_cx[candidate_idxs].view(-1, num_gt) - gt_bboxes[:, 0]
+    t_ = ep_bboxes_cy[candidate_idxs].view(-1, num_gt) - gt_bboxes[:, 1]
+    r_ = gt_bboxes[:, 2] - ep_bboxes_cx[candidate_idxs].view(-1, num_gt)
+    b_ = gt_bboxes[:, 3] - ep_bboxes_cy[candidate_idxs].view(-1, num_gt)
+    is_in_gts = torch.stack([l_, t_, r_, b_], dim=1).min(dim=1)[0] > 0.01
+    is_pos = is_pos & is_in_gts
+
+    overlaps_inf = torch.full_like(overlaps,
+                                   -INF).t().contiguous().view(-1)
+    index = candidate_idxs.view(-1)[is_pos.view(-1)]
+    overlaps_inf[index] = overlaps.t().contiguous().view(-1)[index]
+    overlaps_inf = overlaps_inf.view(num_gt, -1).t()
+
+    max_overlaps, argmax_overlaps = overlaps_inf.max(dim=1)
+    assigned_gt_inds[
+        max_overlaps != -INF] = argmax_overlaps[max_overlaps != -INF] + 1
+    return assigned_gt_inds
