@@ -191,6 +191,56 @@ def bench_retinanet() -> dict:
     }
 
 
+def bench_yolox() -> dict:
+    """YOLOX-s train throughput (640x640, 80 cls, bf16, b16) — the
+    round-3 CSPDarknet/SimOTA family; no reference number published."""
+    import optax
+
+    from iif_tpu.detection.single_stage import SSTrainCfg
+    from iif_tpu.detection.yolox import YOLOX
+    from iif_tpu.engine.detection import DetectionTrainer
+    from iif_tpu.parallel import make_mesh, shard_batch
+
+    B, H, W, C, G = 16, 640, 640, 80, 60
+    mesh = make_mesh()
+    n_chips = mesh.devices.size
+    model = YOLOX(num_classes=C, compute_dtype=jnp.bfloat16)
+    tx = optax.sgd(0.001, momentum=0.9)
+    trainer = DetectionTrainer(model, None, tx, mesh, SSTrainCfg())
+    state = trainer.init_state((H, W, 3))
+
+    rng = np.random.RandomState(0)
+    gt_boxes = np.zeros((B, G, 4), np.float32)
+    gt_boxes[..., 0] = rng.uniform(0, W - 100, (B, G))
+    gt_boxes[..., 1] = rng.uniform(0, H - 100, (B, G))
+    gt_boxes[..., 2] = gt_boxes[..., 0] + rng.uniform(20, 100, (B, G))
+    gt_boxes[..., 3] = gt_boxes[..., 1] + rng.uniform(20, 100, (B, G))
+    gbatch = shard_batch({
+        "image": rng.randint(0, 256, (B, H, W, 3), np.uint8),
+        "gt_boxes": gt_boxes,
+        "gt_labels": rng.randint(0, C, (B, G)).astype(np.int32),
+        "gt_valid": (rng.rand(B, G) < 0.3),
+    }, mesh)
+
+    for _ in range(3):
+        state, metrics = trainer._train_step(state, gbatch,
+                                             fasa_aug_on=False)
+    _ = float(metrics["loss"])
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = trainer._train_step(state, gbatch,
+                                             fasa_aug_on=False)
+    _ = float(metrics["loss"])
+    img_s_chip = B * iters / (time.perf_counter() - t0) / n_chips
+    return {
+        "metric": "yolox_s_coco_train_img_per_sec_per_chip",
+        "value": round(img_s_chip, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": 0.0,   # no reference number published
+    }
+
+
 def _make_e2e_dataset(root: str, n_imgs: int = 280, n_cats: int = 1203,
                       seed: int = 0) -> str:
     """Synthetic LVIS-scale dataset ON DISK: JPEG images at COCO-typical
@@ -357,7 +407,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--metric", default="detection",
                     choices=["detection", "classification", "both",
-                             "detection_e2e", "retinanet"])
+                             "detection_e2e", "retinanet", "yolox"])
     args = ap.parse_args()
     if args.metric == "both":
         print(json.dumps(bench_classification()), file=sys.stderr)
@@ -368,6 +418,8 @@ def main():
         print(json.dumps(bench_detection_e2e()))
     elif args.metric == "retinanet":
         print(json.dumps(bench_retinanet()))
+    elif args.metric == "yolox":
+        print(json.dumps(bench_yolox()))
     else:
         print(json.dumps(bench_detection()))
 

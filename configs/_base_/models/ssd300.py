@@ -8,7 +8,7 @@ model = dict(
     num_classes=80,
     with_mask=False,
 )
-loss_cls = dict(type="CrossEntropyDet")
+loss_cls = dict(type="DetCrossEntropyLoss")
 train_cfg = dict(
     pos_iou_thr=0.5,
     neg_iou_thr=0.5,

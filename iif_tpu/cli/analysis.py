@@ -174,8 +174,16 @@ def main():
         single_stage_simple_test,
     )
 
+    from iif_tpu.detection.detr import DETR, detr_simple_test
+
     def _one_iter(v, img):
-        if isinstance(model, _SingleStageBase):
+        if isinstance(model, DETR):
+            ishape = jnp.tile(jnp.asarray([[canvas[0], canvas[1]]],
+                                          jnp.int32), (img.shape[0], 1))
+            out = detr_simple_test(model, v, img, test_cfg,
+                                   img_shape=ishape,
+                                   max_per_img=test_cfg.max_per_img)
+        elif isinstance(model, _SingleStageBase):
             out = single_stage_simple_test(model, v, img, test_cfg)
         elif isinstance(model, CascadeMaskRCNN):
             out = cascade_simple_test(model, v, img,

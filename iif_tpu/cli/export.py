@@ -74,7 +74,19 @@ def build_export(config, checkpoint=None, batch_size: int = 1,
 
         variables, _ = fuse_conv_bn(variables)
 
-    if isinstance(model, _SingleStageBase):
+    from iif_tpu.detection.detr import DETR, detr_simple_test
+
+    if isinstance(model, DETR):
+        def infer(img):
+            # deployment export: full-canvas valid region (the static
+            # serving shape)
+            b = img.shape[0]
+            ishape = jnp.tile(jnp.asarray([[canvas[0], canvas[1]]],
+                                          jnp.int32), (b, 1))
+            return detr_simple_test(model, variables, img, test_cfg,
+                                    img_shape=ishape,
+                                    max_per_img=test_cfg.max_per_img)
+    elif isinstance(model, _SingleStageBase):
         def infer(img):
             return single_stage_simple_test(model, variables, img, test_cfg)
     elif isinstance(model, CascadeMaskRCNN):

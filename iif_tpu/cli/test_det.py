@@ -49,7 +49,14 @@ def run_inference(model, variables, loader, loss_cls, test_cfg, cat_ids,
         single_stage_simple_test,
     )
 
-    if isinstance(model, _SingleStageBase):
+    from iif_tpu.detection.detr import DETR, detr_simple_test
+
+    is_detr = isinstance(model, DETR)
+    if is_detr:
+        run = jax.jit(lambda v, img, ishape: detr_simple_test(
+            model, v, img, test_cfg, img_shape=ishape,
+            max_per_img=test_cfg.max_per_img))
+    elif isinstance(model, _SingleStageBase):
         run = jax.jit(lambda v, img: single_stage_simple_test(
             model, v, img, test_cfg))
     elif isinstance(model, CascadeMaskRCNN):
@@ -62,7 +69,11 @@ def run_inference(model, variables, loader, loss_cls, test_cfg, cat_ids,
     results: List[dict] = []
     n_done = 0
     for batch in loader:
-        out = jax.device_get(run(variables, batch["image"]))
+        if is_detr:
+            out = jax.device_get(run(variables, batch["image"],
+                                     batch["img_shape"]))
+        else:
+            out = jax.device_get(run(variables, batch["image"]))
         # undo the resize: boxes back to original image coords. Scalar
         # (keep-ratio) or (4,) [fx, fy, fx, fy] (keep_ratio=False / SSD)
         sf = np.asarray(batch["scale_factor"])

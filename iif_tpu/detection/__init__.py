@@ -24,7 +24,15 @@ def build_detector(model_cfg: dict):
 
     mtype = model_cfg.get("type", "MaskRCNN")
     kw = model_kwargs_from_cfg(model_cfg)
-    if mtype in ("RetinaNet", "FCOS", "ATSS", "SSD", "YOLOX"):
+    if mtype == "DETR":
+        from iif_tpu.detection.detr import DETR
+        from iif_tpu.detection.single_stage import SSTestCfg, SSTrainCfg
+
+        kw.pop("cls_predictor", None)
+        kw.pop("mask_predictor", None)
+        kw["num_query"] = model_cfg.get("num_query", 100)
+        return DETR(**kw), SSTrainCfg, SSTestCfg
+    if mtype in ("RetinaNet", "FCOS", "ATSS", "SSD", "YOLOX", "YOLOV3"):
         from iif_tpu.detection.atss import ATSS
         from iif_tpu.detection.single_stage import (
             FCOS,
@@ -33,12 +41,13 @@ def build_detector(model_cfg: dict):
             SSTrainCfg,
         )
         from iif_tpu.detection.ssd import SSD
+        from iif_tpu.detection.yolov3 import YOLOV3
         from iif_tpu.detection.yolox import YOLOX
 
         kw.pop("cls_predictor", None)
         kw.pop("mask_predictor", None)
         cls = {"RetinaNet": RetinaNet, "FCOS": FCOS, "ATSS": ATSS,
-               "SSD": SSD, "YOLOX": YOLOX}[mtype]
+               "SSD": SSD, "YOLOX": YOLOX, "YOLOV3": YOLOV3}[mtype]
         if mtype == "SSD":
             kw["input_size"] = model_cfg.get("input_size", 300)
         elif mtype == "YOLOX":

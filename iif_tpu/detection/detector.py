@@ -78,6 +78,11 @@ def resolve_gt_masks(batch: Dict[str, jnp.ndarray], mask_width: int
 class MaskRCNN(nn.Module):
     num_classes: int = 1203
     depth: int = 50
+    # 'resnet' (the IIF configs) or 'swin-t'/'swin-s'/'swin-b'
+    # (reference configs/swin/mask_rcnn_swin-*; drop_path defaults to 0
+    # here — enabling it needs a 'dropout' rng the two-stage loss does
+    # not thread)
+    backbone_type: str = "resnet"
     with_mask: bool = True
     cls_predictor: str = "linear"     # 'linear' | 'normed' (cos-norm head)
     mask_predictor: str = "conv"      # 'conv' | 'normed'
@@ -94,12 +99,42 @@ class MaskRCNN(nn.Module):
     cls_init: tuple = ("normal", 0.01)  # fc_cls weight init (IIF: constant)
 
     def setup(self):
-        layers, block = _DEPTH_LAYERS[self.depth]
-        self.backbone = ResNet(layers=layers, block=block,
-                               frozen_stages=self.frozen_stages,
-                               norm_eval=self.norm_eval,
-                               remat=self.backbone_remat,
-                               dtype=self.compute_dtype, name="backbone")
+        if self.backbone_type.startswith("swin"):
+            from iif_tpu.models.swin import swin_b, swin_s, swin_t
+
+            ctor = {"swin-t": swin_t, "swin-s": swin_s,
+                    "swin-b": swin_b}[self.backbone_type]
+            self.backbone = ctor(drop_path_rate=0.0,
+                                 frozen_stages=self.frozen_stages,
+                                 dtype=self.compute_dtype,
+                                 name="backbone")
+        elif self.backbone_type == "res2net":
+            # reference configs/res2net/*_r2_101_fpn_*: Res2Net-101 26w4s
+            from iif_tpu.models.res2net import Res2Net
+
+            layers = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[self.depth]
+            self.backbone = Res2Net(layers=layers,
+                                    frozen_stages=self.frozen_stages,
+                                    norm_eval=self.norm_eval,
+                                    dtype=self.compute_dtype,
+                                    name="backbone")
+        elif self.backbone_type.startswith("regnetx"):
+            # reference configs/regnet/mask_rcnn_regnetx-*_fpn_*
+            from iif_tpu.models.regnet import RegNet
+
+            self.backbone = RegNet(arch=self.backbone_type,
+                                   frozen_stages=self.frozen_stages,
+                                   norm_eval=self.norm_eval,
+                                   dtype=self.compute_dtype,
+                                   name="backbone")
+        else:
+            layers, block = _DEPTH_LAYERS[self.depth]
+            self.backbone = ResNet(layers=layers, block=block,
+                                   frozen_stages=self.frozen_stages,
+                                   norm_eval=self.norm_eval,
+                                   remat=self.backbone_remat,
+                                   dtype=self.compute_dtype,
+                                   name="backbone")
         neck_cls = nn.remat(FPN) if self.backbone_remat else FPN
         self.neck = neck_cls(out_channels=256, num_outs=5,
                              dtype=self.compute_dtype, name="neck")

@@ -108,7 +108,15 @@ def inference_detector(detector: Detector,
             single_stage_simple_test,
         )
 
-        if isinstance(detector.model, _SingleStageBase):
+        from iif_tpu.detection.detr import DETR, detr_simple_test
+
+        if isinstance(detector.model, DETR):
+            detector._run = jax.jit(
+                lambda v, img, ishape: detr_simple_test(
+                    detector.model, v, img, detector.test_cfg,
+                    img_shape=ishape,
+                    max_per_img=detector.test_cfg.max_per_img))
+        elif isinstance(detector.model, _SingleStageBase):
             detector._run = jax.jit(lambda v, img: single_stage_simple_test(
                 detector.model, v, img, detector.test_cfg))
         elif isinstance(detector.model, CascadeMaskRCNN):
@@ -120,7 +128,14 @@ def inference_detector(detector: Detector,
             detector._run = jax.jit(lambda v, img: maskrcnn_simple_test(
                 detector.model, v, img, detector.loss_cls,
                 detector.test_cfg))
-    out = jax.device_get(detector._run(detector.variables, batch_img))
+    from iif_tpu.detection.detr import DETR as _DETR
+
+    if isinstance(detector.model, _DETR):
+        out = jax.device_get(detector._run(
+            detector.variables, batch_img,
+            jnp.asarray(sample["img_shape"][None])))
+    else:
+        out = jax.device_get(detector._run(detector.variables, batch_img))
     f = np.asarray(sample["scale_factor"])   # scalar or (4,) per-axis
     boxes = np.asarray(out["boxes"][0]) / f
     result = {

@@ -166,10 +166,21 @@ def rpn_proposals(
     boxes = jnp.concatenate(out_boxes, axis=1)     # (B, sum k_l, 4)
     scores = jnp.concatenate(out_scores, axis=1)   # survivors only finite
 
+    k_out = min(max_per_img, scores.shape[1])
+
     def _one(bx, sc):
-        top_s, top_i = jax.lax.top_k(sc, max_per_img)
+        top_s, top_i = jax.lax.top_k(sc, k_out)
         valid = jnp.isfinite(top_s)
         return jnp.where(valid[:, None], bx[top_i], 0.0), \
             jnp.where(valid, top_s, 0.0), valid
 
-    return jax.vmap(_one)(boxes, scores)
+    out_b, out_s, out_v = jax.vmap(_one)(boxes, scores)
+    if k_out < max_per_img:       # pad small images to the fixed slate
+        pad = max_per_img - k_out
+        out_b = jnp.concatenate(
+            [out_b, jnp.zeros((out_b.shape[0], pad, 4), out_b.dtype)], 1)
+        out_s = jnp.concatenate(
+            [out_s, jnp.zeros((out_s.shape[0], pad), out_s.dtype)], 1)
+        out_v = jnp.concatenate(
+            [out_v, jnp.zeros((out_v.shape[0], pad), bool)], 1)
+    return out_b, out_s, out_v

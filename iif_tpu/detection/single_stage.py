@@ -571,6 +571,7 @@ def single_stage_loss_fn(model):
     """Dispatch used by ``DetectionTrainer``."""
     from iif_tpu.detection.atss import ATSS, atss_loss
     from iif_tpu.detection.ssd import SSD, ssd_loss
+    from iif_tpu.detection.yolov3 import YOLOV3, yolov3_loss
     from iif_tpu.detection.yolox import YOLOX, yolox_loss
 
     if isinstance(model, ATSS):
@@ -579,6 +580,8 @@ def single_stage_loss_fn(model):
         return ssd_loss
     if isinstance(model, YOLOX):
         return yolox_loss
+    if isinstance(model, YOLOV3):
+        return yolov3_loss
     return fcos_loss if isinstance(model, FCOS) else retinanet_loss
 
 
@@ -587,6 +590,7 @@ def single_stage_simple_test(model, variables, images,
                              scale_factor=None):
     from iif_tpu.detection.atss import ATSS, atss_simple_test
     from iif_tpu.detection.ssd import SSD, ssd_simple_test
+    from iif_tpu.detection.yolov3 import YOLOV3, yolov3_simple_test
     from iif_tpu.detection.yolox import YOLOX, yolox_simple_test
 
     if isinstance(model, ATSS):
@@ -595,6 +599,8 @@ def single_stage_simple_test(model, variables, images,
         fn = ssd_simple_test
     elif isinstance(model, YOLOX):
         fn = yolox_simple_test
+    elif isinstance(model, YOLOV3):
+        fn = yolov3_simple_test
     else:
         fn = (fcos_simple_test if isinstance(model, FCOS)
               else retinanet_simple_test)

@@ -358,22 +358,28 @@ def sim_ota_assign(pred_scores: jnp.ndarray,   # (P, C) sigmoid(cls)*sigmoid(obj
     log_1q = jnp.log(1.0 - sq)
     cls_cost = (-(log_q - log_1q) @ onehot.T) - log_1q.sum(-1, keepdims=True)
 
+    # the reference's cost matrix spans only valid (in gt or in center)
+    # priors; out-of-center-but-valid candidates carry +INF and CAN still
+    # be selected when dynamic_k exceeds the in-both count. Invalid
+    # priors are excluded outright -> emulate with a strictly larger 2INF
+    # so they always rank after every in-matrix candidate.
     cost = (cls_weight * cls_cost + iou_weight * iou_cost
             + jnp.where(in_both, 0.0, _INF)
-            + jnp.where(valid_prior[:, None], 0.0, _INF)
-            + jnp.where(gt_valid[None, :], 0.0, _INF))
+            + jnp.where(valid_prior[:, None], 0.0, 2.0 * _INF))
 
-    # dynamic-k: clamp(int(sum of top-10 ious per gt), min 1)
+    # dynamic-k: clamp(int(sum of top-10 ious per gt), min 1); padded
+    # gts get k=0 so they never claim a prior
     k_count = min(candidate_topk, num_p)
     topk_ious = jax.lax.top_k(iou.T, k_count)[0]               # (G, k)
-    dynamic_ks = jnp.maximum(topk_ious.sum(-1).astype(jnp.int32), 1)
+    dynamic_ks = jnp.where(
+        gt_valid, jnp.maximum(topk_ious.sum(-1).astype(jnp.int32), 1), 0)
 
     # per-gt: positives = priors whose cost ranks < dynamic_k
     order = jnp.argsort(cost, axis=0)                          # (P, G)
     ranks = jnp.zeros((num_p, num_gt), jnp.int32)
     ranks = ranks.at[order, jnp.arange(num_gt)[None, :]].set(
         jnp.arange(num_p, dtype=jnp.int32)[:, None])
-    matching = (ranks < dynamic_ks[None, :]) & (cost < _INF * 0.5)
+    matching = (ranks < dynamic_ks[None, :]) & (cost < 1.5 * _INF)
 
     # conflicts: a prior matched to >1 gts keeps its min-cost gt
     row_sum = matching.sum(axis=1)
@@ -383,6 +389,9 @@ def sim_ota_assign(pred_scores: jnp.ndarray,   # (P, C) sigmoid(cls)*sigmoid(obj
 
     fg = matching.any(axis=1)
     matched_gt = matching.argmax(axis=1)
+    # belt-and-braces: a conflict argmin can in principle land on a
+    # padded gt when every real cost is saturated — drop such matches
+    fg = fg & gt_valid[matched_gt]
     matched_iou = (matching * iou).sum(axis=1)
     return fg, matched_gt, matched_iou
 

@@ -62,12 +62,14 @@ class DetectionTrainer:
         param_rules=None,
         grad_accum: int = 1,
     ):
+        from iif_tpu.detection.detr import DETR
         from iif_tpu.detection.single_stage import _SingleStageBase
 
         self.model = model
         self.loss_cls = loss_cls
         self.is_cascade = isinstance(model, CascadeMaskRCNN)
         self.is_single_stage = isinstance(model, _SingleStageBase)
+        self.is_detr = isinstance(model, DETR)
         # cascade stages share one loss object unless per-stage losses are
         # given (the reference builds one FasaIIFLoss per stage from the
         # same CSV — identical weights, so sharing is equivalent)
@@ -101,9 +103,17 @@ class DetectionTrainer:
 
     def init_state(self, sample_shape, fasa_state: Optional[FasaState] = None,
                    seed: int = 0) -> DetTrainState:
-        variables = jax.jit(self.model.init, static_argnums=(2,))(
-            jax.random.PRNGKey(seed),
-            jnp.zeros((1,) + tuple(sample_shape), jnp.float32), False)
+        if self.is_detr:
+            # DETR's forward takes (images, img_shape, train)
+            variables = jax.jit(self.model.init, static_argnums=(3,))(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((1,) + tuple(sample_shape), jnp.float32),
+                jnp.asarray([[sample_shape[0], sample_shape[1]]],
+                            jnp.int32), False)
+        else:
+            variables = jax.jit(self.model.init, static_argnums=(2,))(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((1,) + tuple(sample_shape), jnp.float32), False)
         params = variables["params"]
         state = jax.device_put(
             DetTrainState(
@@ -131,7 +141,12 @@ class DetectionTrainer:
 
         def loss_fn(params, batch_stats, fasa, mb, key):
             variables = {"params": params, "batch_stats": batch_stats}
-            if self.is_single_stage:
+            if self.is_detr:
+                from iif_tpu.detection.detr import detr_loss
+
+                total, losses, aux = detr_loss(
+                    self.model, variables, mb, key, self.train_cfg)
+            elif self.is_single_stage:
                 from iif_tpu.detection.single_stage import (
                     single_stage_loss_fn,
                 )

@@ -337,3 +337,137 @@ def atss_assign_t(anchors, num_level_bboxes, gt_bboxes, topk=9):
     assigned_gt_inds[
         max_overlaps != -INF] = argmax_overlaps[max_overlaps != -INF] + 1
     return assigned_gt_inds
+
+
+# ------------------------------------------------------------------ simOTA
+def sim_ota_assign_t(pred_scores, priors, decoded_bboxes, gt_bboxes,
+                     gt_labels, num_classes, center_radius=2.5,
+                     candidate_topk=10, cls_weight=1.0, iou_weight=3.0,
+                     eps=1e-7):
+    """The SimOTA assigner (``sim_ota_assigner.py:95-254`` +
+    ``dynamic_k_matching``) lifted in its torch idiom (dynamic boolean
+    indexing, per-gt topk loops). Returns (assigned_gt_inds (P,) with
+    0=bg / i+1=gt i, matched_pred_ious (P,) valid where assigned>0)."""
+    INF = 100000000
+    num_gt = gt_bboxes.size(0)
+    num_bboxes = decoded_bboxes.size(0)
+    assigned_gt_inds = decoded_bboxes.new_full((num_bboxes,), 0,
+                                               dtype=torch.long)
+    matched_ious_out = decoded_bboxes.new_zeros((num_bboxes,))
+    if num_gt == 0:
+        return assigned_gt_inds, matched_ious_out
+
+    # in-gt / in-center info
+    rx = priors[:, 0].unsqueeze(1).repeat(1, num_gt)
+    ry = priors[:, 1].unsqueeze(1).repeat(1, num_gt)
+    rsx = priors[:, 2].unsqueeze(1).repeat(1, num_gt)
+    rsy = priors[:, 3].unsqueeze(1).repeat(1, num_gt)
+    l_ = rx - gt_bboxes[:, 0]
+    t_ = ry - gt_bboxes[:, 1]
+    r_ = gt_bboxes[:, 2] - rx
+    b_ = gt_bboxes[:, 3] - ry
+    is_in_gts = torch.stack([l_, t_, r_, b_], dim=1).min(dim=1).values > 0
+    is_in_gts_all = is_in_gts.sum(dim=1) > 0
+    gt_cxs = (gt_bboxes[:, 0] + gt_bboxes[:, 2]) / 2.0
+    gt_cys = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) / 2.0
+    cl_ = rx - (gt_cxs - center_radius * rsx)
+    ct_ = ry - (gt_cys - center_radius * rsy)
+    cr_ = (gt_cxs + center_radius * rsx) - rx
+    cb_ = (gt_cys + center_radius * rsy) - ry
+    is_in_cts = torch.stack([cl_, ct_, cr_, cb_], dim=1).min(dim=1).values > 0
+    is_in_cts_all = is_in_cts.sum(dim=1) > 0
+    valid_mask = is_in_gts_all | is_in_cts_all
+    is_in_boxes_and_center = (is_in_gts[valid_mask, :]
+                              & is_in_cts[valid_mask, :])
+
+    def iou_mat(a, b):
+        area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+        area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        lt = torch.max(a[:, None, :2], b[None, :, :2])
+        rb = torch.min(a[:, None, 2:], b[None, :, 2:])
+        wh = (rb - lt).clamp(min=0)
+        inter = wh[..., 0] * wh[..., 1]
+        return inter / (area_a[:, None] + area_b[None, :]
+                        - inter).clamp(min=1e-6)
+
+    valid_decoded_bbox = decoded_bboxes[valid_mask]
+    valid_pred_scores = pred_scores[valid_mask]
+    num_valid = valid_decoded_bbox.size(0)
+    pairwise_ious = iou_mat(valid_decoded_bbox, gt_bboxes)
+    iou_cost = -torch.log(pairwise_ious + eps)
+    gt_onehot_label = (
+        F.one_hot(gt_labels.to(torch.int64),
+                  num_classes).float().unsqueeze(0).repeat(num_valid, 1, 1))
+    vps = valid_pred_scores.unsqueeze(1).repeat(1, num_gt, 1)
+    cls_cost = F.binary_cross_entropy(
+        vps.sqrt_(), gt_onehot_label, reduction='none').sum(-1)
+    cost_matrix = (cls_cost * cls_weight + iou_cost * iou_weight
+                   + (~is_in_boxes_and_center) * INF)
+
+    # dynamic k matching
+    matching_matrix = torch.zeros_like(cost_matrix)
+    topk_ious, _ = torch.topk(pairwise_ious,
+                              min(candidate_topk, num_valid), dim=0)
+    dynamic_ks = torch.clamp(topk_ious.sum(0).int(), min=1)
+    for gt_idx in range(num_gt):
+        _, pos_idx = torch.topk(cost_matrix[:, gt_idx],
+                                k=dynamic_ks[gt_idx].item(), largest=False)
+        matching_matrix[:, gt_idx][pos_idx] = 1.0
+    prior_match_gt_mask = matching_matrix.sum(1) > 1
+    if prior_match_gt_mask.sum() > 0:
+        _, cost_argmin = torch.min(cost_matrix[prior_match_gt_mask, :],
+                                   dim=1)
+        matching_matrix[prior_match_gt_mask, :] *= 0.0
+        matching_matrix[prior_match_gt_mask, cost_argmin] = 1.0
+    fg_mask_inboxes = matching_matrix.sum(1) > 0.0
+    valid_mask[valid_mask.clone()] = fg_mask_inboxes
+    matched_gt_inds = matching_matrix[fg_mask_inboxes, :].argmax(1)
+    matched_pred_ious = (matching_matrix
+                         * pairwise_ious).sum(1)[fg_mask_inboxes]
+    assigned_gt_inds[valid_mask] = matched_gt_inds + 1
+    matched_ious_out[valid_mask] = matched_pred_ious
+    return assigned_gt_inds, matched_ious_out
+
+
+# ------------------------------------------------------------ grid assign
+def grid_assign_t(anchors, responsible, gt_bboxes, pos_iou_thr=0.5,
+                  neg_iou_thr=0.5, min_pos_iou=0.0):
+    """The YOLO GridAssigner (``grid_assigner.py:40-170``,
+    gt_max_assign_all=True) lifted in its torch idiom. Returns
+    assigned_gt_inds (N,) with -1 ignore / 0 bg / i+1 gt i."""
+    num_gts, num_bboxes = gt_bboxes.size(0), anchors.size(0)
+
+    def iou_mat(a, b):
+        area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+        area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        lt = torch.max(a[:, None, :2], b[None, :, :2])
+        rb = torch.min(a[:, None, 2:], b[None, :, 2:])
+        wh = (rb - lt).clamp(min=0)
+        inter = wh[..., 0] * wh[..., 1]
+        return inter / (area_a[:, None] + area_b[None, :]
+                        - inter).clamp(min=1e-6)
+
+    overlaps = iou_mat(gt_bboxes, anchors)                 # (G, N)
+    assigned_gt_inds = overlaps.new_full((num_bboxes,), -1,
+                                         dtype=torch.long)
+    if num_gts == 0:
+        assigned_gt_inds[:] = 0
+        return assigned_gt_inds
+
+    max_overlaps, _ = overlaps.max(dim=0)
+    assigned_gt_inds[(max_overlaps >= 0)
+                     & (max_overlaps <= neg_iou_thr)] = 0
+
+    overlaps[:, ~responsible.bool()] = -1.0
+    max_overlaps, argmax_overlaps = overlaps.max(dim=0)
+    gt_max_overlaps, gt_argmax_overlaps = overlaps.max(dim=1)
+
+    pos_inds = (max_overlaps > pos_iou_thr) & responsible.bool()
+    assigned_gt_inds[pos_inds] = argmax_overlaps[pos_inds] + 1
+
+    for i in range(num_gts):
+        if gt_max_overlaps[i] > min_pos_iou:
+            max_iou_inds = (overlaps[i, :] == gt_max_overlaps[i]) \
+                & responsible.bool()
+            assigned_gt_inds[max_iou_inds] = i + 1
+    return assigned_gt_inds
