@@ -32,8 +32,10 @@ def build_detector(model_cfg: dict):
         kw.pop("mask_predictor", None)
         kw["num_query"] = model_cfg.get("num_query", 100)
         return DETR(**kw), SSTrainCfg, SSTestCfg
-    if mtype in ("RetinaNet", "FCOS", "ATSS", "SSD", "YOLOX", "YOLOV3"):
+    if mtype in ("RetinaNet", "FCOS", "ATSS", "SSD", "YOLOX", "YOLOV3",
+                 "CenterNet"):
         from iif_tpu.detection.atss import ATSS
+        from iif_tpu.detection.centernet import CenterNet
         from iif_tpu.detection.single_stage import (
             FCOS,
             RetinaNet,
@@ -47,7 +49,8 @@ def build_detector(model_cfg: dict):
         kw.pop("cls_predictor", None)
         kw.pop("mask_predictor", None)
         cls = {"RetinaNet": RetinaNet, "FCOS": FCOS, "ATSS": ATSS,
-               "SSD": SSD, "YOLOX": YOLOX, "YOLOV3": YOLOV3}[mtype]
+               "SSD": SSD, "YOLOX": YOLOX, "YOLOV3": YOLOV3,
+               "CenterNet": CenterNet}[mtype]
         if mtype == "SSD":
             kw["input_size"] = model_cfg.get("input_size", 300)
         elif mtype == "YOLOX":

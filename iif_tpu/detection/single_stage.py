@@ -570,6 +570,7 @@ def fcos_simple_test(
 def single_stage_loss_fn(model):
     """Dispatch used by ``DetectionTrainer``."""
     from iif_tpu.detection.atss import ATSS, atss_loss
+    from iif_tpu.detection.centernet import CenterNet, centernet_loss
     from iif_tpu.detection.ssd import SSD, ssd_loss
     from iif_tpu.detection.yolov3 import YOLOV3, yolov3_loss
     from iif_tpu.detection.yolox import YOLOX, yolox_loss
@@ -582,6 +583,8 @@ def single_stage_loss_fn(model):
         return yolox_loss
     if isinstance(model, YOLOV3):
         return yolov3_loss
+    if isinstance(model, CenterNet):
+        return centernet_loss
     return fcos_loss if isinstance(model, FCOS) else retinanet_loss
 
 
@@ -589,6 +592,10 @@ def single_stage_simple_test(model, variables, images,
                              cfg: SSTestCfg = SSTestCfg(),
                              scale_factor=None):
     from iif_tpu.detection.atss import ATSS, atss_simple_test
+    from iif_tpu.detection.centernet import (
+        CenterNet,
+        centernet_simple_test,
+    )
     from iif_tpu.detection.ssd import SSD, ssd_simple_test
     from iif_tpu.detection.yolov3 import YOLOV3, yolov3_simple_test
     from iif_tpu.detection.yolox import YOLOX, yolox_simple_test
@@ -601,6 +608,8 @@ def single_stage_simple_test(model, variables, images,
         fn = yolox_simple_test
     elif isinstance(model, YOLOV3):
         fn = yolov3_simple_test
+    elif isinstance(model, CenterNet):
+        fn = centernet_simple_test
     else:
         fn = (fcos_simple_test if isinstance(model, FCOS)
               else retinanet_simple_test)

@@ -1,12 +1,14 @@
-"""On-TPU single-stage overfit validation (RetinaNet / FCOS).
+"""On-TPU detector-family overfit validation (every single-stage-CLI
+family: RetinaNet / FCOS / ATSS / YOLOX / YOLOV3 / CenterNet / DETR).
 
 Same harness as ``overfit_cascade.py``: synthetic bright-square COCO
 dataset on disk, smoke-scale config, N epochs through the real train
-CLI, eval through the test CLI. Validates that the single-stage family
-learns end-to-end on the chip, not just in unit tests.
+CLI, eval through the test CLI. Validates that each family learns
+end-to-end on the chip, not just in unit tests.
 
-Usage:  python scripts/overfit_retinanet.py [--model RetinaNet|FCOS]
-        [--root /tmp/retina_overfit] [--epochs 30]
+Usage:  python scripts/overfit_retinanet.py [--model RetinaNet|FCOS|
+        ATSS|YOLOX|YOLOV3|CenterNet|DETR] [--root /tmp/retina_overfit]
+        [--epochs 30]
 """
 import argparse
 import os
@@ -17,11 +19,19 @@ from overfit_cascade import make_dataset  # same synthetic dataset
 
 
 def write_config(root, ann_path, epochs, batch, mtype):
-    extra = ('gamma=2.0, alpha=0.25' if mtype == "RetinaNet"
-             else 'gamma=2.0, alpha=0.25, center_sampling=False')
+    extra = {
+        "RetinaNet": "gamma=2.0, alpha=0.25",
+        "FCOS": "gamma=2.0, alpha=0.25, center_sampling=False",
+        "ATSS": "gamma=2.0, alpha=0.25",
+    }.get(mtype, "")
+    model_extra = {
+        "YOLOX": ', deepen=0.33, widen=0.5',
+        "DETR": ', num_query=20',
+        "CenterNet": ', norm_eval=False',
+    }.get(mtype, "")
     cfg = f'''
 model = dict(type="{mtype}", depth=18, num_classes=2, with_mask=False,
-             frozen_stages=-1)
+             frozen_stages=-1{model_extra})
 loss_cls = dict(type="FocalLossDet")
 train_cfg = dict({extra})
 test_cfg = dict(nms_pre=256, score_thr=0.02, max_per_img=5)
@@ -54,7 +64,8 @@ seed = 0
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="RetinaNet",
-                    choices=["RetinaNet", "FCOS"])
+                    choices=["RetinaNet", "FCOS", "ATSS", "YOLOX",
+                             "YOLOV3", "CenterNet", "DETR"])
     ap.add_argument("--root", default="/tmp/retina_overfit")
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--batch", type=int, default=4)
