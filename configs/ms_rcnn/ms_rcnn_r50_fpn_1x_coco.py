@@ -1,0 +1,23 @@
+# Mask Scoring R-CNN R50-FPN on COCO, 1x (reference
+# configs/ms_rcnn/ms_rcnn_r50_fpn_1x_coco.py: MaskRCNN +
+# MaskIoUHead(num_convs=4, num_fcs=2, MSELoss loss_weight=0.5);
+# at inference segm scores = det score x predicted mask IoU).
+_base_ = [
+    "../_base_/models/mask_rcnn_r50_fpn.py",
+    "../_base_/datasets/lvis_v1_instance.py",
+    "../_base_/schedules/schedule_1x.py",
+    "../_base_/default_runtime.py",
+]
+model = dict(type="MaskScoringRCNN")
+data_root = "data/coco/"
+data = dict(
+    train=dict(type="CocoDataset",
+               ann_file=data_root + "annotations/instances_train2017.json",
+               img_prefix=data_root + "train2017/", oversample_thr=0.0),
+    val=dict(type="CocoDataset",
+             ann_file=data_root + "annotations/instances_val2017.json",
+             img_prefix=data_root + "val2017/"),
+    test=dict(type="CocoDataset",
+              ann_file=data_root + "annotations/instances_val2017.json",
+              img_prefix=data_root + "val2017/"),
+)

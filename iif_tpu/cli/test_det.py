@@ -60,11 +60,26 @@ def run_inference(model, variables, loader, loss_cls, test_cfg, cat_ids,
         run = jax.jit(lambda v, img: single_stage_simple_test(
             model, v, img, test_cfg))
     elif isinstance(model, CascadeMaskRCNN):
-        run = jax.jit(lambda v, img: cascade_simple_test(
-            model, v, img, [loss_cls] * model.num_stages, test_cfg))
+        from iif_tpu.detection.htc import HTC, htc_simple_test
+
+        if isinstance(model, HTC):
+            run = jax.jit(lambda v, img: htc_simple_test(
+                model, v, img, [loss_cls] * model.num_stages, test_cfg))
+        else:
+            run = jax.jit(lambda v, img: cascade_simple_test(
+                model, v, img, [loss_cls] * model.num_stages, test_cfg))
     else:
-        run = jax.jit(lambda v, img: maskrcnn_simple_test(
-            model, v, img, loss_cls, test_cfg))
+        from iif_tpu.detection.rpn_detector import (
+            RPNDetector,
+            rpn_only_simple_test,
+        )
+
+        if isinstance(model, RPNDetector):
+            run = jax.jit(lambda v, img: rpn_only_simple_test(
+                model, v, img, test_cfg))
+        else:
+            run = jax.jit(lambda v, img: maskrcnn_simple_test(
+                model, v, img, loss_cls, test_cfg))
 
     results: List[dict] = []
     n_done = 0
@@ -97,7 +112,9 @@ def run_inference(model, variables, loader, loss_cls, test_cfg, cat_ids,
         results.extend(detections_to_coco_results(
             batch["image_ids"], boxes, np.asarray(out["scores"]),
             np.asarray(out["labels"]), np.asarray(out["valid"]), cat_ids,
-            masks=masks_rle))
+            masks=masks_rle,
+            mask_scores=(np.asarray(out["mask_scores"])
+                         if "mask_scores" in out else None)))
         n_done += boxes.shape[0]
         if max_images and n_done >= max_images:
             break

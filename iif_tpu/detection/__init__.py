@@ -33,9 +33,24 @@ def build_detector(model_cfg: dict):
         kw["num_query"] = model_cfg.get("num_query", 100)
         return DETR(**kw), SSTrainCfg, SSTestCfg
     if mtype in ("RetinaNet", "FCOS", "ATSS", "SSD", "YOLOX", "YOLOV3",
-                 "CenterNet"):
+                 "CenterNet", "GFL", "FSAF", "FOVEA", "YOLOF",
+                 "RepPointsDetector", "VFNet", "SparseRCNN",
+                 "DeformableDETR", "YOLACT", "CornerNet", "AutoAssign",
+                 "NASFCOS"):
         from iif_tpu.detection.atss import ATSS
+        from iif_tpu.detection.autoassign import AutoAssign
+        from iif_tpu.detection.nasfcos import NASFCOS
         from iif_tpu.detection.centernet import CenterNet
+        from iif_tpu.detection.cornernet import CornerNet
+        from iif_tpu.detection.fovea import FoveaBox
+        from iif_tpu.detection.fsaf import FSAF
+        from iif_tpu.detection.gfl import GFL
+        from iif_tpu.detection.reppoints import RepPoints
+        from iif_tpu.detection.deformable_detr import DeformableDETR
+        from iif_tpu.detection.sparse_rcnn import SparseRCNN
+        from iif_tpu.detection.vfnet import VFNet
+        from iif_tpu.detection.yolact import YOLACT
+        from iif_tpu.detection.yolof import YOLOF
         from iif_tpu.detection.single_stage import (
             FCOS,
             RetinaNet,
@@ -50,7 +65,17 @@ def build_detector(model_cfg: dict):
         kw.pop("mask_predictor", None)
         cls = {"RetinaNet": RetinaNet, "FCOS": FCOS, "ATSS": ATSS,
                "SSD": SSD, "YOLOX": YOLOX, "YOLOV3": YOLOV3,
-               "CenterNet": CenterNet}[mtype]
+               "CenterNet": CenterNet, "GFL": GFL, "FSAF": FSAF,
+               "FOVEA": FoveaBox, "YOLOF": YOLOF,
+               "RepPointsDetector": RepPoints, "VFNet": VFNet,
+               "SparseRCNN": SparseRCNN,
+               "DeformableDETR": DeformableDETR, "YOLACT": YOLACT,
+               "CornerNet": CornerNet, "AutoAssign": AutoAssign,
+               "NASFCOS": NASFCOS}[mtype]
+        if mtype == "SparseRCNN":
+            for extra in ("num_proposals", "num_dii_stages"):
+                if extra in model_cfg:
+                    kw[extra] = model_cfg[extra]
         if mtype == "SSD":
             kw["input_size"] = model_cfg.get("input_size", 300)
         elif mtype == "YOLOX":
@@ -61,4 +86,31 @@ def build_detector(model_cfg: dict):
         from iif_tpu.detection.cascade import CascadeMaskRCNN
 
         return CascadeMaskRCNN(**kw), DetTrainCfg, DetTestCfg
+    if mtype == "HybridTaskCascade":
+        from iif_tpu.detection.htc import HTC
+
+        return HTC(**kw), DetTrainCfg, DetTestCfg
+    if mtype == "PointRend":
+        from iif_tpu.detection.point_rend import PointRend
+
+        return PointRend(**kw), DetTrainCfg, DetTestCfg
+    if mtype == "PanopticFPN":
+        from iif_tpu.detection.panoptic import PanopticFPN
+
+        return PanopticFPN(**kw), DetTrainCfg, DetTestCfg
+    if mtype == "RPN":
+        from iif_tpu.detection.rpn_detector import RPNDetector
+
+        for k in ("cls_predictor", "mask_predictor", "with_mask"):
+            kw.pop(k, None)
+        return RPNDetector(**kw), DetTrainCfg, DetTestCfg
+    # MaskRCNN variants (reference faster_rcnn.py / fast_rcnn.py /
+    # mask_scoring_rcnn.py are all TwoStageDetector configs)
+    if mtype == "FasterRCNN":
+        kw["with_mask"] = False
+    elif mtype == "FastRCNN":
+        kw.setdefault("with_mask", False)
+        kw["with_rpn"] = False
+    elif mtype == "MaskScoringRCNN":
+        kw["with_mask_iou"] = True
     return MaskRCNN(**kw), DetTrainCfg, DetTestCfg

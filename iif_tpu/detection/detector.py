@@ -78,12 +78,23 @@ def resolve_gt_masks(batch: Dict[str, jnp.ndarray], mask_width: int
 class MaskRCNN(nn.Module):
     num_classes: int = 1203
     depth: int = 50
-    # 'resnet' (the IIF configs) or 'swin-t'/'swin-s'/'swin-b'
+    # 'resnet' (the IIF configs), 'swin-t'/'swin-s'/'swin-b'
     # (reference configs/swin/mask_rcnn_swin-*; drop_path defaults to 0
     # here — enabling it needs a 'dropout' rng the two-stage loss does
-    # not thread)
+    # not thread), 'res2net', 'regnetx-*', 'hrnet-w18/w32/w40'
+    # (configs/hrnet — pairs with neck_type='hrfpn'), 'mobilenet_v2'
     backbone_type: str = "resnet"
+    # 'fpn' | 'pafpn' (configs/pafpn) | 'nasfpn' (configs/nas_fpn) |
+    # 'hrfpn' (HRNetV2p) | 'bfp' (Libra R-CNN: FPN + balanced refine)
+    neck_type: str = "fpn"
     with_mask: bool = True
+    # MaskScoringRCNN (reference mask_scoring_rcnn.py +
+    # mask_scoring_roi_head.py): adds the MaskIoUHead and its MSE loss,
+    # and at inference multiplies det scores by the predicted mask IoU
+    with_mask_iou: bool = False
+    # FastRCNN (reference fast_rcnn.py): no RPN — proposals arrive
+    # precomputed via batch['proposals']/'proposals_valid'
+    with_rpn: bool = True
     cls_predictor: str = "linear"     # 'linear' | 'normed' (cos-norm head)
     mask_predictor: str = "conv"      # 'conv' | 'normed'
     # NormedLinear/NormedConv2d temperatures: the reference FASA configs use
@@ -127,6 +138,37 @@ class MaskRCNN(nn.Module):
                                    norm_eval=self.norm_eval,
                                    dtype=self.compute_dtype,
                                    name="backbone")
+        elif self.backbone_type.startswith("hrnet"):
+            # reference configs/hrnet/*_hrnetv2p_w{18,32,40}_*
+            from iif_tpu.models.hrnet import HRNet
+
+            self.backbone = HRNet(width=int(self.backbone_type[7:]),
+                                  norm_eval=self.norm_eval,
+                                  dtype=self.compute_dtype,
+                                  name="backbone")
+        elif self.backbone_type == "mobilenet_v2":
+            from iif_tpu.models.mobilenet_v2 import MobileNetV2
+
+            self.backbone = MobileNetV2(norm_eval=self.norm_eval,
+                                        dtype=self.compute_dtype,
+                                        name="backbone")
+        elif self.backbone_type.startswith("pvt"):
+            # reference configs/pvt/retinanet_pvt-t_fpn_1x_coco.py etc.
+            from iif_tpu.models.pvt import PVT
+
+            self.backbone = PVT(arch=self.backbone_type.split("-")[1],
+                                norm_eval=self.norm_eval,
+                                dtype=self.compute_dtype,
+                                name="backbone")
+        elif self.backbone_type == "resnest":
+            # reference configs/resnest/*-s50 family
+            from iif_tpu.models.resnest import ResNeSt
+
+            self.backbone = ResNeSt(depth=self.depth,
+                                    frozen_stages=self.frozen_stages,
+                                    norm_eval=self.norm_eval,
+                                    dtype=self.compute_dtype,
+                                    name="backbone")
         else:
             layers, block = _DEPTH_LAYERS[self.depth]
             self.backbone = ResNet(layers=layers, block=block,
@@ -135,26 +177,63 @@ class MaskRCNN(nn.Module):
                                    remat=self.backbone_remat,
                                    dtype=self.compute_dtype,
                                    name="backbone")
-        neck_cls = nn.remat(FPN) if self.backbone_remat else FPN
-        self.neck = neck_cls(out_channels=256, num_outs=5,
-                             dtype=self.compute_dtype, name="neck")
-        self.rpn_head = RPNHead(num_anchors=3, dtype=self.compute_dtype,
-                                name="rpn_head")
+        if self.neck_type == "pafpn":
+            from iif_tpu.detection.necks import PAFPN
+
+            self.neck = PAFPN(out_channels=256, num_outs=5,
+                              dtype=self.compute_dtype, name="neck")
+        elif self.neck_type == "nasfpn":
+            from iif_tpu.detection.necks import NASFPN
+
+            self.neck = NASFPN(out_channels=256, num_outs=5,
+                               dtype=self.compute_dtype, name="neck")
+        elif self.neck_type == "hrfpn":
+            from iif_tpu.detection.necks import HRFPN
+
+            self.neck = HRFPN(out_channels=256, num_outs=5,
+                              dtype=self.compute_dtype, name="neck")
+        elif self.neck_type == "bfp":
+            from iif_tpu.detection.necks import BFP
+
+            fpn_cls = nn.remat(FPN) if self.backbone_remat else FPN
+            self.neck_fpn = fpn_cls(out_channels=256, num_outs=5,
+                                    dtype=self.compute_dtype,
+                                    name="neck_fpn")
+            self.neck_bfp = BFP(out_channels=256, name="neck")
+        else:
+            neck_cls = nn.remat(FPN) if self.backbone_remat else FPN
+            self.neck = neck_cls(out_channels=256, num_outs=5,
+                                 dtype=self.compute_dtype, name="neck")
+        if self.with_rpn:
+            self.rpn_head = RPNHead(num_anchors=3,
+                                    dtype=self.compute_dtype,
+                                    name="rpn_head")
         self.bbox_head = Shared2FCBBoxHead(
             self.num_classes, cls_predictor=self.cls_predictor,
             cls_temperature=self.cls_temperature,
             iif_weights=self.iif_weights, cls_init=tuple(self.cls_init),
             name="bbox_head")
-        if self.with_mask:
+        if self.with_mask and self._with_fcn_mask_head():
             self.mask_head = FCNMaskHead(
                 self.num_classes, predictor=self.mask_predictor,
                 temperature=self.mask_temperature,
                 name="mask_head")
+        if self.with_mask_iou:
+            from iif_tpu.detection.mask_head import MaskIoUHead
+
+            self.mask_iou_head = MaskIoUHead(self.num_classes,
+                                             name="mask_iou_head")
+
+    def _with_fcn_mask_head(self) -> bool:
+        """PointRend overrides to replace the FCN branch."""
+        return True
 
     # ----------------------------------------------------------- sub-passes
     def extract_feat(self, images: jnp.ndarray, train: bool = False):
         feats = self.backbone(normalize_if_uint8(images), train=train,
                               return_features=True)
+        if self.neck_type == "bfp":
+            return self.neck_bfp(self.neck_fpn(feats))
         return self.neck(feats)
 
     def forward_rpn(self, fpn_feats):
@@ -172,16 +251,22 @@ class MaskRCNN(nn.Module):
     def forward_mask_for_labels(self, roi_feats, labels):
         return self.mask_head.logits_for_labels(roi_feats, labels)
 
+    def forward_mask_iou(self, mask_feats, mask_pred):
+        return self.mask_iou_head(mask_feats, mask_pred)
+
     def __call__(self, images: jnp.ndarray, train: bool = False):
         """Init/trace path touching every submodule."""
         feats = self.extract_feat(images, train=train)
-        rpn_out = self.rpn_head(feats)
+        rpn_out = self.rpn_head(feats) if self.with_rpn else None
         c = feats[0].shape[-1]
         dummy7 = jnp.zeros((1, 7, 7, c), feats[0].dtype)
         bbox_out = self.bbox_head(dummy7)
-        if self.with_mask:
+        if self.with_mask and self._with_fcn_mask_head():
             dummy14 = jnp.zeros((1, 14, 14, c), feats[0].dtype)
             self.mask_head(dummy14)
+            if self.with_mask_iou:
+                dummy28 = jnp.zeros((1, 28, 28), feats[0].dtype)
+                self.mask_iou_head(dummy14, dummy28)
         return rpn_out, bbox_out
 
 
@@ -274,27 +359,35 @@ def maskrcnn_loss(
         variables, images, True, method=MaskRCNN.extract_feat,
         mutable=["batch_stats"])
     feats = gather_spatial(feats, mesh)
-    cls_scores, bbox_preds = model.apply(
-        variables, feats, method=MaskRCNN.forward_rpn)
 
-    gen = make_anchor_generator()
-    shapes = fpn_shapes((img_h, img_w))
-    anchors_np = gen.grid_anchors(shapes)
-    anchors = jnp.asarray(np.concatenate(anchors_np, axis=0))
-    valid = jnp.asarray(np.concatenate(
-        gen.valid_flags(shapes, (img_h, img_w)), axis=0))
+    if model.with_rpn:
+        cls_scores, bbox_preds = model.apply(
+            variables, feats, method=MaskRCNN.forward_rpn)
 
-    l_rpn_cls, l_rpn_bbox = rpn_loss(
-        cls_scores, bbox_preds, anchors, valid, batch["gt_boxes"],
-        batch["gt_valid"], k_rpn, num_samples=cfg.rpn_num_samples,
-        pos_fraction=cfg.rpn_pos_fraction)
+        gen = make_anchor_generator()
+        shapes = fpn_shapes((img_h, img_w))
+        anchors_np = gen.grid_anchors(shapes)
+        anchors = jnp.asarray(np.concatenate(anchors_np, axis=0))
+        valid = jnp.asarray(np.concatenate(
+            gen.valid_flags(shapes, (img_h, img_w)), axis=0))
 
-    proposals, prop_scores, prop_valid = rpn_proposals(
-        [jax.lax.stop_gradient(s) for s in cls_scores],
-        [jax.lax.stop_gradient(d) for d in bbox_preds],
-        [jnp.asarray(a) for a in anchors_np], (img_h, img_w),
-        nms_pre=cfg.rpn_nms_pre, max_per_img=cfg.rpn_max_per_img,
-        nms_iou=cfg.rpn_nms_iou)
+        l_rpn_cls, l_rpn_bbox = rpn_loss(
+            cls_scores, bbox_preds, anchors, valid, batch["gt_boxes"],
+            batch["gt_valid"], k_rpn, num_samples=cfg.rpn_num_samples,
+            pos_fraction=cfg.rpn_pos_fraction)
+
+        proposals, prop_scores, prop_valid = rpn_proposals(
+            [jax.lax.stop_gradient(s) for s in cls_scores],
+            [jax.lax.stop_gradient(d) for d in bbox_preds],
+            [jnp.asarray(a) for a in anchors_np], (img_h, img_w),
+            nms_pre=cfg.rpn_nms_pre, max_per_img=cfg.rpn_max_per_img,
+            nms_iou=cfg.rpn_nms_iou)
+    else:
+        # FastRCNN (fast_rcnn.py): precomputed proposals ride the batch
+        proposals = batch["proposals"]
+        prop_valid = batch.get(
+            "proposals_valid",
+            jnp.ones(proposals.shape[:2], bool))
 
     tgts = bbox_targets(
         k_rcnn, proposals, prop_valid, batch["gt_boxes"],
@@ -317,8 +410,10 @@ def maskrcnn_loss(
     l_cls, l_bbox = bbox_head_loss(
         cls_score, bbox_pred, tgts, loss_cls, model.num_classes)
 
-    losses = {"loss_rpn_cls": l_rpn_cls, "loss_rpn_bbox": l_rpn_bbox,
-              "loss_cls": l_cls, "loss_bbox": l_bbox}
+    losses = {"loss_cls": l_cls, "loss_bbox": l_bbox}
+    if model.with_rpn:
+        losses["loss_rpn_cls"] = l_rpn_cls
+        losses["loss_rpn_bbox"] = l_rpn_bbox
 
     aux: Dict[str, Any] = {}
     if fasa_state is not None:
@@ -339,7 +434,21 @@ def maskrcnn_loss(
                 loss_aug_weight=fcfg.get("loss_aug_weight", 0.1))
         aux["fasa_state"] = fasa_state
 
-    if model.with_mask:
+    if model.with_mask and not model._with_fcn_mask_head():
+        # PointRend mask branch: coarse 7x7 FC mask + uncertainty-point
+        # refinement losses (point_rend.py)
+        from iif_tpu.detection.point_rend import point_rend_mask_loss
+
+        m = cfg.num_mask_rois
+        pos_rois5 = rois5.reshape(b, r, 5)[:, :m].reshape(-1, 5)
+        losses.update(point_rend_mask_loss(
+            model, variables, feats, pos_rois5,
+            tgts.labels[:, :m].reshape(-1),
+            tgts.pos_gt_inds[:, :m].reshape(-1),
+            tgts.bbox_weights[:, :m].reshape(-1),
+            resolve_gt_masks(batch, img_w // cfg.mask_gt_stride),
+            k_fasa, gt_stride=cfg.mask_gt_stride))
+    elif model.with_mask:
         # positives live in the leading slots of each image's slate
         m = cfg.num_mask_rois
         pos_rois5 = rois5.reshape(b, r, 5)[:, :m].reshape(-1, 5)
@@ -355,12 +464,42 @@ def maskrcnn_loss(
         mask_pred = model.apply(
             variables, mask_feats, cls_idx,
             method=MaskRCNN.forward_mask_for_labels)
+        gt_masks_dec = resolve_gt_masks(batch, img_w // cfg.mask_gt_stride)
         mask_tgt = mask_targets(
-            pos_rois5, pos_gt,
-            resolve_gt_masks(batch, img_w // cfg.mask_gt_stride),
+            pos_rois5, pos_gt, gt_masks_dec,
             cfg.mask_size, gt_stride=cfg.mask_gt_stride)
         losses["loss_mask"] = mask_head_loss(
             mask_pred, mask_tgt, pos_labels, pos_w)
+
+        if model.with_mask_iou:
+            from iif_tpu.detection.mask_head import (
+                mask_area_ratio,
+                mask_iou_head_loss,
+                mask_iou_targets,
+            )
+
+            # no detach in the reference: the IoU loss backprops into
+            # the mask head through the sigmoid input too
+            iou_pred = model.apply(
+                variables, mask_feats, mask_pred,
+                method=MaskRCNN.forward_mask_iou)
+            pos_iou_pred = jnp.take_along_axis(
+                iou_pred, cls_idx[:, None], axis=1)[:, 0]
+            ratios = mask_area_ratio(pos_rois5, pos_gt, gt_masks_dec,
+                                     gt_stride=cfg.mask_gt_stride)
+            iou_tgt = mask_iou_targets(
+                jax.lax.stop_gradient(mask_pred), mask_tgt, ratios)
+            losses["loss_mask_iou"] = mask_iou_head_loss(
+                pos_iou_pred, iou_tgt, pos_w)
+
+    if getattr(model, "num_stuff_classes", None) is not None \
+            and "gt_semantic_seg" in batch:
+        # PanopticFPN stuff branch (panoptic.py; reference
+        # configs/panoptic_fpn loss_seg weight 0.5)
+        from iif_tpu.detection.panoptic import panoptic_semantic_loss
+
+        losses["loss_seg"] = 0.5 * panoptic_semantic_loss(
+            model, variables, feats, batch["gt_semantic_seg"])
 
     total = sum(losses.values())
     aux["batch_stats"] = mutated.get("batch_stats", {})
@@ -374,6 +513,8 @@ def maskrcnn_simple_test(
     loss_cls,
     cfg: DetTestCfg = DetTestCfg(),
     scale_factor: Optional[jnp.ndarray] = None,
+    proposals: Optional[jnp.ndarray] = None,       # FastRCNN: (B, P, 4)
+    proposals_valid: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Inference: returns fixed-shape per-image detections
     (boxes (B,K,4), scores (B,K), labels (B,K), valid (B,K),
@@ -381,15 +522,20 @@ def maskrcnn_simple_test(
     b, img_h, img_w, _ = images.shape
     feats = model.apply(variables, images, False,
                         method=MaskRCNN.extract_feat)
-    cls_scores, bbox_preds = model.apply(
-        variables, feats, method=MaskRCNN.forward_rpn)
+    if model.with_rpn:
+        cls_scores, bbox_preds = model.apply(
+            variables, feats, method=MaskRCNN.forward_rpn)
 
-    gen = make_anchor_generator()
-    anchors_np = gen.grid_anchors(fpn_shapes((img_h, img_w)))
-    proposals, _, prop_valid = rpn_proposals(
-        cls_scores, bbox_preds, [jnp.asarray(a) for a in anchors_np],
-        (img_h, img_w), nms_pre=cfg.rpn_nms_pre,
-        max_per_img=cfg.rpn_max_per_img, nms_iou=cfg.rpn_nms_iou)
+        gen = make_anchor_generator()
+        anchors_np = gen.grid_anchors(fpn_shapes((img_h, img_w)))
+        proposals, _, prop_valid = rpn_proposals(
+            cls_scores, bbox_preds, [jnp.asarray(a) for a in anchors_np],
+            (img_h, img_w), nms_pre=cfg.rpn_nms_pre,
+            max_per_img=cfg.rpn_max_per_img, nms_iou=cfg.rpn_nms_iou)
+    else:
+        assert proposals is not None, "FastRCNN needs precomputed proposals"
+        prop_valid = (proposals_valid if proposals_valid is not None
+                      else jnp.ones(proposals.shape[:2], bool))
 
     p = proposals.shape[1]
     batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.float32), p)
@@ -421,7 +567,20 @@ def maskrcnn_simple_test(
     out = {"boxes": dets, "scores": scores, "labels": labels,
            "valid": det_valid}
 
-    if model.with_mask:
+    if model.with_mask and not model._with_fcn_mask_head():
+        from iif_tpu.detection.point_rend import point_rend_refine_masks
+
+        k = dets.shape[1]
+        batch_idx2 = jnp.repeat(jnp.arange(b, dtype=jnp.float32), k)
+        det_rois = jnp.concatenate(
+            [batch_idx2[:, None], dets.reshape(-1, 4)], axis=1)
+        logits = point_rend_refine_masks(
+            model, variables, feats, det_rois,
+            labels.reshape(-1),
+            subdivision_steps=getattr(cfg, "subdivision_steps", 5))
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        out["masks"] = probs.reshape(b, k, *probs.shape[1:])
+    elif model.with_mask:
         k = dets.shape[1]
         batch_idx2 = jnp.repeat(jnp.arange(b, dtype=jnp.float32), k)
         det_rois = jnp.concatenate(
@@ -434,6 +593,14 @@ def maskrcnn_simple_test(
                           method=MaskRCNN.forward_mask_for_labels)
         probs = jax.nn.sigmoid(sel.astype(jnp.float32))
         out["masks"] = probs.reshape(b, k, *probs.shape[1:])
+        if model.with_mask_iou:
+            # Mask Scoring inference (mask_scoring_roi_head.py
+            # get_mask_scores): segm score = det score * predicted IoU
+            iou_pred = model.apply(variables, mfeats, sel,
+                                   method=MaskRCNN.forward_mask_iou)
+            sel_iou = jnp.take_along_axis(
+                iou_pred, cls_idx[:, None], axis=1)[:, 0].reshape(b, k)
+            out["mask_scores"] = out["scores"] * sel_iou
 
     if scale_factor is not None:
         out["boxes"] = out["boxes"] / scale_factor[:, None, :]

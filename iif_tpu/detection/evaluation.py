@@ -245,6 +245,12 @@ class DetEvaluator:
                  ) -> Dict[str, float]:
         if iou_type == "segm":
             self._gt_segms_to_rle()
+            # Mask Scoring R-CNN: segm records carry a dedicated
+            # 'mask_score' (det score x predicted mask IoU) — mmdet's
+            # segm2json uses it as the segm score when present
+            if any("mask_score" in d for d in detections):
+                detections = [dict(d, score=d.get("mask_score", d["score"]))
+                              for d in detections]
         dt_by_img_cat: Dict[Tuple, List[dict]] = defaultdict(list)
         for d in detections:
             dt_by_img_cat[(d["image_id"], d["category_id"])].append(d)
@@ -369,6 +375,7 @@ def detections_to_coco_results(
     valid: np.ndarray,        # (B, K)
     cat_ids: Sequence[int],
     masks: Optional[Sequence] = None,   # (B, K) of RLE dicts (optional)
+    mask_scores: Optional[np.ndarray] = None,  # (B, K) MS-RCNN segm scores
 ) -> List[dict]:
     """Fixed-shape device outputs -> COCO results-json records
     (``results2json`` equivalent)."""
@@ -391,5 +398,7 @@ def detections_to_coco_results(
                 # pycocotools computes dt area from the MASK for segm
                 # eval's area-range ignore logic, not from the box
                 rec["area"] = mask_area(masks[b][k])
+                if mask_scores is not None:
+                    rec["mask_score"] = float(mask_scores[b, k])
             out.append(rec)
     return out

@@ -98,6 +98,111 @@ class FCNMaskHead(nn.Module):
         return out
 
 
+class MaskIoUHead(nn.Module):
+    """Mask-IoU regressor of Mask Scoring R-CNN (reference
+    ``mmdet/models/roi_heads/mask_heads/maskiou_head.py:13-96``): the
+    sigmoid mask prediction is 2x2-max-pooled and concatenated onto the
+    14x14 RoI features as an extra channel, then 4 convs (last stride 2)
+    -> 2 FCs -> per-class mask-IoU scores."""
+
+    num_classes: int
+    num_convs: int = 4
+    num_fcs: int = 2
+    conv_out_channels: int = 256
+    fc_out_channels: int = 1024
+
+    @nn.compact
+    def __call__(self, mask_feat: jnp.ndarray,    # (R, 14, 14, C)
+                 mask_pred: jnp.ndarray           # (R, 28, 28) logits
+                 ) -> jnp.ndarray:                # (R, num_classes)
+        p = jax.nn.sigmoid(mask_pred.astype(jnp.float32))[..., None]
+        pooled = nn.max_pool(p, (2, 2), strides=(2, 2))
+        x = jnp.concatenate([mask_feat,
+                             pooled.astype(mask_feat.dtype)], axis=-1)
+        for i in range(self.num_convs):
+            stride = 2 if i == self.num_convs - 1 else 1
+            x = nn.relu(nn.Conv(
+                self.conv_out_channels, (3, 3), strides=(stride, stride),
+                padding=1,
+                kernel_init=nn.initializers.variance_scaling(
+                    2.0, "fan_out", "normal"),
+                name=f"conv{i}")(x))
+        x = x.reshape(x.shape[0], -1)
+        for i in range(self.num_fcs):
+            x = nn.relu(nn.Dense(
+                self.fc_out_channels,
+                kernel_init=nn.initializers.variance_scaling(
+                    1.0, "fan_in", "uniform"),
+                name=f"fc{i}")(x))
+        return nn.Dense(self.num_classes,
+                        kernel_init=nn.initializers.normal(0.01),
+                        name="fc_mask_iou")(x)
+
+
+def mask_area_ratio(
+    pos_rois: jnp.ndarray,     # (R, 5) batch-indexed rois
+    pos_gt_inds: jnp.ndarray,  # (R,)
+    gt_masks: jnp.ndarray,     # (B, G, H/s, W/s)
+    gt_stride: int = 1,
+) -> jnp.ndarray:
+    """Per-RoI ratio of the matched GT mask's area inside the (integer)
+    box to its whole-instance area (``maskiou_head.py:147-171``
+    ``_get_area_ratio`` with ``BitmapMasks.crop``'s int32-truncate +
+    clamp box semantics). Returns (R,)."""
+    b, g, h, w = gt_masks.shape
+    sel = gt_masks.reshape(b * g, h, w)[
+        pos_rois[:, 0].astype(jnp.int32) * g + pos_gt_inds]
+    sel = sel.astype(jnp.bfloat16)
+    scale = 1.0 / gt_stride
+    box = (pos_rois[:, 1:] * scale).astype(jnp.int32)  # trunc, crop coords
+    x1 = jnp.clip(box[:, 0], 0, w - 1)
+    y1 = jnp.clip(box[:, 1], 0, h - 1)
+    bw = jnp.clip(box[:, 2] - x1, 1, w - x1)
+    bh = jnp.clip(box[:, 3] - y1, 1, h - y1)
+    cols = jnp.arange(w)[None]
+    rows = jnp.arange(h)[None]
+    in_x = ((cols >= x1[:, None])
+            & (cols < (x1 + bw)[:, None])).astype(jnp.bfloat16)
+    in_y = ((rows >= y1[:, None])
+            & (rows < (y1 + bh)[:, None])).astype(jnp.bfloat16)
+    area_in = jnp.einsum("rhw,rh,rw->r", sel, in_y, in_x,
+                         preferred_element_type=jnp.float32)
+    area_full = jnp.einsum("rhw->r", sel.astype(jnp.float32))
+    return area_in / (area_full + 1e-7)
+
+
+def mask_iou_targets(
+    mask_pred: jnp.ndarray,    # (R, S, S) gt-class logits
+    mask_tgt: jnp.ndarray,     # (R, S, S) binary
+    area_ratios: jnp.ndarray,  # (R,) gt-in-box / whole-gt area
+    mask_thr_binary: float = 0.5,
+) -> jnp.ndarray:
+    """IoU between the binarized predicted mask and the whole GT instance
+    (``maskiou_head.py:97-146`` ``get_targets``): the intersection is
+    computed inside the box; the gt's full area extrapolates the in-box
+    target area through ``area_ratios``."""
+    pred = (jax.nn.sigmoid(mask_pred.astype(jnp.float32))
+            > mask_thr_binary).astype(jnp.float32)
+    pred_areas = pred.sum((-1, -2))
+    overlap = (pred * mask_tgt).sum((-1, -2))
+    gt_full = mask_tgt.sum((-1, -2)) / (area_ratios + 1e-7)
+    iou = overlap / jnp.maximum(pred_areas + gt_full - overlap, 1e-7)
+    return jnp.where(area_ratios > 0, iou, 0.0)
+
+
+def mask_iou_head_loss(
+    iou_pred: jnp.ndarray,     # (R,) predicted IoU for the gt class
+    iou_tgt: jnp.ndarray,      # (R,)
+    pos_weight: jnp.ndarray,   # (R,) 1 for real positives
+    loss_weight: float = 0.5,
+) -> jnp.ndarray:
+    """MSE on positives whose IoU target > 0 (``maskiou_head.py:88-96``,
+    loss_iou = MSELoss(loss_weight=0.5))."""
+    use = pos_weight * (iou_tgt > 0)
+    sq = (iou_pred.astype(jnp.float32) - iou_tgt) ** 2
+    return loss_weight * (sq * use).sum() / jnp.maximum(use.sum(), 1.0)
+
+
 def mask_targets(
     pos_rois: jnp.ndarray,     # (R, 5) batch-indexed rois (positives)
     pos_gt_inds: jnp.ndarray,  # (R,) matched gt index within image

@@ -73,3 +73,178 @@ class FPN(nn.Module):
                           dtype=self.dtype, name=f"extra_conv_{i}")(src)
             outs.append(src)
         return tuple(outs)
+
+
+class PAFPN(nn.Module):
+    """PAFPN (``mmdet/models/necks/pafpn.py``): FPN plus a bottom-up
+    path-aggregation pass — stride-2 3x3 downsample convs add the lower
+    output into the next level, then per-level 3x3 out convs."""
+    out_channels: int = 256
+    num_outs: int = 5
+    start_level: int = 0
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
+        inputs = list(inputs)[self.start_level:]
+        n_in = len(inputs)
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), kernel_init=xavier_uniform,
+                    dtype=self.dtype, name=f"lateral_{i}")(x)
+            for i, x in enumerate(inputs)]
+        for i in range(n_in - 1, 0, -1):
+            up = laterals[i]
+            th, tw = laterals[i - 1].shape[1:3]
+            up = jnp.repeat(jnp.repeat(up, 2, axis=1), 2, axis=2)[:, :th, :tw, :]
+            laterals[i - 1] = laterals[i - 1] + up
+        inter = [
+            nn.Conv(self.out_channels, (3, 3), padding=1,
+                    kernel_init=xavier_uniform, dtype=self.dtype,
+                    name=f"fpn_conv_{i}")(l)
+            for i, l in enumerate(laterals)]
+        # bottom-up path aggregation
+        for i in range(n_in - 1):
+            down = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                           padding=1, kernel_init=xavier_uniform,
+                           dtype=self.dtype,
+                           name=f"downsample_conv_{i}")(inter[i])
+            inter[i + 1] = inter[i + 1] + down
+        outs = [inter[0]] + [
+            nn.Conv(self.out_channels, (3, 3), padding=1,
+                    kernel_init=xavier_uniform, dtype=self.dtype,
+                    name=f"pafpn_conv_{i}")(inter[i])
+            for i in range(1, n_in)]
+        while len(outs) < self.num_outs:
+            outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
+        return tuple(outs)
+
+
+class BFP(nn.Module):
+    """Balanced Feature Pyramid of Libra R-CNN
+    (``mmdet/models/necks/bfp.py``, refine_type=None/'conv'): gather all
+    levels to the ``refine_level`` resolution, average, refine with a
+    3x3 conv, and scatter the residual back to every level."""
+    out_channels: int = 256
+    refine_level: int = 2
+    refine_type: str = "conv"    # None | 'conv' (non_local deferred)
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
+        n = len(inputs)
+        th, tw = inputs[self.refine_level].shape[1:3]
+        gathered = []
+        for i, x in enumerate(inputs):
+            if i < self.refine_level:
+                # adaptive max pool down
+                g = jax.image.resize(
+                    x, (x.shape[0], th, tw, x.shape[-1]), "bilinear")
+            elif i > self.refine_level:
+                g = jax.image.resize(
+                    x, (x.shape[0], th, tw, x.shape[-1]), "nearest")
+            else:
+                g = x
+            gathered.append(g)
+        bsf = sum(gathered) / n
+        if self.refine_type == "conv":
+            bsf = nn.Conv(self.out_channels, (3, 3), padding=1,
+                          kernel_init=xavier_uniform, name="refine")(bsf)
+        outs = []
+        for i, x in enumerate(inputs):
+            h, w = x.shape[1:3]
+            r = jax.image.resize(
+                bsf, (bsf.shape[0], h, w, bsf.shape[-1]),
+                "nearest" if i < self.refine_level else "bilinear")
+            outs.append(x + r)
+        return tuple(outs)
+
+
+class HRFPN(nn.Module):
+    """HRFPN for HRNetV2p (``mmdet/models/necks/hrfpn.py``): upsample
+    all branch maps to the highest resolution, concat, 1x1 reduce, then
+    avg-pool into ``num_outs`` strides with per-level 3x3 convs."""
+    out_channels: int = 256
+    num_outs: int = 5
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
+        th, tw = inputs[0].shape[1:3]
+        ups = [inputs[0]]
+        for x in inputs[1:]:
+            ups.append(jax.image.resize(
+                x, (x.shape[0], th, tw, x.shape[-1]), "bilinear"))
+        out = jnp.concatenate(ups, axis=-1)
+        out = nn.Conv(self.out_channels, (1, 1),
+                      kernel_init=xavier_uniform, dtype=self.dtype,
+                      name="reduction_conv")(out)
+        outs = []
+        for i in range(self.num_outs):
+            pooled = out if i == 0 else nn.avg_pool(
+                out, (2 ** i, 2 ** i), strides=(2 ** i, 2 ** i))
+            outs.append(nn.Conv(
+                self.out_channels, (3, 3), padding=1,
+                kernel_init=xavier_uniform, dtype=self.dtype,
+                name=f"fpn_conv_{i}")(pooled))
+        return tuple(outs)
+
+
+class NASFPN(nn.Module):
+    """NAS-FPN (``mmdet/models/necks/nas_fpn.py``): ``stack_times``
+    repetitions of the searched merging cell topology (GP = global
+    pooling attention merge, sum merge), each merge followed by
+    relu-conv-BN. Operates on 5 levels (P3-P7)."""
+    out_channels: int = 256
+    stack_times: int = 7
+    num_outs: int = 5
+    dtype: object = None
+
+    def _merge_gp(self, a, b):
+        """Global-pooling cell: b + sigmoid(GAP(a)) * resized(a)...
+        reference GPCell: gp(a) as attention on b."""
+        att = jax.nn.sigmoid(a.mean(axis=(1, 2), keepdims=True))
+        return a + att * b
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
+        def bn_conv(x, name):
+            x = nn.relu(x)
+            x = nn.Conv(self.out_channels, (3, 3), padding=1,
+                        kernel_init=xavier_uniform, dtype=self.dtype,
+                        name=f"{name}_conv")(x)
+            return nn.LayerNorm(name=f"{name}_ln")(x)
+
+        def to_shape(x, ref):
+            th, tw = ref.shape[1:3]
+            if x.shape[1] == th:
+                return x
+            if x.shape[1] > th:
+                k = x.shape[1] // th
+                return nn.max_pool(x, (k, k), strides=(k, k))
+            return jax.image.resize(
+                x, (x.shape[0], th, tw, x.shape[-1]), "nearest")
+
+        # lateral 1x1 to common width, pad to 5 levels by pooling
+        feats = [nn.Conv(self.out_channels, (1, 1),
+                         kernel_init=xavier_uniform, dtype=self.dtype,
+                         name=f"lateral_{i}")(x)
+                 for i, x in enumerate(inputs)]
+        while len(feats) < self.num_outs:
+            feats.append(nn.max_pool(feats[-1], (2, 2), strides=(2, 2)))
+
+        p3, p4, p5, p6, p7 = feats
+        for s in range(self.stack_times):
+            # the published NAS-FPN cell topology (nas_fpn.py forward)
+            p4_1 = bn_conv(self._merge_gp(to_shape(p6, p4), p4),
+                           f"s{s}_gp64_4")
+            p4_2 = bn_conv(to_shape(p4_1, p4) + p4, f"s{s}_sum44")
+            p3 = bn_conv(to_shape(p4_2, p3) + p3, f"s{s}_sum43_out")
+            p4 = bn_conv(to_shape(p3, p4_2) + p4_2, f"s{s}_sum34_out")
+            p5_tmp = self._merge_gp(to_shape(p4_2, p5),
+                                    to_shape(p3, p5))
+            p5 = bn_conv(p5_tmp + p5, f"s{s}_sum55_out")
+            p7_tmp = self._merge_gp(to_shape(p5, p7), to_shape(p4_2, p7))
+            p7 = bn_conv(p7_tmp + p7, f"s{s}_sum77_out")
+            p6 = bn_conv(self._merge_gp(to_shape(p7, p6),
+                                        to_shape(p5, p6)),
+                         f"s{s}_gp75_6")
+        return (p3, p4, p5, p6, p7)

@@ -570,11 +570,47 @@ def fcos_simple_test(
 def single_stage_loss_fn(model):
     """Dispatch used by ``DetectionTrainer``."""
     from iif_tpu.detection.atss import ATSS, atss_loss
+    from iif_tpu.detection.autoassign import AutoAssign, autoassign_loss
     from iif_tpu.detection.centernet import CenterNet, centernet_loss
+    from iif_tpu.detection.cornernet import CornerNet, cornernet_loss
+    from iif_tpu.detection.fovea import FoveaBox, fovea_loss
+    from iif_tpu.detection.fsaf import FSAF, fsaf_loss
+    from iif_tpu.detection.gfl import GFL, gfl_loss
+    from iif_tpu.detection.reppoints import RepPoints, reppoints_loss
+    from iif_tpu.detection.deformable_detr import (
+        DeformableDETR,
+        deformable_detr_loss,
+    )
+    from iif_tpu.detection.sparse_rcnn import SparseRCNN, sparse_rcnn_loss
     from iif_tpu.detection.ssd import SSD, ssd_loss
+    from iif_tpu.detection.vfnet import VFNet, vfnet_loss
+    from iif_tpu.detection.yolact import YOLACT, yolact_loss
+    from iif_tpu.detection.yolof import YOLOF, yolof_loss
     from iif_tpu.detection.yolov3 import YOLOV3, yolov3_loss
     from iif_tpu.detection.yolox import YOLOX, yolox_loss
 
+    if isinstance(model, YOLOF):
+        return yolof_loss
+    if isinstance(model, RepPoints):
+        return reppoints_loss
+    if isinstance(model, VFNet):
+        return vfnet_loss
+    if isinstance(model, SparseRCNN):
+        return sparse_rcnn_loss
+    if isinstance(model, DeformableDETR):
+        return deformable_detr_loss
+    if isinstance(model, YOLACT):
+        return yolact_loss
+    if isinstance(model, CornerNet):
+        return cornernet_loss
+    if isinstance(model, AutoAssign):
+        return autoassign_loss
+    if isinstance(model, GFL):
+        return gfl_loss
+    if isinstance(model, FSAF):
+        return fsaf_loss
+    if isinstance(model, FoveaBox):
+        return fovea_loss
     if isinstance(model, ATSS):
         return atss_loss
     if isinstance(model, SSD):
@@ -592,15 +628,60 @@ def single_stage_simple_test(model, variables, images,
                              cfg: SSTestCfg = SSTestCfg(),
                              scale_factor=None):
     from iif_tpu.detection.atss import ATSS, atss_simple_test
+    from iif_tpu.detection.autoassign import (
+        AutoAssign,
+        autoassign_simple_test,
+    )
     from iif_tpu.detection.centernet import (
         CenterNet,
         centernet_simple_test,
     )
+    from iif_tpu.detection.cornernet import (
+        CornerNet,
+        cornernet_simple_test,
+    )
+    from iif_tpu.detection.fovea import FoveaBox, fovea_simple_test
+    from iif_tpu.detection.fsaf import FSAF, fsaf_simple_test
+    from iif_tpu.detection.gfl import GFL, gfl_simple_test
+    from iif_tpu.detection.reppoints import RepPoints, reppoints_simple_test
+    from iif_tpu.detection.deformable_detr import (
+        DeformableDETR,
+        deformable_detr_simple_test,
+    )
+    from iif_tpu.detection.sparse_rcnn import (
+        SparseRCNN,
+        sparse_rcnn_simple_test,
+    )
     from iif_tpu.detection.ssd import SSD, ssd_simple_test
+    from iif_tpu.detection.vfnet import VFNet, vfnet_simple_test
+    from iif_tpu.detection.yolact import YOLACT, yolact_simple_test
+    from iif_tpu.detection.yolof import YOLOF, yolof_simple_test
     from iif_tpu.detection.yolov3 import YOLOV3, yolov3_simple_test
     from iif_tpu.detection.yolox import YOLOX, yolox_simple_test
 
-    if isinstance(model, ATSS):
+    if isinstance(model, YOLOF):
+        fn = yolof_simple_test
+    elif isinstance(model, RepPoints):
+        fn = reppoints_simple_test
+    elif isinstance(model, VFNet):
+        fn = vfnet_simple_test
+    elif isinstance(model, SparseRCNN):
+        fn = sparse_rcnn_simple_test
+    elif isinstance(model, DeformableDETR):
+        fn = deformable_detr_simple_test
+    elif isinstance(model, YOLACT):
+        fn = yolact_simple_test
+    elif isinstance(model, CornerNet):
+        fn = cornernet_simple_test
+    elif isinstance(model, AutoAssign):
+        fn = autoassign_simple_test
+    elif isinstance(model, GFL):
+        fn = gfl_simple_test
+    elif isinstance(model, FSAF):
+        fn = fsaf_simple_test
+    elif isinstance(model, FoveaBox):
+        fn = fovea_simple_test
+    elif isinstance(model, ATSS):
         fn = atss_simple_test
     elif isinstance(model, SSD):
         fn = ssd_simple_test

@@ -63,13 +63,18 @@ class DetectionTrainer:
         grad_accum: int = 1,
     ):
         from iif_tpu.detection.detr import DETR
+        from iif_tpu.detection.rpn_detector import RPNDetector
         from iif_tpu.detection.single_stage import _SingleStageBase
+
+        from iif_tpu.detection.htc import HTC
 
         self.model = model
         self.loss_cls = loss_cls
+        self.is_htc = isinstance(model, HTC)
         self.is_cascade = isinstance(model, CascadeMaskRCNN)
         self.is_single_stage = isinstance(model, _SingleStageBase)
         self.is_detr = isinstance(model, DETR)
+        self.is_rpn_only = isinstance(model, RPNDetector)
         # cascade stages share one loss object unless per-stage losses are
         # given (the reference builds one FasaIIFLoss per stage from the
         # same CSV — identical weights, so sharing is equivalent)
@@ -153,6 +158,17 @@ class DetectionTrainer:
 
                 total, losses, aux = single_stage_loss_fn(self.model)(
                     self.model, variables, mb, key, self.train_cfg)
+            elif self.is_rpn_only:
+                from iif_tpu.detection.rpn_detector import rpn_only_loss
+
+                total, losses, aux = rpn_only_loss(
+                    self.model, variables, mb, key, self.train_cfg)
+            elif self.is_htc:
+                from iif_tpu.detection.htc import htc_loss
+
+                total, losses, aux = htc_loss(
+                    self.model, variables, mb, key, self.stage_losses,
+                    self.train_cfg)
             elif self.is_cascade:
                 total, losses, aux = cascade_loss(
                     self.model, variables, mb, key, self.stage_losses,
@@ -257,7 +273,8 @@ class DetectionTrainer:
                                       total=total, sink=_sink):
             feed = {k: v for k, v in batch.items()
                     if k in ("image", "gt_boxes", "gt_labels", "gt_valid",
-                             "gt_masks", "gt_masks_packed")}
+                             "gt_masks", "gt_masks_packed",
+                             "proposals", "proposals_valid")}
             gbatch = shard_batch(feed, self.mesh)
             state, metrics = self._train_step(
                 state, gbatch, fasa_aug_on=(state.fasa is not None

@@ -471,3 +471,154 @@ def grid_assign_t(anchors, responsible, gt_bboxes, pos_iou_thr=0.5,
                 & responsible.bool()
             assigned_gt_inds[max_iou_inds] = i + 1
     return assigned_gt_inds
+
+
+def center_region_assign_t(bboxes, gt_bboxes, gt_labels,
+                           pos_scale=0.2, neg_scale=0.2, min_pos_iof=0.01):
+    """The FSAF CenterRegionAssigner
+    (``mmdet/core/bbox/assigners/center_region_assigner.py:72-336``)
+    lifted in its torch idiom. Returns (assigned_gt_inds (N,) 1-based /
+    0=bg, shadowed (N, 2) [anchor, 1-based gt] pairs) BEFORE the
+    label-override step (which fsaf tests apply separately)."""
+    def scale_boxes(b, s):
+        w_half = (b[:, 2] - b[:, 0]) * .5 * s
+        h_half = (b[:, 3] - b[:, 1]) * .5 * s
+        xc = (b[:, 2] + b[:, 0]) * .5
+        yc = (b[:, 3] + b[:, 1]) * .5
+        return torch.stack([xc - w_half, yc - h_half,
+                            xc + w_half, yc + h_half], dim=1)
+
+    def iof(a, b):
+        lt = torch.max(a[:, None, :2], b[None, :, :2])
+        rb = torch.min(a[:, None, 2:], b[None, :, 2:])
+        wh = (rb - lt).clamp(min=0)
+        inter = wh[..., 0] * wh[..., 1]
+        area = ((a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1]))[:, None]
+        return inter / area.clamp(min=1e-6)
+
+    gt_core = scale_boxes(gt_bboxes, pos_scale)
+    gt_shadow = scale_boxes(gt_bboxes, neg_scale)
+    centers = (bboxes[:, 2:4] + bboxes[:, 0:2]) / 2
+    is_in_gt = ((centers[:, 0:1] > gt_bboxes[None, :, 0])
+                & (centers[:, 0:1] < gt_bboxes[None, :, 2])
+                & (centers[:, 1:2] > gt_bboxes[None, :, 1])
+                & (centers[:, 1:2] < gt_bboxes[None, :, 3]))
+    in_core = is_in_gt & (iof(bboxes, gt_core) > min_pos_iof)
+    in_shadow = (iof(bboxes, gt_shadow) > min_pos_iof) & ~in_core
+
+    n, g = in_core.shape
+    areas = (gt_bboxes[:, 2] - gt_bboxes[:, 0]) \
+        * (gt_bboxes[:, 3] - gt_bboxes[:, 1])
+    _, sort_idx = areas.sort(descending=True)
+    gt_priority = sort_idx.argsort()          # bigger = smaller area
+
+    assigned = torch.zeros(n, dtype=torch.long)
+    shadowed = torch.nonzero(in_shadow, as_tuple=False)
+    if in_core.sum() > 0:
+        pair_priority = in_core.new_full((n, g), -1, dtype=torch.long)
+        matched = in_core.any(dim=1)
+        matched_gt = torch.nonzero(in_core, as_tuple=False)[:, 1]
+        pair_priority[in_core] = gt_priority[matched_gt]
+        _, argmax_p = pair_priority[matched].max(dim=1)
+        assigned[matched] = argmax_p + 1
+        core2 = in_core.clone()
+        core2[matched, argmax_p] = False
+        shadowed = torch.cat(
+            [shadowed, torch.nonzero(core2, as_tuple=False)], dim=0)
+    if shadowed.numel() > 0:
+        shadowed = shadowed.clone()
+        shadowed[:, 1] += 1
+    return assigned, shadowed
+
+
+def fovea_targets_t(gt_bboxes_raw, gt_labels_raw, featmap_size, stride,
+                    base_len, scale_range, num_classes, sigma=0.4):
+    """One level of the FoveaBox target painter
+    (``mmdet/models/dense_heads/fovea_head.py:207-266``) lifted verbatim
+    (descending-area overwrite loop). Returns (labels (H, W),
+    log-bbox-targets (H, W, 4))."""
+    h, w = featmap_size
+    y, x = torch.meshgrid(torch.arange(h).float() + 0.5,
+                          torch.arange(w).float() + 0.5)
+    gt_areas = torch.sqrt((gt_bboxes_raw[:, 2] - gt_bboxes_raw[:, 0])
+                          * (gt_bboxes_raw[:, 3] - gt_bboxes_raw[:, 1]))
+    labels = gt_labels_raw.new_zeros((h, w)) + num_classes
+    bbox_targets = gt_bboxes_raw.new_ones((h, w, 4))
+    lower, upper = scale_range
+    hit = ((gt_areas >= lower) & (gt_areas <= upper)).nonzero().flatten()
+    if len(hit) == 0:
+        return labels, torch.log(bbox_targets)
+    _, order = torch.sort(-gt_areas[hit])
+    hit = hit[order]
+    gt = gt_bboxes_raw[hit, :] / stride
+    gl = gt_labels_raw[hit]
+    half_w = 0.5 * (gt[:, 2] - gt[:, 0])
+    half_h = 0.5 * (gt[:, 3] - gt[:, 1])
+    pl = torch.ceil(gt[:, 0] + (1 - sigma) * half_w - 0.5).long() \
+        .clamp(0, w - 1)
+    pr = torch.floor(gt[:, 0] + (1 + sigma) * half_w - 0.5).long() \
+        .clamp(0, w - 1)
+    pt = torch.ceil(gt[:, 1] + (1 - sigma) * half_h - 0.5).long() \
+        .clamp(0, h - 1)
+    pd = torch.floor(gt[:, 1] + (1 + sigma) * half_h - 0.5).long() \
+        .clamp(0, h - 1)
+    for px1, py1, px2, py2, label, (gx1, gy1, gx2, gy2) in zip(
+            pl, pt, pr, pd, gl, gt_bboxes_raw[hit, :]):
+        labels[py1:py2 + 1, px1:px2 + 1] = label
+        bbox_targets[py1:py2 + 1, px1:px2 + 1, 0] = \
+            (stride * x[py1:py2 + 1, px1:px2 + 1] - gx1) / base_len
+        bbox_targets[py1:py2 + 1, px1:px2 + 1, 1] = \
+            (stride * y[py1:py2 + 1, px1:px2 + 1] - gy1) / base_len
+        bbox_targets[py1:py2 + 1, px1:px2 + 1, 2] = \
+            (gx2 - stride * x[py1:py2 + 1, px1:px2 + 1]) / base_len
+        bbox_targets[py1:py2 + 1, px1:px2 + 1, 3] = \
+            (gy2 - stride * y[py1:py2 + 1, px1:px2 + 1]) / base_len
+    bbox_targets = bbox_targets.clamp(min=1. / 16, max=16.)
+    return labels, torch.log(bbox_targets)
+
+
+def uniform_assign_t(bbox_pred, anchor, gt_bboxes,
+                     match_times=4, pos_ignore_thr=0.15,
+                     neg_ignore_thr=0.7):
+    """The YOLOF UniformAssigner
+    (``mmdet/core/bbox/assigners/uniform_assigner.py:36-140``) lifted in
+    its torch idiom. Returns (assigned_gt_inds (N,) {-1,0,i+1},
+    pos_idx (M,) bool, indexes (M,), pos_gt_index (M,))."""
+    def cxcywh(b):
+        return torch.stack([(b[:, 0] + b[:, 2]) / 2,
+                            (b[:, 1] + b[:, 3]) / 2,
+                            b[:, 2] - b[:, 0],
+                            b[:, 3] - b[:, 1]], dim=-1)
+
+    def iou_mat(a, b):
+        lt = torch.max(a[:, None, :2], b[None, :, :2])
+        rb = torch.min(a[:, None, 2:], b[None, :, 2:])
+        wh = (rb - lt).clamp(min=0)
+        inter = wh[..., 0] * wh[..., 1]
+        aa = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+        ab = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        return inter / (aa[:, None] + ab[None] - inter).clamp(min=1e-6)
+
+    num_bboxes = bbox_pred.size(0)
+    assigned_gt_inds = bbox_pred.new_full((num_bboxes,), 0,
+                                          dtype=torch.long)
+    cost = torch.cdist(cxcywh(bbox_pred), cxcywh(gt_bboxes), p=1)
+    cost_a = torch.cdist(cxcywh(anchor), cxcywh(gt_bboxes), p=1)
+    index = torch.topk(cost, k=match_times, dim=0, largest=False)[1]
+    index1 = torch.topk(cost_a, k=match_times, dim=0, largest=False)[1]
+    indexes = torch.cat((index, index1), dim=1).reshape(-1)
+
+    pred_overlaps = iou_mat(bbox_pred, gt_bboxes)
+    anchor_overlaps = iou_mat(anchor, gt_bboxes)
+    pred_max_overlaps, _ = pred_overlaps.max(dim=1)
+
+    ignore_idx = pred_max_overlaps > neg_ignore_thr
+    assigned_gt_inds[ignore_idx] = -1
+
+    pos_gt_index = torch.arange(0, cost_a.size(1)).repeat(match_times * 2)
+    pos_ious = anchor_overlaps[indexes, pos_gt_index]
+    pos_ignore_idx = pos_ious < pos_ignore_thr
+    pos_gt_index_with_ignore = pos_gt_index + 1
+    pos_gt_index_with_ignore[pos_ignore_idx] = -1
+    assigned_gt_inds[indexes] = pos_gt_index_with_ignore
+    return assigned_gt_inds, ~pos_ignore_idx, indexes, pos_gt_index
