@@ -61,9 +61,13 @@ def run_inference(model, variables, loader, loss_cls, test_cfg, cat_ids,
             model, v, img, test_cfg))
     elif isinstance(model, CascadeMaskRCNN):
         from iif_tpu.detection.htc import HTC, htc_simple_test
+        from iif_tpu.detection.scnet import SCNet, scnet_simple_test
 
         if isinstance(model, HTC):
             run = jax.jit(lambda v, img: htc_simple_test(
+                model, v, img, [loss_cls] * model.num_stages, test_cfg))
+        elif isinstance(model, SCNet):
+            run = jax.jit(lambda v, img: scnet_simple_test(
                 model, v, img, [loss_cls] * model.num_stages, test_cfg))
         else:
             run = jax.jit(lambda v, img: cascade_simple_test(
@@ -73,8 +77,15 @@ def run_inference(model, variables, loader, loss_cls, test_cfg, cat_ids,
             RPNDetector,
             rpn_only_simple_test,
         )
+        from iif_tpu.detection.trident import (
+            TridentFasterRCNN,
+            trident_simple_test,
+        )
 
-        if isinstance(model, RPNDetector):
+        if isinstance(model, TridentFasterRCNN):
+            run = jax.jit(lambda v, img: trident_simple_test(
+                model, v, img, loss_cls, test_cfg))
+        elif isinstance(model, RPNDetector):
             run = jax.jit(lambda v, img: rpn_only_simple_test(
                 model, v, img, test_cfg))
         else:

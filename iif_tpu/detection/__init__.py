@@ -36,10 +36,11 @@ def build_detector(model_cfg: dict):
                  "CenterNet", "GFL", "FSAF", "FOVEA", "YOLOF",
                  "RepPointsDetector", "VFNet", "SparseRCNN",
                  "DeformableDETR", "YOLACT", "CornerNet", "AutoAssign",
-                 "NASFCOS"):
+                 "NASFCOS", "PAA"):
         from iif_tpu.detection.atss import ATSS
         from iif_tpu.detection.autoassign import AutoAssign
         from iif_tpu.detection.nasfcos import NASFCOS
+        from iif_tpu.detection.paa import PAA
         from iif_tpu.detection.centernet import CenterNet
         from iif_tpu.detection.cornernet import CornerNet
         from iif_tpu.detection.fovea import FoveaBox
@@ -71,7 +72,7 @@ def build_detector(model_cfg: dict):
                "SparseRCNN": SparseRCNN,
                "DeformableDETR": DeformableDETR, "YOLACT": YOLACT,
                "CornerNet": CornerNet, "AutoAssign": AutoAssign,
-               "NASFCOS": NASFCOS}[mtype]
+               "NASFCOS": NASFCOS, "PAA": PAA}[mtype]
         if mtype == "SparseRCNN":
             for extra in ("num_proposals", "num_dii_stages"):
                 if extra in model_cfg:
@@ -98,6 +99,26 @@ def build_detector(model_cfg: dict):
         from iif_tpu.detection.panoptic import PanopticFPN
 
         return PanopticFPN(**kw), DetTrainCfg, DetTestCfg
+    if mtype == "TridentFasterRCNN":
+        from iif_tpu.detection.trident import TridentFasterRCNN
+
+        for k in ("cls_predictor", "mask_predictor"):
+            kw.pop(k, None)
+        kw.setdefault("with_mask", False)
+        return TridentFasterRCNN(**kw), DetTrainCfg, DetTestCfg
+    if mtype == "DetectoRS":
+        from iif_tpu.detection.detectors_rs import DetectoRS
+
+        return DetectoRS(**kw), DetTrainCfg, DetTestCfg
+    if mtype == "SCNet":
+        from iif_tpu.detection.scnet import SCNet
+
+        return SCNet(**kw), DetTrainCfg, DetTestCfg
+    if mtype == "GridRCNN":
+        from iif_tpu.detection.grid_rcnn import GridRCNN
+
+        kw.setdefault("with_mask", False)
+        return GridRCNN(**kw), DetTrainCfg, DetTestCfg
     if mtype == "RPN":
         from iif_tpu.detection.rpn_detector import RPNDetector
 

@@ -52,6 +52,8 @@ STAGE_WEIGHTS = (1.0, 0.5, 0.25)
 class CascadeMaskRCNN(nn.Module):
     num_classes: int = 1203
     depth: int = 101
+    # 'resnet' | 'detectors' (DetectoRS SAC backbone, detectors_rs.py)
+    backbone_type: str = "resnet"
     num_stages: int = 3
     with_mask: bool = True
     cls_predictor: str = "linear"
@@ -73,12 +75,21 @@ class CascadeMaskRCNN(nn.Module):
     stage_weights: tuple = STAGE_WEIGHTS
 
     def setup(self):
-        layers, block = _DEPTH_LAYERS[self.depth]
-        self.backbone = ResNet(layers=layers, block=block,
-                               frozen_stages=self.frozen_stages,
-                               norm_eval=self.norm_eval,
-                               remat=self.backbone_remat,
-                               dtype=self.compute_dtype, name="backbone")
+        if self.backbone_type == "detectors":
+            from iif_tpu.models.detectors_resnet import DetectoRSResNet
+
+            self.backbone = DetectoRSResNet(
+                depth=self.depth, frozen_stages=self.frozen_stages,
+                norm_eval=self.norm_eval, dtype=self.compute_dtype,
+                name="backbone")
+        else:
+            layers, block = _DEPTH_LAYERS[self.depth]
+            self.backbone = ResNet(layers=layers, block=block,
+                                   frozen_stages=self.frozen_stages,
+                                   norm_eval=self.norm_eval,
+                                   remat=self.backbone_remat,
+                                   dtype=self.compute_dtype,
+                                   name="backbone")
         neck_cls = nn.remat(FPN) if self.backbone_remat else FPN
         self.neck = neck_cls(out_channels=256, num_outs=5,
                              dtype=self.compute_dtype, name="neck")
@@ -171,7 +182,7 @@ def cascade_loss(
     keys = jax.random.split(key, 2 * model.num_stages + 1)
 
     feats, mutated = model.apply(
-        variables, images, True, method=CascadeMaskRCNN.extract_feat,
+        variables, images, True, method="extract_feat",
         mutable=["batch_stats"])
     feats = gather_spatial(feats, mesh)
     cls_scores, bbox_preds = model.apply(
@@ -303,7 +314,7 @@ def cascade_simple_test(
 ) -> Dict[str, jnp.ndarray]:
     b, img_h, img_w, _ = images.shape
     feats = model.apply(variables, images, False,
-                        method=CascadeMaskRCNN.extract_feat)
+                        method="extract_feat")
     cls_scores, bbox_preds = model.apply(
         variables, feats, method=CascadeMaskRCNN.forward_rpn)
     gen = make_anchor_generator()

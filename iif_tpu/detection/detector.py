@@ -356,7 +356,7 @@ def maskrcnn_loss(
     k_rpn, k_rcnn, k_fasa = jax.random.split(key, 3)
 
     feats, mutated = model.apply(
-        variables, images, True, method=MaskRCNN.extract_feat,
+        variables, images, True, method="extract_feat",
         mutable=["batch_stats"])
     feats = gather_spatial(feats, mesh)
 
@@ -492,6 +492,20 @@ def maskrcnn_loss(
             losses["loss_mask_iou"] = mask_iou_head_loss(
                 pos_iou_pred, iou_tgt, pos_w)
 
+    if getattr(model, "with_grid", False):
+        # Grid R-CNN branch (grid_rcnn.py): jittered positives -> 9-point
+        # heatmaps, sigmoid CE x15 (fused + unfused)
+        from iif_tpu.detection.grid_rcnn import grid_loss
+
+        m = cfg.num_mask_rois
+        pos_rois5 = rois5.reshape(b, r, 5)[:, :m].reshape(-1, 5)
+        pos_gt = tgts.pos_gt_inds[:, :m].reshape(-1)
+        img_of = jnp.repeat(jnp.arange(b), m)
+        gt_of = batch["gt_boxes"][img_of, pos_gt]
+        losses["loss_grid"] = grid_loss(
+            model, variables, feats, pos_rois5, gt_of,
+            tgts.bbox_weights[:, :m].reshape(-1), k_fasa, (img_h, img_w))
+
     if getattr(model, "num_stuff_classes", None) is not None \
             and "gt_semantic_seg" in batch:
         # PanopticFPN stuff branch (panoptic.py; reference
@@ -521,7 +535,7 @@ def maskrcnn_simple_test(
     masks (B,K,28,28) probabilities for the predicted class)."""
     b, img_h, img_w, _ = images.shape
     feats = model.apply(variables, images, False,
-                        method=MaskRCNN.extract_feat)
+                        method="extract_feat")
     if model.with_rpn:
         cls_scores, bbox_preds = model.apply(
             variables, feats, method=MaskRCNN.forward_rpn)
@@ -566,6 +580,28 @@ def maskrcnn_simple_test(
 
     out = {"boxes": dets, "scores": scores, "labels": labels,
            "valid": det_valid}
+
+    if getattr(model, "with_grid", False):
+        # Grid R-CNN inference: heatmap boundary voting refines boxes
+        # (grid_roi_head.py simple_test)
+        from iif_tpu.detection.grid_rcnn import (
+            GridRCNN,
+            grid_refine_boxes,
+        )
+
+        k = dets.shape[1]
+        bidx = jnp.repeat(jnp.arange(b, dtype=jnp.float32), k)
+        det_rois = jnp.concatenate(
+            [bidx[:, None], dets.reshape(-1, 4)], axis=1)
+        g_ext = SingleRoIExtractor((14, 14))
+        gfeats = g_ext(feats[:4], det_rois)
+        fused, _ = model.apply(variables, gfeats, False,
+                               method=GridRCNN.forward_grid)
+        refined = grid_refine_boxes(fused, dets.reshape(-1, 4),
+                                    (img_h, img_w)).reshape(b, k, 4)
+        out["boxes"] = jnp.where(det_valid[..., None], refined,
+                                 out["boxes"])
+        dets = out["boxes"]
 
     if model.with_mask and not model._with_fcn_mask_head():
         from iif_tpu.detection.point_rend import point_rend_refine_masks

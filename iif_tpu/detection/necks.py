@@ -248,3 +248,67 @@ class NASFPN(nn.Module):
                                         to_shape(p5, p6)),
                          f"s{s}_gp75_6")
         return (p3, p4, p5, p6, p7)
+
+
+class CARAFEPack(nn.Module):
+    """mmcv ``CARAFEPack`` (the kernel-prediction wrapper around the
+    CARAFE CUDA op): 1x1 channel compressor (64) -> content encoder
+    conv producing scale^2 * k_up^2 kernel logits -> pixel shuffle to
+    the upsampled grid -> per-position softmax -> content-aware
+    reassembly (``iif_tpu.ops.deform.carafe_upsample``)."""
+    up_kernel: int = 5
+    encoder_kernel: int = 3
+    compressed_channels: int = 64
+    scale: int = 2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from iif_tpu.ops.deform import carafe_upsample
+
+        b, h, w, c = x.shape
+        k2 = self.up_kernel * self.up_kernel
+        s2 = self.scale * self.scale
+        comp = nn.Conv(self.compressed_channels, (1, 1),
+                       kernel_init=xavier_uniform,
+                       name="channel_compressor")(x)
+        logits = nn.Conv(k2 * s2, (self.encoder_kernel,) * 2,
+                         padding=self.encoder_kernel // 2,
+                         kernel_init=nn.initializers.normal(0.001),
+                         name="content_encoder")(comp)
+        # pixel shuffle (B, H, W, s*s*k2) -> (B, sH, sW, k2)
+        logits = logits.reshape(b, h, w, self.scale, self.scale, k2)
+        logits = logits.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, h * self.scale, w * self.scale, k2)
+        masks = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return carafe_upsample(x, masks, self.up_kernel, self.scale)
+
+
+class FPNCarafe(nn.Module):
+    """FPN_CARAFE (``mmdet/models/necks/fpn_carafe.py``, config
+    ``configs/carafe``): the FPN top-down pathway with CARAFE
+    content-aware upsampling in place of nearest-neighbor."""
+    out_channels: int = 256
+    num_outs: int = 5
+    start_level: int = 0
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
+        inputs = list(inputs)[self.start_level:]
+        n_in = len(inputs)
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), kernel_init=xavier_uniform,
+                    dtype=self.dtype, name=f"lateral_{i}")(x)
+            for i, x in enumerate(inputs)]
+        for i in range(n_in - 1, 0, -1):
+            up = CARAFEPack(name=f"carafe_{i}")(laterals[i])
+            th, tw = laterals[i - 1].shape[1:3]
+            laterals[i - 1] = laterals[i - 1] + up[:, :th, :tw, :]
+        outs = [
+            nn.Conv(self.out_channels, (3, 3), padding=1,
+                    kernel_init=xavier_uniform, dtype=self.dtype,
+                    name=f"fpn_conv_{i}")(l)
+            for i, l in enumerate(laterals)]
+        while len(outs) < self.num_outs:
+            outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
+        return tuple(outs)

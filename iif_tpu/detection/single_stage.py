@@ -576,6 +576,7 @@ def single_stage_loss_fn(model):
     from iif_tpu.detection.fovea import FoveaBox, fovea_loss
     from iif_tpu.detection.fsaf import FSAF, fsaf_loss
     from iif_tpu.detection.gfl import GFL, gfl_loss
+    from iif_tpu.detection.paa import PAA, paa_loss
     from iif_tpu.detection.reppoints import RepPoints, reppoints_loss
     from iif_tpu.detection.deformable_detr import (
         DeformableDETR,
@@ -605,6 +606,8 @@ def single_stage_loss_fn(model):
         return cornernet_loss
     if isinstance(model, AutoAssign):
         return autoassign_loss
+    if isinstance(model, PAA):
+        return paa_loss
     if isinstance(model, GFL):
         return gfl_loss
     if isinstance(model, FSAF):
@@ -643,6 +646,7 @@ def single_stage_simple_test(model, variables, images,
     from iif_tpu.detection.fovea import FoveaBox, fovea_simple_test
     from iif_tpu.detection.fsaf import FSAF, fsaf_simple_test
     from iif_tpu.detection.gfl import GFL, gfl_simple_test
+    from iif_tpu.detection.paa import PAA, paa_simple_test
     from iif_tpu.detection.reppoints import RepPoints, reppoints_simple_test
     from iif_tpu.detection.deformable_detr import (
         DeformableDETR,
@@ -675,6 +679,8 @@ def single_stage_simple_test(model, variables, images,
         fn = cornernet_simple_test
     elif isinstance(model, AutoAssign):
         fn = autoassign_simple_test
+    elif isinstance(model, PAA):
+        fn = paa_simple_test
     elif isinstance(model, GFL):
         fn = gfl_simple_test
     elif isinstance(model, FSAF):

@@ -65,16 +65,20 @@ class DetectionTrainer:
         from iif_tpu.detection.detr import DETR
         from iif_tpu.detection.rpn_detector import RPNDetector
         from iif_tpu.detection.single_stage import _SingleStageBase
+        from iif_tpu.detection.trident import TridentFasterRCNN
 
         from iif_tpu.detection.htc import HTC
+        from iif_tpu.detection.scnet import SCNet
 
         self.model = model
         self.loss_cls = loss_cls
         self.is_htc = isinstance(model, HTC)
+        self.is_scnet = isinstance(model, SCNet)
         self.is_cascade = isinstance(model, CascadeMaskRCNN)
         self.is_single_stage = isinstance(model, _SingleStageBase)
         self.is_detr = isinstance(model, DETR)
         self.is_rpn_only = isinstance(model, RPNDetector)
+        self.is_trident = isinstance(model, TridentFasterRCNN)
         # cascade stages share one loss object unless per-stage losses are
         # given (the reference builds one FasaIIFLoss per stage from the
         # same CSV — identical weights, so sharing is equivalent)
@@ -163,10 +167,22 @@ class DetectionTrainer:
 
                 total, losses, aux = rpn_only_loss(
                     self.model, variables, mb, key, self.train_cfg)
+            elif self.is_trident:
+                from iif_tpu.detection.trident import trident_loss
+
+                total, losses, aux = trident_loss(
+                    self.model, variables, mb, key, self.loss_cls,
+                    self.train_cfg)
             elif self.is_htc:
                 from iif_tpu.detection.htc import htc_loss
 
                 total, losses, aux = htc_loss(
+                    self.model, variables, mb, key, self.stage_losses,
+                    self.train_cfg)
+            elif self.is_scnet:
+                from iif_tpu.detection.scnet import scnet_loss
+
+                total, losses, aux = scnet_loss(
                     self.model, variables, mb, key, self.stage_losses,
                     self.train_cfg)
             elif self.is_cascade:

@@ -181,3 +181,26 @@ def ms_deform_attention(
         wts = attn_weights[:, :, :, lvl][..., None]
         out = out + (taps.astype(jnp.float32) * wts).sum(3)
     return out.reshape(b, q, heads * dim_h)
+
+
+def carafe_upsample(x: jnp.ndarray,        # (B, H, W, C)
+                    masks: jnp.ndarray,    # (B, sH, sW, k*k) softmaxed
+                    up_kernel: int = 5,
+                    scale: int = 2) -> jnp.ndarray:   # (B, sH, sW, C)
+    """CARAFE content-aware reassembly (the mmcv ``CARAFEPack`` CUDA
+    op's core, SURVEY §2.4; call site ``mmdet/models/necks/fpn_carafe``):
+    each upsampled pixel is a predicted-kernel weighted sum of the
+    ``up_kernel x up_kernel`` source neighborhood around its low-res
+    parent. TPU formulation: one conv_general_dilated_patches unfold +
+    a (k*k)-contraction einsum — both MXU/fusion friendly."""
+    b, h, w, c = x.shape
+    k = up_kernel
+    patches = jax.lax.conv_general_dilated_patches(
+        x, (k, k), (1, 1), [(k // 2, k // 2), (k // 2, k // 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))   # (B, H, W, C*k*k)
+    patches = patches.reshape(b, h, w, c, k * k)
+    # nearest-upsample the patches to output res (each output pixel's
+    # neighborhood is its low-res parent's)
+    patches = jnp.repeat(jnp.repeat(patches, scale, 1), scale, 2)
+    return jnp.einsum("bhwck,bhwk->bhwc", patches,
+                      masks.astype(patches.dtype))
