@@ -1,5 +1,7 @@
 """On-TPU detector-family overfit validation (every single-stage-CLI
-family: RetinaNet / FCOS / ATSS / YOLOX / YOLOV3 / CenterNet / DETR).
+family: RetinaNet / FCOS / ATSS / YOLOX / YOLOV3 / CenterNet / DETR /
+GFL / FSAF / FOVEA / YOLOF / RepPoints / VFNet / SparseRCNN /
+DeformableDETR / AutoAssign / NASFCOS / PAA).
 
 Same harness as ``overfit_cascade.py``: synthetic bright-square COCO
 dataset on disk, smoke-scale config, N epochs through the real train
@@ -23,11 +25,18 @@ def write_config(root, ann_path, epochs, batch, mtype):
         "RetinaNet": "gamma=2.0, alpha=0.25",
         "FCOS": "gamma=2.0, alpha=0.25, center_sampling=False",
         "ATSS": "gamma=2.0, alpha=0.25",
+        "GFL": "gamma=2.0, alpha=0.25",
+        "FSAF": "gamma=2.0, alpha=0.25",
+        "PAA": "gamma=2.0, alpha=0.25",
     }.get(mtype, "")
     model_extra = {
         "YOLOX": ', deepen=0.33, widen=0.5',
         "DETR": ', num_query=20',
         "CenterNet": ', norm_eval=False',
+        "SparseRCNN": ', num_proposals=20, num_dii_stages=2',
+        "DeformableDETR":
+            ', num_query=20, num_enc_layers=2, num_dec_layers=2',
+        "YOLOF": ', norm_eval=False',
     }.get(mtype, "")
     cfg = f'''
 model = dict(type="{mtype}", depth=18, num_classes=2, with_mask=False,
@@ -65,7 +74,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="RetinaNet",
                     choices=["RetinaNet", "FCOS", "ATSS", "YOLOX",
-                             "YOLOV3", "CenterNet", "DETR"])
+                             "YOLOV3", "CenterNet", "DETR", "GFL",
+                             "FSAF", "FOVEA", "YOLOF",
+                             "RepPointsDetector", "VFNet", "SparseRCNN",
+                             "DeformableDETR", "AutoAssign", "NASFCOS",
+                             "PAA"])
     ap.add_argument("--root", default="/tmp/retina_overfit")
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--batch", type=int, default=4)
