@@ -19,6 +19,6 @@ data = dict(
               img_prefix=data_root + "val2017/"),
 )
 pipeline = dict(scales=[(1333, 800)], mask_stride=1, canvas_buckets=False)
-optimizer = dict(opt="adamw", lr=1e-4, weight_decay=1e-4)
+optimizer = dict(type="adamw", lr=1e-4, weight_decay=1e-4)
 grad_clip = 0.1
 evaluation = dict(interval=10, metric=["bbox"])

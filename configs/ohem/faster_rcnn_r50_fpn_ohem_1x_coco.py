@@ -1,0 +1,24 @@
+# Faster R-CNN with OHEM proposal sampling (reference
+# mmdet/core/bbox/samplers/ohem_sampler.py; used by e.g.
+# configs/pascal_voc + various baselines with sampler type='OHEMSampler').
+_base_ = [
+    "../_base_/models/mask_rcnn_r50_fpn.py",
+    "../_base_/datasets/lvis_v1_instance.py",
+    "../_base_/schedules/schedule_1x.py",
+    "../_base_/default_runtime.py",
+]
+model = dict(type="FasterRCNN", with_mask=False)
+train_cfg = dict(rcnn_pos_sampler="ohem", rcnn_neg_sampler="ohem")
+data_root = "data/coco/"
+data = dict(
+    train=dict(type="CocoDataset",
+               ann_file=data_root + "annotations/instances_train2017.json",
+               img_prefix=data_root + "train2017/", oversample_thr=0.0),
+    val=dict(type="CocoDataset",
+             ann_file=data_root + "annotations/instances_val2017.json",
+             img_prefix=data_root + "val2017/"),
+    test=dict(type="CocoDataset",
+              ann_file=data_root + "annotations/instances_val2017.json",
+              img_prefix=data_root + "val2017/"),
+)
+evaluation = dict(interval=12, metric=["bbox"])

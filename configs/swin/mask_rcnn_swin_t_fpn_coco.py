@@ -20,5 +20,5 @@ data = dict(
               ann_file=data_root + "annotations/instances_val2017.json",
               img_prefix=data_root + "val2017/"),
 )
-optimizer = dict(opt="adamw", lr=1e-4, weight_decay=0.05)
+optimizer = dict(type="adamw", lr=1e-4, weight_decay=0.05)
 evaluation = dict(interval=12, metric=["bbox", "segm"])

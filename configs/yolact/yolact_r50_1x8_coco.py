@@ -12,4 +12,5 @@ _base_ = [
 model = dict(type="YOLACT", depth=50, num_classes=80, with_mask=True)
 pipeline = dict(scales=[(550, 550)], mask_stride=1, canvas_buckets=False)
 optimizer = dict(lr=0.001, momentum=0.9, weight_decay=0.0005)
-test_cfg = dict(nms_pre=1000, score_thr=0.05, nms_iou=0.5, max_per_img=100)
+train_cfg = dict(_delete_=True)
+test_cfg = dict(_delete_=True, nms_pre=1000, score_thr=0.05, nms_iou=0.5, max_per_img=100)

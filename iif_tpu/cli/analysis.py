@@ -291,6 +291,8 @@ def _test_robustness(args):
     num_classes = cfg.model["num_classes"]
     loss_cls = build_loss_cls(cfg.loss_cls, test_ds, num_classes)
     cfg.model.pop("pretrained_backbone", None)
+    if cfg.loss_cls.get("type") == "SeesawLoss":
+        cfg.model.setdefault("cls_channels", num_classes + 2)
     model_kw = model_kwargs_from_cfg(cfg.model)
     if cfg.model.get("type", "MaskRCNN") == "CascadeMaskRCNN":
         from iif_tpu.detection.cascade import CascadeMaskRCNN

@@ -82,9 +82,17 @@ def run_inference(model, variables, loader, loss_cls, test_cfg, cat_ids,
             trident_simple_test,
         )
 
+        from iif_tpu.detection.cascade_rpn import (
+            CascadeRPN,
+            cascade_rpn_simple_test,
+        )
+
         if isinstance(model, TridentFasterRCNN):
             run = jax.jit(lambda v, img: trident_simple_test(
                 model, v, img, loss_cls, test_cfg))
+        elif isinstance(model, CascadeRPN):
+            run = jax.jit(lambda v, img: cascade_rpn_simple_test(
+                model, v, img, test_cfg))
         elif isinstance(model, RPNDetector):
             run = jax.jit(lambda v, img: rpn_only_simple_test(
                 model, v, img, test_cfg))
@@ -221,6 +229,8 @@ def main():
     from iif_tpu.detection import build_detector
 
     cfg.model.pop("pretrained_backbone", None)   # train-time only
+    if cfg.loss_cls.get("type") == "SeesawLoss":
+        cfg.model.setdefault("cls_channels", num_classes + 2)
     if cfg.model.get("cls_predictor") == "iif_normed":
         cfg.model["iif_weights"] = tuple(
             float(x) for x in np.asarray(loss_cls.weights))

@@ -64,7 +64,17 @@ def build_loss_cls(cfg_loss: Dict[str, Any], dataset, num_classes: int):
             w = compute_det_iif_from_counts(counts, total, variant)
         assert len(w) == num_classes + 1, (len(w), num_classes)
         return DetIIFLoss(weights=jnp.asarray(w))
-    return DetCrossEntropyLoss(num_classes=num_classes)
+    if t == "SeesawLoss":
+        from iif_tpu.detection.losses_extra import SeesawLoss
+
+        return SeesawLoss(
+            cum_samples=jnp.zeros(num_classes + 1, jnp.float32),
+            p=cfg_loss.get("p", 0.8), q=cfg_loss.get("q", 2.0),
+            eps=cfg_loss.get("eps", 1e-2),
+            loss_weight=cfg_loss.get("loss_weight", 1.0))
+    return DetCrossEntropyLoss(num_classes=num_classes,
+                               use_sigmoid=cfg_loss.get("use_sigmoid",
+                                                        False))
 
 
 def fasa_train_fallback(loader, n_batches: int = 50):
@@ -153,6 +163,9 @@ def main():
     # ----------------------------------------------------------------- model
     from iif_tpu.detection import build_detector
 
+    if cfg.loss_cls.get("type") == "SeesawLoss":
+        # custom-cls-channels protocol: Seesaw's classifier emits C+2
+        cfg.model.setdefault("cls_channels", num_classes + 2)
     mtype = cfg.model.get("type", "MaskRCNN")
     pretrained_backbone = cfg.model.pop("pretrained_backbone", None)
     if cfg.model.get("cls_predictor") == "iif_normed":

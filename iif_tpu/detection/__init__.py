@@ -36,9 +36,13 @@ def build_detector(model_cfg: dict):
                  "CenterNet", "GFL", "FSAF", "FOVEA", "YOLOF",
                  "RepPointsDetector", "VFNet", "SparseRCNN",
                  "DeformableDETR", "YOLACT", "CornerNet", "AutoAssign",
-                 "NASFCOS", "PAA"):
+                 "NASFCOS", "PAA", "FreeAnchor", "GARetinaNet",
+                 "CentripetalNet"):
         from iif_tpu.detection.atss import ATSS
         from iif_tpu.detection.autoassign import AutoAssign
+        from iif_tpu.detection.centripetal import CentripetalNet
+        from iif_tpu.detection.free_anchor import FreeAnchor
+        from iif_tpu.detection.guided_anchor import GARetinaNet
         from iif_tpu.detection.nasfcos import NASFCOS
         from iif_tpu.detection.paa import PAA
         from iif_tpu.detection.centernet import CenterNet
@@ -72,7 +76,10 @@ def build_detector(model_cfg: dict):
                "SparseRCNN": SparseRCNN,
                "DeformableDETR": DeformableDETR, "YOLACT": YOLACT,
                "CornerNet": CornerNet, "AutoAssign": AutoAssign,
-               "NASFCOS": NASFCOS, "PAA": PAA}[mtype]
+               "NASFCOS": NASFCOS, "PAA": PAA,
+               "FreeAnchor": FreeAnchor,
+               "GARetinaNet": GARetinaNet,
+               "CentripetalNet": CentripetalNet}[mtype]
         if mtype == "SparseRCNN":
             for extra in ("num_proposals", "num_dii_stages"):
                 if extra in model_cfg:
@@ -125,6 +132,12 @@ def build_detector(model_cfg: dict):
         for k in ("cls_predictor", "mask_predictor", "with_mask"):
             kw.pop(k, None)
         return RPNDetector(**kw), DetTrainCfg, DetTestCfg
+    if mtype == "CascadeRPN":
+        from iif_tpu.detection.cascade_rpn import CascadeRPN
+
+        for k in ("cls_predictor", "mask_predictor", "with_mask"):
+            kw.pop(k, None)
+        return CascadeRPN(**kw), DetTrainCfg, DetTestCfg
     # MaskRCNN variants (reference faster_rcnn.py / fast_rcnn.py /
     # mask_scoring_rcnn.py are all TwoStageDetector configs)
     if mtype == "FasterRCNN":

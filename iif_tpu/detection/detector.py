@@ -108,75 +108,34 @@ class MaskRCNN(nn.Module):
     compute_dtype: object = None      # e.g. jnp.bfloat16 for backbone/FPN/RPN
     iif_weights: tuple = ()           # for cls_predictor='iif_normed'
     cls_init: tuple = ("normal", 0.01)  # fc_cls weight init (IIF: constant)
+    cls_channels: int = 0             # 0 -> C+1; SeesawLoss needs C+2
+    # 'shared2fc' | 'double' (Double-Head R-CNN, double_roi_head.py)
+    bbox_head_type: str = "shared2fc"
+    reg_roi_scale_factor: float = 1.3  # double head's reg-branch roi scale
+    # 'single' | 'groie' (generic_roi_extractor.py: all-level sum with
+    # shared pre-conv + attention post module; configs/groie)
+    roi_extractor_type: str = "single"
+    # per-stage deformable convs, e.g. ("", "dcn", "dcn", "dcn")
+    # (configs/dcn stage_with_dcn); 'dcnv2' for modulated
+    dcn: tuple = ()
+    # '' (BN trunk) | 'gn': GroupNorm(32) everywhere — backbone, neck,
+    # bbox convs, mask head (reference configs/gn 'gn-all',
+    # configs/scratch). conv_ws additionally weight-standardizes every
+    # trunk conv (configs/gn+ws 'gn_ws-all').
+    norm: str = ""
+    conv_ws: bool = False
+    # extra shared convs before the bbox fcs: the gn/gn+ws recipes use
+    # the 4conv1fc head (num_shared_convs=4, num_shared_fcs=1)
+    bbox_head_convs: int = 0
+    bbox_head_fcs: int = 2
 
     def setup(self):
-        if self.backbone_type.startswith("swin"):
-            from iif_tpu.models.swin import swin_b, swin_s, swin_t
-
-            ctor = {"swin-t": swin_t, "swin-s": swin_s,
-                    "swin-b": swin_b}[self.backbone_type]
-            self.backbone = ctor(drop_path_rate=0.0,
-                                 frozen_stages=self.frozen_stages,
-                                 dtype=self.compute_dtype,
-                                 name="backbone")
-        elif self.backbone_type == "res2net":
-            # reference configs/res2net/*_r2_101_fpn_*: Res2Net-101 26w4s
-            from iif_tpu.models.res2net import Res2Net
-
-            layers = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[self.depth]
-            self.backbone = Res2Net(layers=layers,
-                                    frozen_stages=self.frozen_stages,
-                                    norm_eval=self.norm_eval,
-                                    dtype=self.compute_dtype,
-                                    name="backbone")
-        elif self.backbone_type.startswith("regnetx"):
-            # reference configs/regnet/mask_rcnn_regnetx-*_fpn_*
-            from iif_tpu.models.regnet import RegNet
-
-            self.backbone = RegNet(arch=self.backbone_type,
-                                   frozen_stages=self.frozen_stages,
-                                   norm_eval=self.norm_eval,
-                                   dtype=self.compute_dtype,
-                                   name="backbone")
-        elif self.backbone_type.startswith("hrnet"):
-            # reference configs/hrnet/*_hrnetv2p_w{18,32,40}_*
-            from iif_tpu.models.hrnet import HRNet
-
-            self.backbone = HRNet(width=int(self.backbone_type[7:]),
-                                  norm_eval=self.norm_eval,
-                                  dtype=self.compute_dtype,
-                                  name="backbone")
-        elif self.backbone_type == "mobilenet_v2":
-            from iif_tpu.models.mobilenet_v2 import MobileNetV2
-
-            self.backbone = MobileNetV2(norm_eval=self.norm_eval,
-                                        dtype=self.compute_dtype,
-                                        name="backbone")
-        elif self.backbone_type.startswith("pvt"):
-            # reference configs/pvt/retinanet_pvt-t_fpn_1x_coco.py etc.
-            from iif_tpu.models.pvt import PVT
-
-            self.backbone = PVT(arch=self.backbone_type.split("-")[1],
-                                norm_eval=self.norm_eval,
-                                dtype=self.compute_dtype,
-                                name="backbone")
-        elif self.backbone_type == "resnest":
-            # reference configs/resnest/*-s50 family
-            from iif_tpu.models.resnest import ResNeSt
-
-            self.backbone = ResNeSt(depth=self.depth,
-                                    frozen_stages=self.frozen_stages,
-                                    norm_eval=self.norm_eval,
-                                    dtype=self.compute_dtype,
-                                    name="backbone")
-        else:
-            layers, block = _DEPTH_LAYERS[self.depth]
-            self.backbone = ResNet(layers=layers, block=block,
-                                   frozen_stages=self.frozen_stages,
-                                   norm_eval=self.norm_eval,
-                                   remat=self.backbone_remat,
-                                   dtype=self.compute_dtype,
-                                   name="backbone")
+        self.backbone = build_backbone(
+            self.backbone_type, depth=self.depth,
+            frozen_stages=self.frozen_stages, norm_eval=self.norm_eval,
+            remat=self.backbone_remat, dcn=tuple(self.dcn),
+            norm=self.norm, conv_ws=self.conv_ws,
+            dtype=self.compute_dtype)
         if self.neck_type == "pafpn":
             from iif_tpu.detection.necks import PAFPN
 
@@ -192,6 +151,11 @@ class MaskRCNN(nn.Module):
 
             self.neck = HRFPN(out_channels=256, num_outs=5,
                               dtype=self.compute_dtype, name="neck")
+        elif self.neck_type == "carafe":
+            from iif_tpu.detection.necks import FPNCarafe
+
+            self.neck = FPNCarafe(out_channels=256, num_outs=5,
+                                  dtype=self.compute_dtype, name="neck")
         elif self.neck_type == "bfp":
             from iif_tpu.detection.necks import BFP
 
@@ -203,26 +167,50 @@ class MaskRCNN(nn.Module):
         else:
             neck_cls = nn.remat(FPN) if self.backbone_remat else FPN
             self.neck = neck_cls(out_channels=256, num_outs=5,
+                                 norm=self.norm, conv_ws=self.conv_ws,
                                  dtype=self.compute_dtype, name="neck")
         if self.with_rpn:
             self.rpn_head = RPNHead(num_anchors=3,
                                     dtype=self.compute_dtype,
                                     name="rpn_head")
-        self.bbox_head = Shared2FCBBoxHead(
-            self.num_classes, cls_predictor=self.cls_predictor,
-            cls_temperature=self.cls_temperature,
-            iif_weights=self.iif_weights, cls_init=tuple(self.cls_init),
-            name="bbox_head")
+        if self.bbox_head_type == "double":
+            from iif_tpu.detection.bbox_head import DoubleConvFCBBoxHead
+
+            self.bbox_head = DoubleConvFCBBoxHead(
+                self.num_classes, name="bbox_head")
+        elif self.bbox_head_type == "sabl":
+            from iif_tpu.detection.sabl import SABLHead
+
+            self.bbox_head = SABLHead(self.num_classes, name="bbox_head")
+        else:
+            self.bbox_head = Shared2FCBBoxHead(
+                self.num_classes, cls_predictor=self.cls_predictor,
+                cls_temperature=self.cls_temperature,
+                iif_weights=self.iif_weights, cls_init=tuple(self.cls_init),
+                cls_channels=self.cls_channels,
+                num_shared_convs=self.bbox_head_convs,
+                num_shared_fcs=self.bbox_head_fcs,
+                norm=self.norm, conv_ws=self.conv_ws,
+                name="bbox_head")
         if self.with_mask and self._with_fcn_mask_head():
             self.mask_head = FCNMaskHead(
                 self.num_classes, predictor=self.mask_predictor,
                 temperature=self.mask_temperature,
+                norm=self.norm, conv_ws=self.conv_ws,
                 name="mask_head")
         if self.with_mask_iou:
             from iif_tpu.detection.mask_head import MaskIoUHead
 
             self.mask_iou_head = MaskIoUHead(self.num_classes,
                                              name="mask_iou_head")
+        if self.roi_extractor_type == "groie":
+            from iif_tpu.detection.roi_extractor import GenericRoIExtractor
+
+            self.groie_bbox = GenericRoIExtractor(output_size=7,
+                                                  name="groie_bbox")
+            if self.with_mask:
+                self.groie_mask = GenericRoIExtractor(output_size=14,
+                                                      name="groie_mask")
 
     def _with_fcn_mask_head(self) -> bool:
         """PointRend overrides to replace the FCN branch."""
@@ -242,6 +230,16 @@ class MaskRCNN(nn.Module):
     def forward_bbox(self, roi_feats):
         return self.bbox_head(roi_feats)
 
+    def forward_bbox_double(self, cls_feats, reg_feats,
+                            train: bool = False):
+        return self.bbox_head(cls_feats, reg_feats, train=train)
+
+    def forward_groie_bbox(self, feats, rois5):
+        return self.groie_bbox(feats, rois5)
+
+    def forward_groie_mask(self, feats, rois5):
+        return self.groie_mask(feats, rois5)
+
     def forward_cls_only(self, embedding):
         return self.bbox_head.cls_only(embedding)
 
@@ -259,8 +257,16 @@ class MaskRCNN(nn.Module):
         feats = self.extract_feat(images, train=train)
         rpn_out = self.rpn_head(feats) if self.with_rpn else None
         c = feats[0].shape[-1]
+        if self.roi_extractor_type == "groie":
+            dummy_rois = jnp.asarray([[0.0, 0.0, 0.0, 16.0, 16.0]])
+            self.groie_bbox(feats[:4], dummy_rois)
+            if self.with_mask:
+                self.groie_mask(feats[:4], dummy_rois)
         dummy7 = jnp.zeros((1, 7, 7, c), feats[0].dtype)
-        bbox_out = self.bbox_head(dummy7)
+        if self.bbox_head_type == "double":
+            bbox_out = self.bbox_head(dummy7, dummy7, train=train)
+        else:
+            bbox_out = self.bbox_head(dummy7)
         if self.with_mask and self._with_fcn_mask_head():
             dummy14 = jnp.zeros((1, 14, 14, c), feats[0].dtype)
             self.mask_head(dummy14)
@@ -284,6 +290,25 @@ class DetTrainCfg(NamedTuple):
     mask_gt_stride: int = 1          # gt masks stored at 1/s canvas res
     roi_ext: str = "flat"            # "flat" (XLA gather) | "ml" (Pallas
     #                                   multi-level DMA kernel, custom VJP)
+    rcnn_loss_bbox: str = "l1"       # 'l1' | 'smooth_l1' | 'balanced_l1'
+    # proposal sampler family (mmdet/core/bbox/samplers/): pos 'random' |
+    # 'instance_balanced' | 'ohem'; neg 'random' | 'iou_balanced' |
+    # 'ohem' | 'score_hlr'. sampler_cfg: (('floor_thr',-1.), ...) pairs.
+    rcnn_pos_sampler: str = "random"
+    rcnn_neg_sampler: str = "random"
+    rcnn_sampler_cfg: tuple = ()
+    # Dynamic R-CNN (dynamic_roi_head.py): adapt assigner IoU + SmoothL1
+    # beta from training statistics; implies rcnn_loss_bbox='smooth_l1'
+    rcnn_dynamic: bool = False
+    dynamic_iou_topk: int = 75
+    dynamic_beta_topk: int = 10
+    dynamic_interval: int = 100
+    dynamic_initial_iou: float = 0.4
+    dynamic_initial_beta: float = 1.0
+    # PISA (pisa_roi_head.py): (('k',2.),('bias',0.)) enables ISR-P
+    # label reweighting; (('k',1.),('bias',0.2)) enables the CARL loss
+    rcnn_isr: tuple = ()
+    rcnn_carl: tuple = ()
 
 
 class DetTestCfg(NamedTuple):
@@ -297,6 +322,66 @@ class DetTestCfg(NamedTuple):
     #                                   fwd-only, 1.75-2x) | "flat"
     nms_kind: str = "nms"            # "nms" (exact greedy) | "fast"
     #                                   (YOLACT fast NMS, bbox_nms.py:98)
+
+
+def build_backbone(backbone_type: str, depth: int = 50,
+                   frozen_stages: int = 1, norm_eval: bool = True,
+                   remat: bool = False, dcn: tuple = (),
+                   norm: str = "bn", conv_ws: bool = False,
+                   dtype=None, name: str = "backbone"):
+    """Backbone registry shared by every detector body (the reference's
+    ``build_backbone``, mmdet/models/builder.py): 'resnet' (+
+    'resnext<G>x<W>', configs/*x101*), 'swin-{t,s,b}', 'res2net'
+    (configs/res2net), 'regnetx_*' (configs/regnet), 'hrnet-w{18,32,40}'
+    (configs/hrnet), 'mobilenet_v2', 'pvt-{tiny,small,medium,large}'
+    (configs/pvt), 'resnest' (configs/resnest)."""
+    if backbone_type.startswith("swin"):
+        from iif_tpu.models.swin import swin_b, swin_s, swin_t
+
+        ctor = {"swin-t": swin_t, "swin-s": swin_s,
+                "swin-b": swin_b}[backbone_type]
+        return ctor(drop_path_rate=0.0, frozen_stages=frozen_stages,
+                    dtype=dtype, name=name)
+    if backbone_type == "res2net":
+        from iif_tpu.models.res2net import Res2Net
+
+        layers = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[depth]
+        return Res2Net(layers=layers, frozen_stages=frozen_stages,
+                       norm_eval=norm_eval, dtype=dtype, name=name)
+    if backbone_type.startswith("regnetx"):
+        from iif_tpu.models.regnet import RegNet
+
+        return RegNet(arch=backbone_type, frozen_stages=frozen_stages,
+                      norm_eval=norm_eval, dtype=dtype, name=name)
+    if backbone_type.startswith("hrnet"):
+        from iif_tpu.models.hrnet import HRNet
+
+        return HRNet(width=int(backbone_type[7:]), norm_eval=norm_eval,
+                     dtype=dtype, name=name)
+    if backbone_type == "mobilenet_v2":
+        from iif_tpu.models.mobilenet_v2 import MobileNetV2
+
+        return MobileNetV2(norm_eval=norm_eval, dtype=dtype, name=name)
+    if backbone_type.startswith("pvt"):
+        from iif_tpu.models.pvt import PVT
+
+        return PVT(arch=backbone_type.split("-")[1], norm_eval=norm_eval,
+                   dtype=dtype, name=name)
+    if backbone_type == "resnest":
+        from iif_tpu.models.resnest import ResNeSt
+
+        return ResNeSt(depth=depth, frozen_stages=frozen_stages,
+                       norm_eval=norm_eval, dtype=dtype, name=name)
+    groups, base_width = 1, 64
+    if backbone_type.startswith("resnext"):
+        g, w = backbone_type[len("resnext"):].split("x")
+        groups, base_width = int(g), int(w.rstrip("d"))
+    layers, block = _DEPTH_LAYERS[depth]
+    return ResNet(layers=layers, block=block, groups=groups,
+                  width_per_group=base_width, frozen_stages=frozen_stages,
+                  norm_eval=norm_eval, remat=remat,
+                  norm=norm or "bn", conv_ws=conv_ws,
+                  dcn_stages=tuple(dcn), dtype=dtype, name=name)
 
 
 def model_kwargs_from_cfg(model_cfg: Dict[str, Any]) -> Dict[str, Any]:
@@ -337,6 +422,7 @@ def maskrcnn_loss(
     cfg: DetTrainCfg = DetTrainCfg(),
     fasa_state=None,                # FasaState -> enables FASA
     fasa_cfg: Optional[Dict[str, float]] = None,
+    dynamic_state=None,             # DynamicRCNNState (cfg.rcnn_dynamic)
     epoch: int = 0,
     mesh=None,                      # Mesh with a 'spatial' axis -> the
     #                                 backbone runs on H-sharded canvases
@@ -389,11 +475,48 @@ def maskrcnn_loss(
             "proposals_valid",
             jnp.ones(proposals.shape[:2], bool))
 
+    cand_score = cand_pred = None
+    needs_cand = (cfg.rcnn_pos_sampler == "ohem"
+                  or cfg.rcnn_neg_sampler in ("ohem", "score_hlr"))
+    if needs_cand:
+        # OHEM / score-HLR score every candidate with a no-grad head
+        # forward first (ohem_sampler.py:31-50, score_hlr_sampler.py:131)
+        cand = jnp.concatenate([batch["gt_boxes"], proposals], axis=1)
+        nc = cand.shape[1]
+        cidx = jnp.repeat(jnp.arange(b, dtype=jnp.float32), nc)
+        crois5 = jnp.concatenate(
+            [cidx[:, None], cand.reshape(-1, 4)], axis=1)
+        cfeats = [jax.lax.stop_gradient(f) for f in feats[:4]]
+        c_ext = SingleRoIExtractor((7, 7), use_pallas=False)
+        c_roi_feats = c_ext(cfeats, crois5)
+        if model.bbox_head_type == "double":
+            c_reg = c_ext(cfeats, crois5,
+                          roi_scale_factor=model.reg_roi_scale_factor)
+            c_cls, c_pred, _ = model.apply(
+                variables, c_roi_feats, c_reg,
+                method=MaskRCNN.forward_bbox_double)
+        else:
+            c_cls, c_pred, _ = model.apply(
+                variables, c_roi_feats, method=MaskRCNN.forward_bbox)
+        cand_score = jax.lax.stop_gradient(c_cls).reshape(b, nc, -1)
+        cand_pred = jax.lax.stop_gradient(c_pred).reshape(b, nc, -1)
+
+    iou_kw = {}
+    if dynamic_state is not None:
+        # Dynamic R-CNN: the adaptive threshold drives the assigner
+        iou_kw = dict(pos_iou_thr=dynamic_state.iou_thr,
+                      neg_iou_thr=dynamic_state.iou_thr,
+                      min_pos_iou=dynamic_state.iou_thr)
     tgts = bbox_targets(
         k_rcnn, proposals, prop_valid, batch["gt_boxes"],
         batch["gt_labels"], batch["gt_valid"], model.num_classes,
         num_samples=cfg.rcnn_num_samples,
-        pos_fraction=cfg.rcnn_pos_fraction)
+        pos_fraction=cfg.rcnn_pos_fraction,
+        pos_sampler=cfg.rcnn_pos_sampler,
+        neg_sampler=cfg.rcnn_neg_sampler,
+        sampler_cfg=dict(cfg.rcnn_sampler_cfg),
+        cand_cls_score=cand_score, cand_bbox_pred=cand_pred,
+        loss_cls=loss_cls, **iou_kw)
 
     # flatten (B, R) rois into batch-indexed (B*R, 5)
     r = cfg.rcnn_num_samples
@@ -403,19 +526,157 @@ def maskrcnn_loss(
 
     ext_kind = "ml" if cfg.roi_ext == "ml" else False
     extractor = SingleRoIExtractor((7, 7), use_pallas=ext_kind)
-    roi_feats = extractor(feats[:4], rois5)
-    cls_score, bbox_pred, embedding = model.apply(
-        variables, roi_feats, method=MaskRCNN.forward_bbox)
+    if model.roi_extractor_type == "groie":
+        roi_feats = model.apply(variables, feats[:4], rois5,
+                                method=MaskRCNN.forward_groie_bbox)
+    else:
+        roi_feats = extractor(feats[:4], rois5)
+    if model.bbox_head_type == "double":
+        # two-stream head with BN: thread the already-mutated stats in so
+        # the head's BN updates merge with the backbone's
+        reg_feats = extractor(feats[:4], rois5,
+                              roi_scale_factor=model.reg_roi_scale_factor)
+        vars2 = dict(variables)
+        vars2["batch_stats"] = mutated.get(
+            "batch_stats", variables.get("batch_stats", {}))
+        (cls_score, bbox_pred, embedding), mutated = model.apply(
+            vars2, roi_feats, reg_feats, True,
+            method=MaskRCNN.forward_bbox_double, mutable=["batch_stats"])
+    else:
+        cls_score, bbox_pred, embedding = model.apply(
+            variables, roi_feats, method=MaskRCNN.forward_bbox)
+
+    aux: Dict[str, Any] = {}
+    from iif_tpu.detection.losses_extra import SeesawLoss
+
+    if isinstance(loss_cls, SeesawLoss):
+        # the reference accumulates cum_samples inside forward
+        # (seesaw_loss.py:229-233); here the new counts ride aux and the
+        # trainer threads them back into the next step's loss object
+        import dataclasses as _dc
+
+        new_cum = loss_cls.update_cum(tgts.labels.reshape(-1),
+                                      tgts.label_weights.reshape(-1))
+        loss_cls = _dc.replace(loss_cls, cum_samples=new_cum)
+        aux["seesaw_cum"] = new_cum
+
+    if dynamic_state is not None:
+        from iif_tpu.detection.dynamic_rcnn import (
+            dynamic_rcnn_beta_stat,
+            dynamic_rcnn_iou_stat,
+            dynamic_rcnn_update,
+        )
+
+        cur_iou = dynamic_rcnn_iou_stat(
+            proposals, prop_valid, batch["gt_boxes"], batch["gt_valid"],
+            iou_topk=cfg.dynamic_iou_topk)
+        cur_beta = dynamic_rcnn_beta_stat(
+            tgts.bbox_targets.reshape(-1, 4),
+            tgts.bbox_weights.reshape(-1) > 0,
+            cfg.dynamic_beta_topk * b)
+        aux["dynamic_state"] = dynamic_rcnn_update(
+            dynamic_state, cur_iou, cur_beta,
+            initial_iou=cfg.dynamic_initial_iou,
+            initial_beta=cfg.dynamic_initial_beta)
+
+    if cfg.rcnn_isr:
+        # PISA ISR-P: reweight positive label weights by IoU-HLR
+        # (pisa_roi_head.py:131-143, pisa_loss.py:9-119)
+        from iif_tpu.detection.losses_extra import isr_p
+
+        from iif_tpu.detection.bbox_head import (
+            BBOX_TARGET_MEANS,
+            BBOX_TARGET_STDS,
+        )
+        from iif_tpu.ops.boxes import delta2bbox
+
+        isr_cfg = dict(cfg.rcnn_isr)
+        g = batch["gt_boxes"].shape[1]
+        rois_flat = tgts.rois.reshape(-1, 4)
+        labels_flat = tgts.labels.reshape(-1)
+        lw_flat = tgts.label_weights.reshape(-1)
+        det_pred = jax.lax.stop_gradient(
+            bbox_pred.reshape(-1, model.num_classes, 4))
+        sel = jnp.take_along_axis(
+            det_pred, jnp.clip(labels_flat, 0, model.num_classes - 1)
+            [:, None, None].repeat(4, -1), axis=1)[:, 0]
+        from iif_tpu.ops.boxes import bbox_overlaps_aligned
+
+        dec_pred = delta2bbox(rois_flat, sel, BBOX_TARGET_MEANS,
+                              BBOX_TARGET_STDS)
+        dec_tgt = delta2bbox(rois_flat, tgts.bbox_targets.reshape(-1, 4),
+                             BBOX_TARGET_MEANS, BBOX_TARGET_STDS)
+        ious = bbox_overlaps_aligned(dec_pred, dec_tgt)
+        ious = jax.lax.stop_gradient(ious)
+        gt_global = (tgts.pos_gt_inds
+                     + jnp.arange(b)[:, None] * g).reshape(-1)
+        new_lw = isr_p(jax.lax.stop_gradient(cls_score), labels_flat,
+                       lw_flat, ious, gt_global, loss_cls,
+                       model.num_classes, k=isr_cfg.get("k", 2.0),
+                       bias=isr_cfg.get("bias", 0.0))
+        tgts = tgts._replace(
+            label_weights=new_lw.reshape(tgts.label_weights.shape))
+
+    frac_weights = bool(cfg.rcnn_isr) or cfg.rcnn_neg_sampler == "score_hlr"
+    if model.bbox_head_type == "sabl":
+        # side-aware bucketing losses replace the delta regression
+        # (sabl_head.py loss; bucket targets from the sampled slate)
+        from iif_tpu.detection.sabl import sabl_bbox_loss
+
+        labels_flat = tgts.labels.reshape(-1)
+        lw_flat = tgts.label_weights.reshape(-1)
+        l_cls = loss_cls(
+            cls_score, labels_flat, weight=lw_flat,
+            avg_factor=(lw_flat > 0).astype(jnp.float32).sum())
+        g = batch["gt_boxes"].shape[1]
+        matched_gt = jnp.take_along_axis(
+            batch["gt_boxes"],
+            jnp.clip(tgts.pos_gt_inds, 0, g - 1)[..., None].repeat(4, -1),
+            axis=1)
+        bcls, boff = bbox_pred
+        l_bbox_cls, l_bbox_reg = sabl_bbox_loss(
+            bcls, boff, tgts.rois.reshape(-1, 4),
+            matched_gt.reshape(-1, 4),
+            tgts.bbox_weights.reshape(-1) > 0)
+        losses = {"loss_cls": l_cls, "loss_bbox_cls": l_bbox_cls,
+                  "loss_bbox_reg": l_bbox_reg}
+        if model.with_rpn:
+            losses["loss_rpn_cls"] = l_rpn_cls
+            losses["loss_rpn_bbox"] = l_rpn_bbox
+        aux["batch_stats"] = mutated.get("batch_stats", {})
+        total = sum(losses.values())
+        return total, losses, aux
 
     l_cls, l_bbox = bbox_head_loss(
-        cls_score, bbox_pred, tgts, loss_cls, model.num_classes)
+        cls_score, bbox_pred, tgts, loss_cls, model.num_classes,
+        loss_bbox=("smooth_l1" if dynamic_state is not None
+                   else cfg.rcnn_loss_bbox),
+        smooth_l1_beta=(dynamic_state.beta if dynamic_state is not None
+                        else 1.0),
+        avg_mode="nonzero" if frac_weights else "sum")
 
     losses = {"loss_cls": l_cls, "loss_bbox": l_bbox}
+
+    if cfg.rcnn_carl:
+        from iif_tpu.detection.losses import smooth_l1_loss
+        from iif_tpu.detection.losses_extra import carl_loss
+
+        carl_cfg = dict(cfg.rcnn_carl)
+        sel_grad = jnp.take_along_axis(
+            bbox_pred.reshape(-1, model.num_classes, 4),
+            jnp.clip(tgts.labels.reshape(-1), 0, model.num_classes - 1)
+            [:, None, None].repeat(4, -1), axis=1)[:, 0]
+        losses["loss_carl"] = carl_loss(
+            cls_score, tgts.labels.reshape(-1),
+            tgts.label_weights.reshape(-1), sel_grad,
+            tgts.bbox_targets.reshape(-1, 4),
+            lambda p, t: smooth_l1_loss(p, t, beta=1.0),
+            model.num_classes, k=carl_cfg.get("k", 1.0),
+            bias=carl_cfg.get("bias", 0.2))
     if model.with_rpn:
         losses["loss_rpn_cls"] = l_rpn_cls
         losses["loss_rpn_bbox"] = l_rpn_bbox
 
-    aux: Dict[str, Any] = {}
     if fasa_state is not None:
         from iif_tpu.detection.fasa import fasa_aug_loss, fasa_update
 
@@ -456,8 +717,13 @@ def maskrcnn_loss(
         pos_gt = tgts.pos_gt_inds[:, :m].reshape(-1)
         pos_labels = tgts.labels[:, :m].reshape(-1)
 
-        mask_extractor = SingleRoIExtractor((14, 14), use_pallas=ext_kind)
-        mask_feats = mask_extractor(feats[:4], pos_rois5)
+        if model.roi_extractor_type == "groie":
+            mask_feats = model.apply(variables, feats[:4], pos_rois5,
+                                     method=MaskRCNN.forward_groie_mask)
+        else:
+            mask_extractor = SingleRoIExtractor((14, 14),
+                                                use_pallas=ext_kind)
+            mask_feats = mask_extractor(feats[:4], pos_rois5)
         # per-label logits: avoids the (R, S, S, C) full-logit tensor
         # whose backward scatter is multi-GB at LVIS scale
         cls_idx = jnp.clip(pos_labels, 0, model.num_classes - 1)
@@ -557,26 +823,60 @@ def maskrcnn_simple_test(
         [batch_idx[:, None], proposals.reshape(-1, 4)], axis=1)
     test_ext = "ml" if getattr(cfg, "roi_ext", "ml") == "ml" else False
     extractor = SingleRoIExtractor((7, 7), use_pallas=test_ext)
-    roi_feats = extractor(feats[:4], rois5)
-    cls_score, bbox_pred, _ = model.apply(
-        variables, roi_feats, method=MaskRCNN.forward_bbox)
+    if model.roi_extractor_type == "groie":
+        roi_feats = model.apply(variables, feats[:4], rois5,
+                                method=MaskRCNN.forward_groie_bbox)
+    else:
+        roi_feats = extractor(feats[:4], rois5)
+    if model.bbox_head_type == "double":
+        reg_feats = extractor(feats[:4], rois5,
+                              roi_scale_factor=model.reg_roi_scale_factor)
+        cls_score, bbox_pred, _ = model.apply(
+            variables, roi_feats, reg_feats,
+            method=MaskRCNN.forward_bbox_double)
+    else:
+        cls_score, bbox_pred, _ = model.apply(
+            variables, roi_feats, method=MaskRCNN.forward_bbox)
 
-    cls_score = cls_score.reshape(b, p, -1)
-    bbox_pred = bbox_pred.reshape(b, p, -1)
-    # suppress padded proposals
-    neg_inf = jnp.full_like(cls_score, -1e9)
-    cls_score = jnp.where(prop_valid[..., None], cls_score, neg_inf)
+    if model.bbox_head_type == "sabl":
+        # bucketing decode + confidence-rescored multiclass NMS
+        # (sabl_head.py get_bboxes: score_factors=confids)
+        from iif_tpu.detection.sabl import bucket2bbox
+        from iif_tpu.ops.nms import multiclass_nms
 
-    def _one(props, cs, bp):
-        return bbox_head_get_bboxes(
-            props, cs, bp, (img_h, img_w), loss_cls,
-            scale_factor=None, score_thr=cfg.score_thr,
-            nms_iou=cfg.nms_iou, max_per_img=cfg.max_per_img,
-            num_classes=model.num_classes,
-            nms_kind=getattr(cfg, "nms_kind", "nms"))
+        bcls, boff = bbox_pred
+        boxes_flat, conf_flat = bucket2bbox(
+            rois5[:, 1:], bcls, boff, max_shape=(img_h, img_w))
+        cls_score = cls_score.reshape(b, p, -1)
+        cls_score = jnp.where(prop_valid[..., None], cls_score,
+                              jnp.full_like(cls_score, -1e9))
+        sc = jax.nn.softmax(cls_score.astype(jnp.float32), axis=-1)
+        sc = sc.at[..., :model.num_classes].multiply(
+            conf_flat.reshape(b, p)[..., None])
 
-    dets, scores, labels, det_valid = jax.vmap(_one)(
-        proposals, cls_score, bbox_pred)
+        def _one_sabl(bx, s):
+            return multiclass_nms(bx, s, cfg.score_thr, cfg.nms_iou,
+                                  cfg.max_per_img)
+
+        dets, scores, labels, det_valid = jax.vmap(_one_sabl)(
+            boxes_flat.reshape(b, p, 4), sc)
+    else:
+        cls_score = cls_score.reshape(b, p, -1)
+        bbox_pred = bbox_pred.reshape(b, p, -1)
+        # suppress padded proposals
+        neg_inf = jnp.full_like(cls_score, -1e9)
+        cls_score = jnp.where(prop_valid[..., None], cls_score, neg_inf)
+
+        def _one(props, cs, bp):
+            return bbox_head_get_bboxes(
+                props, cs, bp, (img_h, img_w), loss_cls,
+                scale_factor=None, score_thr=cfg.score_thr,
+                nms_iou=cfg.nms_iou, max_per_img=cfg.max_per_img,
+                num_classes=model.num_classes,
+                nms_kind=getattr(cfg, "nms_kind", "nms"))
+
+        dets, scores, labels, det_valid = jax.vmap(_one)(
+            proposals, cls_score, bbox_pred)
 
     out = {"boxes": dets, "scores": scores, "labels": labels,
            "valid": det_valid}
@@ -621,8 +921,13 @@ def maskrcnn_simple_test(
         batch_idx2 = jnp.repeat(jnp.arange(b, dtype=jnp.float32), k)
         det_rois = jnp.concatenate(
             [batch_idx2[:, None], dets.reshape(-1, 4)], axis=1)
-        mask_extractor = SingleRoIExtractor((14, 14), use_pallas=test_ext)
-        mfeats = mask_extractor(feats[:4], det_rois)
+        if model.roi_extractor_type == "groie":
+            mfeats = model.apply(variables, feats[:4], det_rois,
+                                 method=MaskRCNN.forward_groie_mask)
+        else:
+            mask_extractor = SingleRoIExtractor((14, 14),
+                                                use_pallas=test_ext)
+            mfeats = mask_extractor(feats[:4], det_rois)
         cls_idx = jnp.clip(labels.reshape(-1), 0, model.num_classes - 1)
         # fast path: compute only the predicted class's mask channel
         sel = model.apply(variables, mfeats, cls_idx,

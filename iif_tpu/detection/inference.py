@@ -124,6 +124,11 @@ def inference_detector(detector: Detector,
                 detector.model, v, img,
                 [detector.loss_cls] * detector.model.num_stages,
                 detector.test_cfg))
+        elif type(detector.model).__name__ == "CascadeRPN":
+            from iif_tpu.detection.cascade_rpn import cascade_rpn_simple_test
+
+            detector._run = jax.jit(lambda v, img: cascade_rpn_simple_test(
+                detector.model, v, img, detector.test_cfg))
         elif type(detector.model).__name__ == "RPNDetector":
             from iif_tpu.detection.rpn_detector import rpn_only_simple_test
 

@@ -170,13 +170,31 @@ class DetCrossEntropyLoss:
 
     num_classes: int = 0
     loss_weight: float = 1.0
+    # use_sigmoid: per-channel BCE with one-hot targets over the C+1
+    # logits (reference cross_entropy_loss.py:68-115
+    # ``binary_cross_entropy`` with label one-hotting; the
+    # configs/activations sigmoid baselines). Inference activation stays
+    # softmax, exactly like the reference (custom_activation is False on
+    # CrossEntropyLoss, bbox_head.py:349-352).
+    use_sigmoid: bool = False
     custom_cls_channels = False
     custom_activation = False
     custom_accuracy = False
 
     def __call__(self, cls_score, labels, weight=None, avg_factor=None,
                  reduction: str = "mean"):
-        per = softmax_cross_entropy(cls_score, labels)
+        if self.use_sigmoid:
+            onehot = jax.nn.one_hot(labels, cls_score.shape[-1],
+                                    dtype=jnp.float32)
+            s = cls_score.astype(jnp.float32)
+            bce = (jnp.maximum(s, 0) - s * onehot
+                   + jnp.log1p(jnp.exp(-jnp.abs(s))))
+            # mmdet sums the (N, C+1) elementwise BCE and divides by the
+            # sample avg_factor (weight_reduce_loss) -> per-sample
+            # contribution is the channel SUM
+            per = bce.sum(-1)
+        else:
+            per = softmax_cross_entropy(cls_score, labels)
         if weight is not None:
             per = per * weight.astype(per.dtype)
         if reduction == "none":

@@ -43,13 +43,23 @@ class FCNMaskHead(nn.Module):
     conv_out_channels: int = 256
     predictor: str = "conv"      # 'conv' | 'normed'
     temperature: float = 20.0
+    norm: str = ""               # '' | 'gn' (configs/gn 'gn-all')
+    conv_ws: bool = False
 
     def setup(self):
-        self.convs = [nn.Conv(
+        from iif_tpu.models.resnet import make_conv
+
+        conv_cls = make_conv(self.conv_ws)
+        self.convs = [conv_cls(
             self.conv_out_channels, (3, 3), padding=1,
+            use_bias=not self.norm,
             kernel_init=nn.initializers.variance_scaling(
                 2.0, "fan_out", "normal"),
             name=f"conv{i}") for i in range(self.num_convs)]
+        if self.norm == "gn":
+            self.gns = [nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                     name=f"gn{i}")
+                        for i in range(self.num_convs)]
         self.upsample = nn.ConvTranspose(
             self.conv_out_channels, (2, 2), strides=(2, 2), name="upsample")
         if self.predictor == "normed":
@@ -64,8 +74,11 @@ class FCNMaskHead(nn.Module):
 
     def features(self, x: jnp.ndarray) -> jnp.ndarray:
         """(R, 14, 14, C_in) -> pre-logit features (R, 28, 28, C)."""
-        for conv in self.convs:
-            x = nn.relu(conv(x))
+        for i, conv in enumerate(self.convs):
+            x = conv(x)
+            if self.norm == "gn":
+                x = self.gns[i](x)
+            x = nn.relu(x)
         return nn.relu(self.upsample(x))
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:

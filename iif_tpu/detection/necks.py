@@ -30,16 +30,31 @@ class FPN(nn.Module):
     start_level: int = 0
     add_extra_convs: object = False  # False | 'on_input' | 'on_output'
     relu_before_extra_convs: bool = False
+    # 'gn' + conv_ws: the gn-all / gn+ws-all recipes (reference
+    # configs/gn, configs/gn+ws: norm_cfg GN(32) + ConvWS on the neck)
+    norm: str = ""
+    conv_ws: bool = False
     dtype: object = None           # bf16 compute option (params fp32)
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
+        from iif_tpu.models.resnet import make_conv, make_norm
+
+        Conv = make_conv(self.conv_ws)
+
+        def maybe_norm(x, name):
+            if self.norm == "gn":
+                return make_norm("gn", False, name, self.dtype)(x)
+            return x
+
         extra_source = inputs[-1]            # C5 for 'on_input'
         inputs = list(inputs)[self.start_level:]
         n_in = len(inputs)
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), kernel_init=xavier_uniform,
-                    dtype=self.dtype, name=f"lateral_{i}")(x)
+            maybe_norm(
+                Conv(self.out_channels, (1, 1), kernel_init=xavier_uniform,
+                     use_bias=not self.norm, dtype=self.dtype,
+                     name=f"lateral_{i}")(x), f"lateral_gn_{i}")
             for i, x in enumerate(inputs)
         ]
         # top-down: upsample by 2 (nearest) and add
@@ -50,9 +65,11 @@ class FPN(nn.Module):
             up = jnp.repeat(jnp.repeat(up, 2, axis=1), 2, axis=2)[:, :th, :tw, :]
             laterals[i - 1] = laterals[i - 1] + up
         outs = [
-            nn.Conv(self.out_channels, (3, 3), padding=1,
-                    kernel_init=xavier_uniform, dtype=self.dtype,
-                    name=f"fpn_conv_{i}")(l)
+            maybe_norm(
+                Conv(self.out_channels, (3, 3), padding=1,
+                     kernel_init=xavier_uniform, use_bias=not self.norm,
+                     dtype=self.dtype, name=f"fpn_conv_{i}")(l),
+                f"fpn_gn_{i}")
             for i, l in enumerate(laterals)
         ]
         # extra levels (P6 for RPN): stride-2 maxpool on the last output
@@ -119,14 +136,39 @@ class PAFPN(nn.Module):
         return tuple(outs)
 
 
+class NonLocal2d(nn.Module):
+    """Embedded-gaussian non-local block (mmcv ``NonLocal2d``; used by
+    BFP refine_type='non_local' in the Libra R-CNN config and as the
+    GRoIE post module): theta/phi/g 1x1 projections at C/reduction,
+    softmax attention over all positions, zero-initialized output
+    projection added residually — pure MXU matmuls on TPU."""
+    reduction: int = 2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        ci = max(c // self.reduction, 1)
+        xf = x.astype(jnp.float32)
+        theta = nn.Conv(ci, (1, 1), name="theta")(xf).reshape(b, h * w, ci)
+        phi = nn.Conv(ci, (1, 1), name="phi")(xf).reshape(b, h * w, ci)
+        g = nn.Conv(ci, (1, 1), name="g")(xf).reshape(b, h * w, ci)
+        attn = jax.nn.softmax(
+            jnp.einsum("bic,bjc->bij", theta, phi), axis=-1)
+        y = jnp.einsum("bij,bjc->bic", attn, g).reshape(b, h, w, ci)
+        out = nn.Conv(c, (1, 1), kernel_init=nn.initializers.zeros,
+                      name="conv_out")(y)
+        return x + out.astype(x.dtype)
+
+
 class BFP(nn.Module):
     """Balanced Feature Pyramid of Libra R-CNN
-    (``mmdet/models/necks/bfp.py``, refine_type=None/'conv'): gather all
-    levels to the ``refine_level`` resolution, average, refine with a
-    3x3 conv, and scatter the residual back to every level."""
+    (``mmdet/models/necks/bfp.py``): gather all levels to the
+    ``refine_level`` resolution, average, refine (3x3 conv or the
+    reference config's non-local block), and scatter the residual back
+    to every level."""
     out_channels: int = 256
     refine_level: int = 2
-    refine_type: str = "conv"    # None | 'conv' (non_local deferred)
+    refine_type: str = "non_local"   # None | 'conv' | 'non_local'
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
@@ -148,6 +190,8 @@ class BFP(nn.Module):
         if self.refine_type == "conv":
             bsf = nn.Conv(self.out_channels, (3, 3), padding=1,
                           kernel_init=xavier_uniform, name="refine")(bsf)
+        elif self.refine_type == "non_local":
+            bsf = NonLocal2d(name="refine")(bsf)
         outs = []
         for i, x in enumerate(inputs):
             h, w = x.shape[1:3]
@@ -196,6 +240,9 @@ class NASFPN(nn.Module):
     out_channels: int = 256
     stack_times: int = 7
     num_outs: int = 5
+    # reference configs/nas_fpn: in_channels [512, 1024, 2048] = C3-C5
+    # (start_level 1), producing P3-P7 at strides 8-128 for RetinaNet
+    start_level: int = 0
     dtype: object = None
 
     def _merge_gp(self, a, b):
@@ -215,21 +262,30 @@ class NASFPN(nn.Module):
 
         def to_shape(x, ref):
             th, tw = ref.shape[1:3]
-            if x.shape[1] == th:
+            h, w = x.shape[1:3]
+            if (h, w) == (th, tw):
                 return x
-            if x.shape[1] > th:
-                k = x.shape[1] // th
+            if h > th and h % th == 0 and w % tw == 0 and h // th == w // tw:
+                k = h // th
                 return nn.max_pool(x, (k, k), strides=(k, k))
+            # non-divisible shapes (ceil-division level grids on
+            # non-crop inputs): nearest resize keeps the grid exact
             return jax.image.resize(
                 x, (x.shape[0], th, tw, x.shape[-1]), "nearest")
 
         # lateral 1x1 to common width, pad to 5 levels by pooling
+        inputs = list(inputs)[self.start_level:]
         feats = [nn.Conv(self.out_channels, (1, 1),
                          kernel_init=xavier_uniform, dtype=self.dtype,
                          name=f"lateral_{i}")(x)
                  for i, x in enumerate(inputs)]
         while len(feats) < self.num_outs:
-            feats.append(nn.max_pool(feats[-1], (2, 2), strides=(2, 2)))
+            f = feats[-1]
+            # ceil-mode downsample (matches the stride-2 conv grids of
+            # FPN extra levels / fpn_shapes ceil division)
+            ph, pw = f.shape[1] % 2, f.shape[2] % 2
+            feats.append(nn.max_pool(f, (2, 2), strides=(2, 2),
+                                     padding=((0, ph), (0, pw))))
 
         p3, p4, p5, p6, p7 = feats
         for s in range(self.stack_times):

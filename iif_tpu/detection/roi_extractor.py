@@ -20,6 +20,7 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import linen as nn
 
 
 def map_roi_levels(rois: jnp.ndarray, num_levels: int,
@@ -49,10 +50,22 @@ class SingleRoIExtractor:
     def num_inputs(self) -> int:
         return len(self.featmap_strides)
 
-    def __call__(self, feats: Sequence[jnp.ndarray], rois: jnp.ndarray
-                 ) -> jnp.ndarray:
+    def __call__(self, feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
+                 roi_scale_factor: float = None) -> jnp.ndarray:
         """feats: L x (B, H_l, W_l, C); rois (R, 5) = (batch_idx, x1..y2).
-        Returns (R, oh, ow, C)."""
+        Returns (R, oh, ow, C). ``roi_scale_factor`` rescales each roi
+        around its center AFTER level assignment (mmdet
+        ``single_level_roi_extractor.py:57-84`` ``roi_rescale`` — used by
+        Double-Head's reg branch at 1.3x)."""
+        if roi_scale_factor is not None:
+            lvls = map_roi_levels(rois, self.num_inputs, self.finest_scale)
+            cx = (rois[:, 1] + rois[:, 3]) * 0.5
+            cy = (rois[:, 2] + rois[:, 4]) * 0.5
+            hw = (rois[:, 3] - rois[:, 1]) * roi_scale_factor * 0.5
+            hh = (rois[:, 4] - rois[:, 2]) * roi_scale_factor * 0.5
+            rois = jnp.stack([rois[:, 0], cx - hw, cy - hh,
+                              cx + hw, cy + hh], axis=1)
+            return self._flat_gather(feats, rois, lvls=lvls)
         if self.use_pallas in ("ml", "ml_fast"):
             # single-pass multi-level DMA kernel with a custom-VJP
             # backward (usable in training); falls back off-TPU.
@@ -81,8 +94,8 @@ class SingleRoIExtractor:
         return self._flat_gather(feats, rois)
 
     # ------------------------------------------------------ flat multi-level
-    def _flat_gather(self, feats: Sequence[jnp.ndarray], rois: jnp.ndarray
-                     ) -> jnp.ndarray:
+    def _flat_gather(self, feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
+                     lvls: jnp.ndarray = None) -> jnp.ndarray:
         num_levels = self.num_inputs
         out_h, out_w = self.output_size
         s = self.sampling_ratio if self.sampling_ratio > 0 else 2
@@ -90,7 +103,8 @@ class SingleRoIExtractor:
         c = feats[0].shape[-1]
         r = rois.shape[0]
 
-        lvls = map_roi_levels(rois, num_levels, self.finest_scale)
+        if lvls is None:
+            lvls = map_roi_levels(rois, num_levels, self.finest_scale)
         heights = np.array([f.shape[1] for f in feats])
         widths = np.array([f.shape[2] for f in feats])
         offsets = np.concatenate([[0], np.cumsum(heights * widths)])[:-1]
@@ -151,6 +165,16 @@ class SingleRoIExtractor:
         taps = taps.reshape(r, out_h, s, out_w, s, c)
         return taps.mean(axis=(2, 4))
 
+    def extract_single_level(self, feat: jnp.ndarray, rois: jnp.ndarray,
+                             stride: int) -> jnp.ndarray:
+        """RoIAlign every roi against ONE pyramid level (GRoIE's
+        all-level extraction)."""
+        ext = SingleRoIExtractor(self.output_size, (stride,),
+                                 self.sampling_ratio, self.finest_scale)
+        return ext._flat_gather(
+            [feat], rois,
+            lvls=jnp.zeros(rois.shape[0], jnp.int32))
+
     # --------------------------------------------------- per-level (pallas)
     def _per_level_pallas(self, feats: Sequence[jnp.ndarray],
                           rois: jnp.ndarray) -> jnp.ndarray:
@@ -168,3 +192,39 @@ class SingleRoIExtractor:
         onehot = jax.nn.one_hot(lvls, num_levels, axis=0,
                                 dtype=stacked.dtype)
         return (stacked * onehot[:, :, None, None, None]).sum(axis=0)
+
+
+class GenericRoIExtractor(nn.Module):
+    """GRoIE (``generic_roi_extractor.py:10-90``, 'A novel Region of
+    Interest Extraction Layer for Instance Segmentation'): RoIAlign every
+    roi against ALL pyramid levels, run a shared pre module (the
+    reference config's 5x5 ConvModule) on each, sum-aggregate, and
+    refine with a shared attention post module.
+
+    The reference's post module is mmcv GeneralizedAttention; here it is
+    the embedded-gaussian non-local block (the same attention family,
+    all-MXU on a 7x7/14x14 grid) — a documented substitution.
+    """
+    output_size: int = 7
+    featmap_strides: Tuple[int, ...] = (4, 8, 16, 32)
+    with_pre: bool = True
+    with_post: bool = True
+    aggregation: str = "sum"
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], rois: jnp.ndarray
+                 ) -> jnp.ndarray:
+        base = SingleRoIExtractor((self.output_size, self.output_size))
+        pre = (nn.Conv(feats[0].shape[-1], (5, 5), name="pre_module")
+               if self.with_pre else None)
+        acc = None
+        for i, s in enumerate(self.featmap_strides):
+            rf = base.extract_single_level(feats[i], rois, s)
+            if pre is not None:
+                rf = nn.relu(pre(rf))
+            acc = rf if acc is None else acc + rf
+        if self.with_post:
+            from iif_tpu.detection.necks import NonLocal2d
+
+            acc = NonLocal2d(name="post_module")(acc)
+        return acc

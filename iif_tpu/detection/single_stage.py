@@ -26,7 +26,12 @@ import numpy as np
 from flax import linen as nn
 
 from iif_tpu.detection.detector import normalize_if_uint8
-from iif_tpu.detection.losses import iou_loss, l1_loss, sigmoid_focal_loss
+from iif_tpu.detection.losses import (
+    iou_loss,
+    l1_loss,
+    sigmoid_focal_loss,
+    smooth_l1_loss,
+)
 from iif_tpu.detection.necks import FPN
 from iif_tpu.models.resnet import ResNet
 from iif_tpu.ops.anchors import AnchorGenerator
@@ -61,6 +66,19 @@ class SSTrainCfg(NamedTuple):
     center_sampling: bool = False
     center_sample_radius: float = 1.5
     iou_loss_mode: str = "log"
+    # 'focal' | 'ghm' (reference configs/ghm/retinanet_ghm_r50_fpn:
+    # GHMC bins=30 m=0.75 + GHMR mu=0.02 bins=10 m=0.7 x10)
+    loss_kind: str = "focal"
+    ghm_bins: int = 30
+    ghm_momentum: float = 0.75
+    ghmr_mu: float = 0.02
+    ghmr_bins: int = 10
+    ghmr_momentum: float = 0.7
+    ghmr_weight: float = 10.0
+    # PISA single-stage (pisa_retinanet_head.py; configs/pisa: ISR-P
+    # k=2/bias=0, CARL k=1/bias=0.2 sigmoid, SmoothL1(0.11) reg)
+    isr: tuple = ()
+    carl: tuple = ()
 
 
 class SSTestCfg(NamedTuple):
@@ -128,6 +146,50 @@ class RetinaHead(nn.Module):
                 c = nn.relu(conv(c))
             for conv in reg_convs:
                 r = nn.relu(conv(r))
+            cls_scores.append(retina_cls(c))
+            bbox_preds.append(retina_reg(r))
+        return cls_scores, bbox_preds
+
+
+class RetinaSepBNHead(nn.Module):
+    """RetinaHead with separate BN (``retina_sepbn_head.py:10-112``, the
+    NAS-FPN head): conv WEIGHTS are shared across FPN levels while each
+    level owns its BN statistics; cls/reg output convs shared."""
+    num_classes: int
+    feat_channels: int = 256
+    stacked_convs: int = 4
+    num_anchors: int = 9
+    num_levels: int = 5
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False
+                 ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+        cls_convs = [nn.Conv(self.feat_channels, (3, 3), padding=1,
+                             use_bias=False, kernel_init=normal_init,
+                             dtype=self.dtype, name=f"cls_conv_{i}")
+                     for i in range(self.stacked_convs)]
+        reg_convs = [nn.Conv(self.feat_channels, (3, 3), padding=1,
+                             use_bias=False, kernel_init=normal_init,
+                             dtype=self.dtype, name=f"reg_conv_{i}")
+                     for i in range(self.stacked_convs)]
+        retina_cls = nn.Conv(
+            self.num_anchors * self.num_classes, (3, 3), padding=1,
+            kernel_init=normal_init,
+            bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
+            name="retina_cls")
+        retina_reg = nn.Conv(self.num_anchors * 4, (3, 3), padding=1,
+                             kernel_init=normal_init, name="retina_reg")
+        cls_scores, bbox_preds = [], []
+        for lvl, x in enumerate(feats):
+            c = r = x
+            for i in range(self.stacked_convs):
+                c = nn.relu(nn.BatchNorm(
+                    use_running_average=not train,
+                    name=f"cls_bn_l{lvl}_{i}")(cls_convs[i](c)))
+                r = nn.relu(nn.BatchNorm(
+                    use_running_average=not train,
+                    name=f"reg_bn_l{lvl}_{i}")(reg_convs[i](r)))
             cls_scores.append(retina_cls(c))
             bbox_preds.append(retina_reg(r))
         return cls_scores, bbox_preds
@@ -208,20 +270,45 @@ class _SingleStageBase(nn.Module):
 class RetinaNet(_SingleStageBase):
     """RetinaNet R50-FPN (reference
     ``configs/_base_/models/retinanet_r50_fpn.py``: FPN start_level=1,
-    extra P6/P7 convs on C5, 9 anchors/cell, focal loss)."""
+    extra P6/P7 convs on C5, 9 anchors/cell, focal loss).
+
+    ``head_type='sepbn'`` + ``neck_type='nasfpn'`` reproduce the NAS-FPN
+    recipe (``configs/nas_fpn/retinanet_r50_nasfpn_crop640_50e_coco.py``:
+    NASFPN neck with RetinaSepBNHead)."""
+
+    head_type: str = "retina"     # 'retina' | 'sepbn'
+    neck_type: str = "fpn"        # 'fpn' | 'nasfpn'
+    backbone_type: str = "resnet"  # any build_backbone key (configs/pvt:
+    #                                'pvt-tiny' RetinaNet, etc.)
 
     def setup(self):
-        layers, block = _DEPTH_LAYERS[self.depth]
-        self.backbone = ResNet(layers=layers, block=block,
-                               frozen_stages=self.frozen_stages,
-                               norm_eval=self.norm_eval,
-                               remat=self.backbone_remat,
-                               dtype=self.compute_dtype, name="backbone")
-        self.neck = FPN(out_channels=256, num_outs=5, start_level=1,
-                        add_extra_convs="on_input",
-                        dtype=self.compute_dtype, name="neck")
-        self.head = RetinaHead(self.num_classes, num_anchors=9,
-                               dtype=self.compute_dtype, name="bbox_head")
+        from iif_tpu.detection.detector import build_backbone
+
+        self.backbone = build_backbone(
+            self.backbone_type, depth=self.depth,
+            frozen_stages=self.frozen_stages, norm_eval=self.norm_eval,
+            remat=self.backbone_remat, dtype=self.compute_dtype)
+        if self.neck_type == "nasfpn":
+            from iif_tpu.detection.necks import NASFPN
+
+            self.neck = NASFPN(out_channels=256, num_outs=5,
+                               start_level=1,
+                               dtype=self.compute_dtype, name="neck")
+        else:
+            self.neck = FPN(out_channels=256, num_outs=5, start_level=1,
+                            add_extra_convs="on_input",
+                            dtype=self.compute_dtype, name="neck")
+        if self.head_type == "sepbn":
+            self.head = RetinaSepBNHead(self.num_classes, num_anchors=9,
+                                        dtype=self.compute_dtype,
+                                        name="bbox_head")
+        else:
+            self.head = RetinaHead(self.num_classes, num_anchors=9,
+                                   dtype=self.compute_dtype,
+                                   name="bbox_head")
+
+    def forward_head_train(self, fpn_feats):
+        return self.head(fpn_feats, train=True)
 
 
 class FCOS(_SingleStageBase):
@@ -255,12 +342,25 @@ def _flatten_cls_reg(cls_scores, bbox_preds, num_classes):
     return scores, deltas
 
 
+class GHMState(NamedTuple):
+    """GHM momentum histograms (the reference's ``acc_sum`` registered
+    buffers, ``ghm_loss.py:60,151``) as functional train state."""
+    acc_c: jnp.ndarray   # (ghm_bins,)
+    acc_r: jnp.ndarray   # (ghmr_bins,)
+
+
+def ghm_state_init(cfg: SSTrainCfg) -> GHMState:
+    return GHMState(jnp.zeros((cfg.ghm_bins,), jnp.float32),
+                    jnp.zeros((cfg.ghmr_bins,), jnp.float32))
+
+
 def retinanet_loss(
     model: RetinaNet,
     variables: Dict[str, Any],
     batch: Dict[str, jnp.ndarray],
     key: jax.Array,                 # unused (no sampling); uniform API
     cfg: SSTrainCfg = SSTrainCfg(),
+    ghm_state: Optional[GHMState] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, Any]]:
     """Focal + L1 anchor losses over ALL (valid) anchors, PseudoSampler
     semantics (``anchor_head.py`` loss with sampling=False: every
@@ -271,8 +371,17 @@ def retinanet_loss(
     feats, mutated = model.apply(
         variables, images, True, method=RetinaNet.extract_feat,
         mutable=["batch_stats"])
-    cls_scores, bbox_preds = model.apply(
-        variables, feats, method=RetinaNet.forward_head)
+    if getattr(model, "head_type", "retina") == "sepbn":
+        # per-level head BN: merge its stat updates with the backbone's
+        vars2 = dict(variables)
+        vars2["batch_stats"] = mutated.get(
+            "batch_stats", variables.get("batch_stats", {}))
+        (cls_scores, bbox_preds), mutated = model.apply(
+            vars2, feats, method=RetinaNet.forward_head_train,
+            mutable=["batch_stats"])
+    else:
+        cls_scores, bbox_preds = model.apply(
+            variables, feats, method=RetinaNet.forward_head)
 
     gen = make_retina_anchor_generator()
     shapes = ss_fpn_shapes((img_h, img_w))
@@ -283,7 +392,7 @@ def retinanet_loss(
     scores, deltas = _flatten_cls_reg(cls_scores, bbox_preds,
                                       model.num_classes)
 
-    def _one(score, delta, gtb, gtl, gtv):
+    def _targets(gtb, gtl, gtv):
         assigned, _ = max_iou_assign(
             anchors, gtb, gtv, cfg.pos_iou_thr, cfg.neg_iou_thr,
             cfg.min_pos_iou)
@@ -293,18 +402,92 @@ def retinanet_loss(
         gt_idx = jnp.clip(assigned - 1, 0, gtb.shape[0] - 1)
         # background = num_classes (all-zero one-hot under sigmoid focal)
         labels = jnp.where(is_pos, gtl[gt_idx], model.num_classes)
-        l_cls = (sigmoid_focal_loss(score, labels, model.num_classes,
-                                    cfg.gamma, cfg.alpha) * use).sum()
         tgt = bbox2delta(anchors, gtb[gt_idx])
-        l_bbox = (l1_loss(delta, tgt).sum(-1) * is_pos).sum()
-        return l_cls, l_bbox, is_pos.sum()
+        return labels, use, is_pos, tgt, gt_idx
 
-    lc, lb, npos = jax.vmap(_one)(scores, deltas, batch["gt_boxes"],
-                                  batch["gt_labels"], batch["gt_valid"])
-    avg = jnp.maximum(npos.sum().astype(jnp.float32), 1.0)
-    losses = {"loss_cls": lc.sum() / avg, "loss_bbox": lb.sum() / avg}
-    total = losses["loss_cls"] + losses["loss_bbox"]
-    return total, losses, {"batch_stats": mutated.get("batch_stats", {})}
+    labels, use, is_pos, tgt, gt_idx = jax.vmap(_targets)(
+        batch["gt_boxes"], batch["gt_labels"], batch["gt_valid"])
+    aux: Dict[str, Any] = {"batch_stats": mutated.get("batch_stats", {})}
+
+    if cfg.loss_kind == "ghm" and ghm_state is not None:
+        # GHM-C/GHM-R retina (configs/ghm/retinanet_ghm_r50_fpn): the
+        # gradient-density histograms replace focal + L1; the momentum
+        # accumulators thread through train state. One histogram per
+        # step over the whole batch (the reference updates per FPN
+        # level; same statistics, fewer tiny host-visible updates).
+        from iif_tpu.detection.losses_extra import ghm_c_loss, ghm_r_loss
+
+        c = model.num_classes
+        onehot = (jax.nn.one_hot(labels, c, dtype=jnp.float32)
+                  * is_pos[..., None].astype(jnp.float32))
+        lw_c = jnp.broadcast_to(
+            use[..., None], onehot.shape).astype(jnp.float32)
+        l_cls, acc_c = ghm_c_loss(
+            scores.reshape(-1, c), onehot.reshape(-1, c),
+            lw_c.reshape(-1, c), bins=cfg.ghm_bins,
+            momentum=cfg.ghm_momentum, acc_sum=ghm_state.acc_c)
+        lw_r = jnp.broadcast_to(
+            is_pos[..., None], tgt.shape).astype(jnp.float32)
+        l_bbox, acc_r = ghm_r_loss(
+            deltas.reshape(-1, 4), tgt.reshape(-1, 4),
+            lw_r.reshape(-1, 4), mu=cfg.ghmr_mu, bins=cfg.ghmr_bins,
+            momentum=cfg.ghmr_momentum, acc_sum=ghm_state.acc_r,
+            loss_weight=cfg.ghmr_weight)
+        aux["dynamic_state"] = GHMState(acc_c, acc_r)
+        losses = {"loss_cls": l_cls, "loss_bbox": l_bbox}
+        return l_cls + l_bbox, losses, aux
+
+    c = model.num_classes
+    labels_f = labels.reshape(-1)
+    scores_f = scores.reshape(-1, c)
+    deltas_f = deltas.reshape(-1, 4)
+    tgt_f = tgt.reshape(-1, 4)
+    lw = use.astype(jnp.float32).reshape(-1)
+    avg = jnp.maximum(is_pos.sum().astype(jnp.float32), 1.0)
+
+    if cfg.isr:
+        # PISA ISR-P over the flattened anchors of the whole batch
+        # (pisa_retinanet_head.py:108-126)
+        from iif_tpu.detection.losses_extra import isr_p
+        from iif_tpu.ops.boxes import bbox_overlaps_aligned, delta2bbox
+
+        icfg = dict(cfg.isr)
+        g = batch["gt_boxes"].shape[1]
+        anchors_f = jnp.tile(anchors, (b, 1))
+        dec_pred = delta2bbox(anchors_f, jax.lax.stop_gradient(deltas_f))
+        dec_tgt = delta2bbox(anchors_f, tgt_f)
+        ious = bbox_overlaps_aligned(dec_pred, dec_tgt)
+        gt_global = (gt_idx + jnp.arange(b)[:, None]
+                     * g).reshape(-1)
+        lw = isr_p(
+            jax.lax.stop_gradient(scores_f), labels_f, lw, ious,
+            gt_global,
+            lambda s, l, reduction="none": sigmoid_focal_loss(
+                s, l, c, cfg.gamma, cfg.alpha),
+            c, k=icfg.get("k", 2.0), bias=icfg.get("bias", 0.0))
+
+    per_cls = sigmoid_focal_loss(scores_f, labels_f, c, cfg.gamma,
+                                 cfg.alpha)
+    l_cls = (per_cls * lw).sum()
+    if cfg.isr or cfg.carl:
+        per_reg = smooth_l1_loss(deltas_f, tgt_f, beta=0.11).sum(-1)
+    else:
+        per_reg = l1_loss(deltas, tgt).sum(-1).reshape(-1)
+    l_bbox = (per_reg * is_pos.astype(jnp.float32).reshape(-1)).sum()
+    losses = {"loss_cls": l_cls / avg, "loss_bbox": l_bbox / avg}
+
+    if cfg.carl:
+        from iif_tpu.detection.losses_extra import carl_loss
+
+        ccfg = dict(cfg.carl)
+        losses["loss_carl"] = carl_loss(
+            scores_f, labels_f, lw, deltas_f, tgt_f,
+            lambda p_, t_: smooth_l1_loss(p_, t_, beta=0.11),
+            c, k=ccfg.get("k", 1.0), bias=ccfg.get("bias", 0.2),
+            avg_factor=avg, sigmoid=True)
+
+    total = sum(losses.values())
+    return total, losses, aux
 
 
 def retinanet_simple_test(
@@ -590,6 +773,19 @@ def single_stage_loss_fn(model):
     from iif_tpu.detection.yolov3 import YOLOV3, yolov3_loss
     from iif_tpu.detection.yolox import YOLOX, yolox_loss
 
+    from iif_tpu.detection.centripetal import (
+        CentripetalNet,
+        centripetal_loss,
+    )
+    from iif_tpu.detection.free_anchor import FreeAnchor, free_anchor_loss
+    from iif_tpu.detection.guided_anchor import GARetinaNet, ga_retina_loss
+
+    if isinstance(model, CentripetalNet):
+        return centripetal_loss
+    if isinstance(model, GARetinaNet):
+        return ga_retina_loss
+    if isinstance(model, FreeAnchor):
+        return free_anchor_loss
     if isinstance(model, YOLOF):
         return yolof_loss
     if isinstance(model, RepPoints):
@@ -663,7 +859,20 @@ def single_stage_simple_test(model, variables, images,
     from iif_tpu.detection.yolov3 import YOLOV3, yolov3_simple_test
     from iif_tpu.detection.yolox import YOLOX, yolox_simple_test
 
-    if isinstance(model, YOLOF):
+    from iif_tpu.detection.centripetal import (
+        CentripetalNet,
+        centripetal_simple_test,
+    )
+    from iif_tpu.detection.guided_anchor import (
+        GARetinaNet,
+        ga_retina_simple_test,
+    )
+
+    if isinstance(model, CentripetalNet):
+        fn = centripetal_simple_test
+    elif isinstance(model, GARetinaNet):
+        fn = ga_retina_simple_test
+    elif isinstance(model, YOLOF):
         fn = yolof_simple_test
     elif isinstance(model, RepPoints):
         fn = reppoints_simple_test

@@ -47,6 +47,12 @@ class DetTrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     fasa: Optional[FasaState] = None
+    # SeesawLoss per-class cumulative sample counters (C+1,) — the
+    # reference's mutable buffer (seesaw_loss.py:127-130) as train state
+    seesaw_cum: Optional[jnp.ndarray] = None
+    # Dynamic R-CNN adaptive IoU/beta state (dynamic_roi_head.py's
+    # iou_history/beta_history python lists as device ring buffers)
+    dynamic: Optional[Any] = None
 
 
 class DetectionTrainer:
@@ -70,13 +76,19 @@ class DetectionTrainer:
         from iif_tpu.detection.htc import HTC
         from iif_tpu.detection.scnet import SCNet
 
+        from iif_tpu.detection.losses_extra import SeesawLoss
+
         self.model = model
         self.loss_cls = loss_cls
+        self.is_seesaw = isinstance(loss_cls, SeesawLoss)
         self.is_htc = isinstance(model, HTC)
         self.is_scnet = isinstance(model, SCNet)
         self.is_cascade = isinstance(model, CascadeMaskRCNN)
         self.is_single_stage = isinstance(model, _SingleStageBase)
         self.is_detr = isinstance(model, DETR)
+        from iif_tpu.detection.cascade_rpn import CascadeRPN
+
+        self.is_cascade_rpn = isinstance(model, CascadeRPN)
         self.is_rpn_only = isinstance(model, RPNDetector)
         self.is_trident = isinstance(model, TridentFasterRCNN)
         # cascade stages share one loss object unless per-stage losses are
@@ -110,6 +122,22 @@ class DetectionTrainer:
                                    donate_argnums=(0,),
                                    static_argnames=("fasa_aug_on",))
 
+    def _dynamic_init(self):
+        """Algorithm-state leaf: Dynamic R-CNN's adaptive thresholds or
+        GHM's momentum histograms, depending on the config."""
+        if getattr(self.train_cfg, "rcnn_dynamic", False):
+            from iif_tpu.detection.dynamic_rcnn import dynamic_rcnn_init
+
+            return dynamic_rcnn_init(
+                initial_iou=self.train_cfg.dynamic_initial_iou,
+                initial_beta=self.train_cfg.dynamic_initial_beta,
+                interval=self.train_cfg.dynamic_interval)
+        if getattr(self.train_cfg, "loss_kind", "focal") == "ghm":
+            from iif_tpu.detection.single_stage import ghm_state_init
+
+            return ghm_state_init(self.train_cfg)
+        return None
+
     def init_state(self, sample_shape, fasa_state: Optional[FasaState] = None,
                    seed: int = 0) -> DetTrainState:
         if self.is_detr:
@@ -128,7 +156,10 @@ class DetectionTrainer:
             DetTrainState(
                 step=jnp.zeros((), jnp.int32), params=params,
                 batch_stats=variables.get("batch_stats", {}),
-                opt_state=self.tx.init(params), fasa=fasa_state),
+                opt_state=self.tx.init(params), fasa=fasa_state,
+                seesaw_cum=(self.loss_cls.cum_samples
+                            if self.is_seesaw else None),
+                dynamic=self._dynamic_init()),
             replicated(self.mesh))
         if self.param_rules:
             from iif_tpu.parallel.mesh import shard_pytree_by_rules
@@ -148,8 +179,16 @@ class DetectionTrainer:
 
         sp_mesh = self.mesh if spatial_size(self.mesh) > 1 else None
 
-        def loss_fn(params, batch_stats, fasa, mb, key):
+        def loss_fn(params, batch_stats, fasa, seesaw_cum, dynamic, mb,
+                    key):
             variables = {"params": params, "batch_stats": batch_stats}
+            if self.is_seesaw and seesaw_cum is not None:
+                import dataclasses as _dc
+
+                loss_cls_obj = _dc.replace(self.loss_cls,
+                                           cum_samples=seesaw_cum)
+            else:
+                loss_cls_obj = self.loss_cls
             if self.is_detr:
                 from iif_tpu.detection.detr import detr_loss
 
@@ -160,7 +199,16 @@ class DetectionTrainer:
                     single_stage_loss_fn,
                 )
 
+                ss_kw = {}
+                if getattr(self.train_cfg, "loss_kind", "focal") == "ghm":
+                    ss_kw["ghm_state"] = dynamic
                 total, losses, aux = single_stage_loss_fn(self.model)(
+                    self.model, variables, mb, key, self.train_cfg,
+                    **ss_kw)
+            elif self.is_cascade_rpn:
+                from iif_tpu.detection.cascade_rpn import cascade_rpn_loss
+
+                total, losses, aux = cascade_rpn_loss(
                     self.model, variables, mb, key, self.train_cfg)
             elif self.is_rpn_only:
                 from iif_tpu.detection.rpn_detector import rpn_only_loss
@@ -193,9 +241,9 @@ class DetectionTrainer:
                     epoch=1 if fasa_aug_on else 0, mesh=sp_mesh)
             else:
                 total, losses, aux = maskrcnn_loss(
-                    self.model, variables, mb, key, self.loss_cls,
+                    self.model, variables, mb, key, loss_cls_obj,
                     self.train_cfg, fasa_state=fasa,
-                    fasa_cfg=self.fasa_cfg,
+                    fasa_cfg=self.fasa_cfg, dynamic_state=dynamic,
                     epoch=1 if fasa_aug_on else 0, mesh=sp_mesh)
             return total, (losses, aux)
 
@@ -204,29 +252,36 @@ class DetectionTrainer:
         if n <= 1:
             key = jax.random.fold_in(self.base_rng, state.step)
             (total, (losses, aux)), grads = grad_fn(
-                state.params, state.batch_stats, state.fasa, batch, key)
+                state.params, state.batch_stats, state.fasa,
+                state.seesaw_cum, state.dynamic, batch, key)
             new_stats = aux["batch_stats"]
             new_fasa = aux.get("fasa_state", state.fasa)
+            new_cum = aux.get("seesaw_cum", state.seesaw_cum)
+            new_dyn = aux.get("dynamic_state", state.dynamic)
         else:
             micro = jax.tree_util.tree_map(
                 lambda x: x.reshape((n, x.shape[0] // n) + x.shape[1:]),
                 batch)
 
             def body(carry, xs):
-                acc, bstats, fasa = carry
+                acc, bstats, fasa, cum, dyn = carry
                 i, mb = xs
                 key = jax.random.fold_in(self.base_rng,
                                          state.step * n + i)
                 (t, (ls, aux)), g = grad_fn(state.params, bstats, fasa,
-                                            mb, key)
+                                            cum, dyn, mb, key)
                 acc = jax.tree_util.tree_map(jnp.add, acc, g)
                 return (acc, aux["batch_stats"],
-                        aux.get("fasa_state", fasa)), (t, ls)
+                        aux.get("fasa_state", fasa),
+                        aux.get("seesaw_cum", cum),
+                        aux.get("dynamic_state", dyn)), (t, ls)
 
             zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            (acc, new_stats, new_fasa), (totals, losses_seq) = \
+            (acc, new_stats, new_fasa, new_cum, new_dyn), \
+                (totals, losses_seq) = \
                 jax.lax.scan(body,
-                             (zeros, state.batch_stats, state.fasa),
+                             (zeros, state.batch_stats, state.fasa,
+                              state.seesaw_cum, state.dynamic),
                              (jnp.arange(n), micro))
             grads = jax.tree_util.tree_map(lambda g: g / n, acc)
             total = totals.mean()
@@ -238,7 +293,8 @@ class DetectionTrainer:
         new_params = optax.apply_updates(state.params, updates)
         new_state = DetTrainState(
             step=state.step + 1, params=new_params,
-            batch_stats=new_stats, opt_state=new_opt, fasa=new_fasa)
+            batch_stats=new_stats, opt_state=new_opt, fasa=new_fasa,
+            seesaw_cum=new_cum, dynamic=new_dyn)
         metrics = dict(losses)
         metrics["loss"] = total
         return new_state, metrics

@@ -131,3 +131,54 @@ def make_classifier_head(num_classes: int, use_norm: Optional[str]) -> nn.Module
     if use_norm in (None, "None", "", "linear"):
         return nn.Dense(num_classes, kernel_init=kaiming_normal, name="linear")
     raise ValueError(f"unknown classifier norm {use_norm!r}")
+
+
+class ConvWS(nn.Module):
+    """Weight-standardized conv (reference mmcv ``ConvWS2d``,
+    ``conv_cfg=dict(type='ConvWS')`` of configs/gn+ws): the kernel is
+    standardized over (kh, kw, cin) per output channel before the
+    convolution — zero-mean unit-variance filters that keep GN-trained
+    nets in the BN-free scratch/gn+ws recipes well-conditioned.
+
+    Call-compatible with the ``nn.Conv`` sites of the detection trunks
+    (strides / padding / feature_group_count / use_bias / dtype)."""
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: int = 1
+    padding: object = "SAME"
+    feature_group_count: int = 1
+    use_bias: bool = True
+    kernel_init: object = nn.initializers.lecun_normal()
+    bias_init: object = nn.initializers.zeros
+    dtype: object = None
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        kh, kw = self.kernel_size
+        cin = x.shape[-1] // self.feature_group_count
+        k = self.param("kernel", self.kernel_init,
+                       (kh, kw, cin, self.features))
+        mu = k.mean(axis=(0, 1, 2), keepdims=True)
+        var = k.var(axis=(0, 1, 2), keepdims=True)
+        k = (k - mu) * jax.lax.rsqrt(var + self.eps)
+        if self.dtype is not None:
+            k = k.astype(self.dtype)
+            x = x.astype(self.dtype)
+        s = (self.strides if isinstance(self.strides, (tuple, list))
+             else (self.strides, self.strides))
+        if isinstance(self.padding, int):
+            pad = ((self.padding, self.padding),) * 2
+        else:
+            pad = self.padding
+        y = jax.lax.conv_general_dilated(
+            x, k, window_strides=tuple(s), padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.feature_group_count)
+        if self.use_bias:
+            b = self.param("bias", self.bias_init, (self.features,))
+            y = y + b.astype(y.dtype)
+        return y

@@ -17,6 +17,7 @@ from __future__ import annotations
 from functools import partial
 from typing import List, Optional, Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -31,39 +32,62 @@ conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 BatchNorm = partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5)
 
 
+def make_norm(norm: str, train: bool, name: str, dtype=None,
+              zero_scale: bool = False):
+    """'bn' (default) or 'gn' (GroupNorm(32) — the reference's
+    ``norm_cfg=dict(type='GN', num_groups=32)`` of configs/gn,
+    configs/gn+ws and configs/scratch; GN has no running stats, so
+    norm_eval/frozen-stat semantics are moot)."""
+    si = (nn.initializers.zeros if zero_scale else nn.initializers.ones)
+    if norm == "gn":
+        return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=dtype,
+                            scale_init=si, name=name)
+    return BatchNorm(use_running_average=not train, dtype=dtype,
+                     scale_init=si, name=name)
+
+
+def make_conv(conv_ws: bool):
+    """nn.Conv, or the weight-standardized ConvWS of configs/gn+ws."""
+    if conv_ws:
+        from iif_tpu.models.layers import ConvWS
+
+        return ConvWS
+    return nn.Conv
+
+
 class BasicBlockV1(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
     use_se: bool = False
+    norm: str = "bn"
+    conv_ws: bool = False
     dtype: object = None
 
     expansion = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        Conv = make_conv(self.conv_ws)
         identity = x
-        out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
-                      use_bias=False, kernel_init=conv_init,
-                      dtype=self.dtype, name="conv1")(x)
-        out = BatchNorm(use_running_average=not train, dtype=self.dtype,
-                        name="bn1")(out)
+        out = Conv(self.planes, (3, 3), strides=self.stride, padding=1,
+                   use_bias=False, kernel_init=conv_init,
+                   dtype=self.dtype, name="conv1")(x)
+        out = make_norm(self.norm, train, "bn1", self.dtype)(out)
         out = nn.relu(out)
-        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
-                      kernel_init=conv_init, dtype=self.dtype,
-                      name="conv2")(out)
-        out = BatchNorm(use_running_average=not train,
-                        scale_init=nn.initializers.zeros,
-                        dtype=self.dtype, name="bn2")(out)
+        out = Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                   kernel_init=conv_init, dtype=self.dtype,
+                   name="conv2")(out)
+        out = make_norm(self.norm, train, "bn2", self.dtype,
+                        zero_scale=True)(out)
         if self.use_se:
             out = SEBlock(reduction=16, name="se")(out)
         if self.downsample:
-            identity = nn.Conv(self.planes, (1, 1), strides=self.stride,
-                               use_bias=False, kernel_init=conv_init,
-                               dtype=self.dtype, name="downsample_conv")(x)
-            identity = BatchNorm(use_running_average=not train,
-                                 dtype=self.dtype,
-                                 name="downsample_bn")(identity)
+            identity = Conv(self.planes, (1, 1), strides=self.stride,
+                            use_bias=False, kernel_init=conv_init,
+                            dtype=self.dtype, name="downsample_conv")(x)
+            identity = make_norm(self.norm, train, "downsample_bn",
+                                 self.dtype)(identity)
         return nn.relu(out + identity)
 
 
@@ -76,43 +100,64 @@ class Bottleneck(nn.Module):
     groups: int = 1
     base_width: int = 64
     use_se: bool = False
+    # deformable 3x3 (mmdet ResNet dcn=dict(type='DCN'/'DCNv2'),
+    # configs/dcn): the conv2 taps sample at learned offsets; the
+    # offset (+mask) conv is zero-initialized so training starts as a
+    # plain conv
+    dcn: str = ""                 # '' | 'dcn' | 'dcnv2'
+    norm: str = "bn"
+    conv_ws: bool = False
     dtype: object = None
 
     expansion = 4
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        Conv = make_conv(self.conv_ws)
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         identity = x
-        out = nn.Conv(width, (1, 1), use_bias=False, kernel_init=conv_init,
-                      dtype=self.dtype, name="conv1")(x)
-        out = BatchNorm(use_running_average=not train, dtype=self.dtype,
-                        name="bn1")(out)
+        out = Conv(width, (1, 1), use_bias=False, kernel_init=conv_init,
+                   dtype=self.dtype, name="conv1")(x)
+        out = make_norm(self.norm, train, "bn1", self.dtype)(out)
         out = nn.relu(out)
-        out = nn.Conv(width, (3, 3), strides=self.stride, padding=1,
-                      feature_group_count=self.groups, use_bias=False,
-                      kernel_init=conv_init, dtype=self.dtype,
-                      name="conv2")(out)
-        out = BatchNorm(use_running_average=not train, dtype=self.dtype,
-                        name="bn2")(out)
+        if self.dcn:
+            from iif_tpu.ops.deform import deform_conv2d
+
+            n_off = 27 if self.dcn == "dcnv2" else 18
+            off = nn.Conv(n_off, (3, 3), strides=self.stride, padding=1,
+                          kernel_init=nn.initializers.zeros,
+                          bias_init=nn.initializers.zeros,
+                          name="conv2_offset")(out.astype(jnp.float32))
+            offsets = off[..., :18].reshape(off.shape[:3] + (9, 2))
+            mod = (jax.nn.sigmoid(off[..., 18:])
+                   if self.dcn == "dcnv2" else None)
+            w2 = self.param("conv2_weight", conv_init,
+                            (3, 3, width, width))
+            out = deform_conv2d(out, offsets,
+                                w2.astype(out.dtype), modulation=mod,
+                                stride=self.stride)
+        else:
+            out = Conv(width, (3, 3), strides=self.stride, padding=1,
+                       feature_group_count=self.groups, use_bias=False,
+                       kernel_init=conv_init, dtype=self.dtype,
+                       name="conv2")(out)
+        out = make_norm(self.norm, train, "bn2", self.dtype)(out)
         out = nn.relu(out)
-        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
-                      kernel_init=conv_init, dtype=self.dtype,
-                      name="conv3")(out)
+        out = Conv(self.planes * self.expansion, (1, 1), use_bias=False,
+                   kernel_init=conv_init, dtype=self.dtype,
+                   name="conv3")(out)
         # zero-init last BN gamma (zero_init_residual, Goyal et al.)
-        out = BatchNorm(use_running_average=not train,
-                        scale_init=nn.initializers.zeros,
-                        dtype=self.dtype, name="bn3")(out)
+        out = make_norm(self.norm, train, "bn3", self.dtype,
+                        zero_scale=True)(out)
         if self.use_se:
             out = SEBlock(reduction=16, name="se")(out)
         if self.downsample:
-            identity = nn.Conv(self.planes * self.expansion, (1, 1),
-                               strides=self.stride, use_bias=False,
-                               kernel_init=conv_init, dtype=self.dtype,
-                               name="downsample_conv")(x)
-            identity = BatchNorm(use_running_average=not train,
-                                 dtype=self.dtype,
-                                 name="downsample_bn")(identity)
+            identity = Conv(self.planes * self.expansion, (1, 1),
+                            strides=self.stride, use_bias=False,
+                            kernel_init=conv_init, dtype=self.dtype,
+                            name="downsample_conv")(x)
+            identity = make_norm(self.norm, train, "downsample_bn",
+                                 self.dtype)(identity)
         return nn.relu(out + identity)
 
 
@@ -137,11 +182,18 @@ class ResNet(nn.Module):
     # mode even in train (running stats only, affine still trained).
     frozen_stages: int = -1
     norm_eval: bool = False
+    # per-stage deformable-conv flags, e.g. ('', 'dcn', 'dcn', 'dcn')
+    # (mmdet configs/dcn: stage_with_dcn=(False, True, True, True))
+    dcn_stages: Sequence[str] = ()
     dtype: object = None
     # rematerialize residual blocks in the backward (jax.checkpoint):
     # trades ~1/3 extra forward FLOPs for dropping per-block activations
     # — lets cascade-R101-class models fit larger per-chip batches
     remat: bool = False
+    # 'bn' | 'gn' trunk norm + weight-standardized convs (the reference's
+    # configs/gn, configs/gn+ws, configs/scratch recipes)
+    norm: str = "bn"
+    conv_ws: bool = False
 
     def stage_widths(self) -> List[int]:
         return [64, 128, 256, 512]
@@ -164,11 +216,10 @@ class ResNet(nn.Module):
             x = x.astype(self.dtype)
         # Stem: 7x7/2 + maxpool 3x3/2.
         stem_train = train and self.frozen_stages < 0 and not self.norm_eval
-        out = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                      kernel_init=conv_init, dtype=self.dtype,
-                      name="conv1")(x)
-        out = BatchNorm(use_running_average=not stem_train,
-                        dtype=self.dtype, name="bn1")(out)
+        out = make_conv(self.conv_ws)(
+            64, (7, 7), strides=2, padding=3, use_bias=False,
+            kernel_init=conv_init, dtype=self.dtype, name="conv1")(x)
+        out = make_norm(self.norm, stem_train, "bn1", self.dtype)(out)
         out = nn.relu(out)
         out = nn.max_pool(out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         if self.frozen_stages >= 0:
@@ -189,15 +240,19 @@ class ResNet(nn.Module):
                 if self.remat and stage > self.frozen_stages:
                     cls = nn.remat(block_cls, static_argnums=(2,))
                 if self.block == "bottleneck":
+                    dcn = (self.dcn_stages[stage - 1]
+                           if len(self.dcn_stages) >= stage else "")
                     blk = cls(
                         planes, stride if first else 1, downsample,
                         groups=self.groups, base_width=self.width_per_group,
-                        use_se=self.use_se, dtype=self.dtype,
+                        use_se=self.use_se, dcn=dcn, norm=self.norm,
+                        conv_ws=self.conv_ws, dtype=self.dtype,
                         name=f"layer{stage}_{i}")
                 else:
                     blk = cls(
                         planes, stride if first else 1, downsample,
-                        use_se=self.use_se, dtype=self.dtype,
+                        use_se=self.use_se, norm=self.norm,
+                        conv_ws=self.conv_ws, dtype=self.dtype,
                         name=f"layer{stage}_{i}")
                 out = blk(out, stage_train)
             if stage <= self.frozen_stages:

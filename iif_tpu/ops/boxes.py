@@ -34,6 +34,18 @@ def bbox_overlaps(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
     return inter / jnp.maximum(union, eps)
 
 
+def bbox_overlaps_aligned(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
+                          eps: float = 1e-6) -> jnp.ndarray:
+    """Row-aligned IoU, (N,) (mmdet ``bbox_overlaps(..., is_aligned=True)``)."""
+    lt = jnp.maximum(boxes1[:, :2], boxes2[:, :2])
+    rb = jnp.minimum(boxes1[:, 2:], boxes2[:, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[:, 0] * wh[:, 1]
+    area1 = (boxes1[:, 2] - boxes1[:, 0]) * (boxes1[:, 3] - boxes1[:, 1])
+    area2 = (boxes2[:, 2] - boxes2[:, 0]) * (boxes2[:, 3] - boxes2[:, 1])
+    return inter / jnp.maximum(area1 + area2 - inter, eps)
+
+
 def bbox2delta(proposals: jnp.ndarray, gt: jnp.ndarray,
                means: Sequence[float] = (0.0, 0.0, 0.0, 0.0),
                stds: Sequence[float] = (1.0, 1.0, 1.0, 1.0)) -> jnp.ndarray:

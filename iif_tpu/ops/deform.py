@@ -104,17 +104,20 @@ def point_sample(feat: jnp.ndarray,      # (B, H, W, C)
 
 
 def deform_conv2d(x: jnp.ndarray,        # (B, H, W, Cin)
-                  offsets: jnp.ndarray,  # (B, H, W, K, 2) (dy, dx) per tap
+                  offsets: jnp.ndarray,  # (B, Ho, Wo, K, 2) (dy, dx)/tap
                   weight: jnp.ndarray,   # (kh, kw, Cin, Cout)
                   bias: jnp.ndarray = None,
-                  modulation: jnp.ndarray = None,   # (B, H, W, K) DCNv2
-                  ) -> jnp.ndarray:      # (B, H, W, Cout)
+                  modulation: jnp.ndarray = None,   # (B, Ho, Wo, K) DCNv2
+                  stride: int = 1,
+                  ) -> jnp.ndarray:      # (B, Ho, Wo, Cout)
     """DeformConv2d (mmcv ``deform_conv2d`` /
-    ``modulated_deform_conv2d``, stride 1, pad k//2, dilation 1, one
-    offset group): each kernel tap samples at ``p + p_k + Δp_k``
-    bilinearly — DCNv2 additionally scales each tap by a sigmoid
-    ``modulation`` mask — then the taps contract with the kernel on the
-    MXU (one (BHW·K, Cin) x (Cin, Cout) einsum)."""
+    ``modulated_deform_conv2d``, pad k//2, dilation 1, one offset
+    group): each kernel tap samples at ``p + p_k + Δp_k`` bilinearly —
+    DCNv2 additionally scales each tap by a sigmoid ``modulation`` mask
+    — then the taps contract with the kernel on the MXU (one
+    (BHW·K, Cin) x (Cin, Cout) einsum). ``stride`` places the output
+    grid at every ``stride``-th input position (the first block of a
+    DCN ResNet stage)."""
     b, h, w, cin = x.shape
     kh, kw, _, cout = weight.shape
     k = kh * kw
@@ -122,8 +125,11 @@ def deform_conv2d(x: jnp.ndarray,        # (B, H, W, Cin)
                           jnp.arange(kw) - kw // 2, indexing="ij")
     ky = ky.reshape(-1).astype(x.dtype)
     kx = kx.reshape(-1).astype(x.dtype)
-    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=x.dtype),
-                          jnp.arange(w, dtype=x.dtype), indexing="ij")
+    ho = -(-h // stride)
+    wo = -(-w // stride)
+    yy, xx = jnp.meshgrid(
+        jnp.arange(ho, dtype=x.dtype) * stride,
+        jnp.arange(wo, dtype=x.dtype) * stride, indexing="ij")
 
     def _one(feat, off, mod):
         ys = yy[:, :, None] + ky[None, None] + off[..., 0]   # (H, W, K)

@@ -37,7 +37,7 @@ def test_config_builds_model(path):
     # loss cfg is well-formed
     lc = cfg.loss_cls
     assert lc["type"] in ("DetIIFLoss", "DetCrossEntropyLoss",
-                          "FocalLossDet")
+                          "FocalLossDet", "SeesawLoss")
     if lc["type"] == "DetIIFLoss" and lc.get("path") is None:
         from iif_tpu.detection.losses import compute_det_iif_from_counts
         import numpy as np
