@@ -1,0 +1,25 @@
+# attention '0010' + DCN c3-c5 (reference configs/empirical_attention/
+# faster_rcnn_r50_fpn_attention_0010_dcn_1x_coco.py).
+_base_ = [
+    "../_base_/models/mask_rcnn_r50_fpn.py",
+    "../_base_/datasets/lvis_v1_instance.py",
+    "../_base_/schedules/schedule_1x.py",
+    "../_base_/default_runtime.py",
+]
+model = dict(type="FasterRCNN", with_mask=False,
+             gen_attention="0010",
+             gen_attention_stages=(False, False, True, True),
+             dcn=("", "dcn", "dcn", "dcn"))
+data_root = "data/coco/"
+data = dict(
+    train=dict(type="CocoDataset",
+               ann_file=data_root + "annotations/instances_train2017.json",
+               img_prefix=data_root + "train2017/", oversample_thr=0.0),
+    val=dict(type="CocoDataset",
+             ann_file=data_root + "annotations/instances_val2017.json",
+             img_prefix=data_root + "val2017/"),
+    test=dict(type="CocoDataset",
+              ann_file=data_root + "annotations/instances_val2017.json",
+              img_prefix=data_root + "val2017/"),
+)
+evaluation = dict(interval=12, metric=["bbox"])

@@ -1,0 +1,25 @@
+# Feature Pyramid Grids neck (reference configs/fpg/mask_rcnn_r50_fpg_
+# crop640_50e_coco.py: 9 bottom-up pathways, staircase skip_inds).
+_base_ = [
+    "../_base_/models/mask_rcnn_r50_fpn.py",
+    "../_base_/datasets/lvis_v1_instance.py",
+    "../_base_/schedules/schedule_1x.py",
+    "../_base_/default_runtime.py",
+]
+model = dict(type="MaskRCNN", neck_type="fpg", with_mask=True)
+pipeline = dict(canvas=(640, 640), scales=[(640, 640)])
+data_root = "data/coco/"
+data = dict(
+    train=dict(type="CocoDataset",
+               ann_file=data_root + "annotations/instances_train2017.json",
+               img_prefix=data_root + "train2017/", oversample_thr=0.0),
+    val=dict(type="CocoDataset",
+             ann_file=data_root + "annotations/instances_val2017.json",
+             img_prefix=data_root + "val2017/"),
+    test=dict(type="CocoDataset",
+              ann_file=data_root + "annotations/instances_val2017.json",
+              img_prefix=data_root + "val2017/"),
+)
+runner = dict(max_epochs=50)
+lr_config = dict(milestones=[30, 40])
+evaluation = dict(interval=10, metric=["bbox", "segm"])

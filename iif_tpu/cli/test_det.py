@@ -334,6 +334,40 @@ def main():
                   {f"AR@{n}": round(float(a), 4)
                    for n, a in zip(nums, ar)})
             continue
+        if metric == "mAP":
+            # VOC protocol (reference VOCDataset.evaluate, voc.py:28-86:
+            # eval_map at IoU 0.5, '11points' for VOC2007 / 'area' else)
+            from iif_tpu.detection.voc_eval import eval_map
+
+            num_classes = len(test_ds.CLASSES)
+            id2idx = {rec["id"]: i for i, rec in
+                      enumerate(test_ds.img_infos)}
+            det_results = [[np.zeros((0, 5), np.float32)
+                            for _ in range(num_classes)]
+                           for _ in test_ds.img_infos]
+            for r in results:
+                i = id2idx.get(r["image_id"])
+                if i is None:
+                    continue
+                x, y, bw, bh = r["bbox"]
+                c = test_ds.cat2label[r["category_id"]]
+                det_results[i][c] = np.concatenate(
+                    [det_results[i][c],
+                     [[x, y, x + bw, y + bh, r["score"]]]]).astype(
+                    np.float32)
+            annotations = []
+            for idx in range(len(test_ds.img_infos)):
+                ann = test_ds.get_ann(idx)
+                annotations.append({"bboxes": ann["boxes"],
+                                    "labels": ann["labels"]})
+            mode = ("11points" if "VOC2007" in
+                    getattr(test_ds, "img_prefix", "") else "area")
+            m, per_cls = eval_map(det_results, annotations,
+                                  iou_thr=0.5, mode=mode)
+            print("mAP", round(m, 4),
+                  {test_ds.CLASSES[c]: round(r["ap"], 4)
+                   for c, r in enumerate(per_cls)})
+            continue
         res = ev.evaluate(results, "segm" if metric == "segm" else "bbox")
         print(metric, {k: round(v, 4) for k, v in res.items()})
 

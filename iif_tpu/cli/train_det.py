@@ -224,6 +224,29 @@ def main():
 
     from iif_tpu.parallel import detection_tp_rules
 
+    # LD: build + restore the frozen GFL teacher (configs/ld,
+    # kd_one_stage.py builds the teacher from teacher_config/teacher_ckpt)
+    teacher = None
+    if mtype == "LD":
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from iif_tpu.detection.gfl import GFL
+
+        tmodel = GFL(num_classes=num_classes,
+                     depth=cfg.model.get("teacher_depth", 101),
+                     compute_dtype=cfg.model.get("compute_dtype"))
+        tvars = _jax.jit(tmodel.init, static_argnums=2)(
+            _jax.random.PRNGKey(0),
+            _jnp.zeros((1,) + tuple(pipeline.canvas) + (3,),
+                       _jnp.float32), False)
+        tckpt = cfg.model.get("teacher_ckpt")
+        if tckpt:
+            from iif_tpu.utils.checkpoint import load_weights
+
+            tvars = load_weights(tckpt, template=tvars)
+        teacher = (tmodel, tvars)
+
     # grad_accum k: the global batch is split into k sequential
     # micro-batches inside one jitted step (reaches the reference's
     # global batch when it exceeds per-chip HBM, e.g. cascade R101 b8)
@@ -231,7 +254,8 @@ def main():
                                fasa_cfg=fasa_cfg, seed=seed,
                                param_rules=(detection_tp_rules()
                                             if tp > 1 else None),
-                               grad_accum=dcfg.get("grad_accum", 1))
+                               grad_accum=dcfg.get("grad_accum", 1),
+                               teacher=teacher)
     canvas = pipeline.canvas
     state = trainer.init_state((canvas[0], canvas[1], 3),
                                fasa_state=fasa_state, seed=seed)

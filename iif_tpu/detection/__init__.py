@@ -132,6 +132,16 @@ def build_detector(model_cfg: dict):
         for k in ("cls_predictor", "mask_predictor", "with_mask"):
             kw.pop(k, None)
         return RPNDetector(**kw), DetTrainCfg, DetTestCfg
+    if mtype == "LD":
+        # LD student = GFL; the frozen GFL teacher is built by the
+        # trainer CLI from model.teacher_* (kd_one_stage.py, configs/ld)
+        from iif_tpu.detection.gfl import GFL
+        from iif_tpu.detection.single_stage import SSTestCfg, SSTrainCfg
+
+        for k in ("cls_predictor", "mask_predictor", "teacher_depth",
+                  "teacher_ckpt"):
+            kw.pop(k, None)
+        return GFL(**kw), SSTrainCfg, SSTestCfg
     if mtype == "CascadeRPN":
         from iif_tpu.detection.cascade_rpn import CascadeRPN
 

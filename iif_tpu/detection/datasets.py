@@ -148,6 +148,119 @@ class CocoStyleDataset:
 DATASETS.register(name="CocoDataset", module=CocoStyleDataset)
 
 
+VOC_CLASSES = ("aeroplane", "bicycle", "bird", "boat", "bottle", "bus",
+               "car", "cat", "chair", "cow", "diningtable", "dog",
+               "horse", "motorbike", "person", "pottedplant", "sheep",
+               "sofa", "train", "tvmonitor")
+
+
+@DATASETS.register(name="VOCDataset")
+class VOCDataset(CocoStyleDataset):
+    """Pascal-VOC XML annotations (reference
+    ``mmdet/datasets/xml_style.py`` + ``voc.py``; configs/pascal_voc):
+    ``ann_file`` is an ImageSets split txt of image ids under
+    ``img_prefix`` (a VOCdevkit/VOC20xx directory). Parsed into the
+    same in-memory coco-style records as CocoStyleDataset, so the
+    pipeline/loader/evaluator run unchanged: boxes go 1-based -> 0-based
+    (xml_style.py:141), ``difficult`` objects become ignore regions
+    (crowd semantics, :131), images without any non-difficult object
+    are dropped when ``filter_empty_gt``."""
+
+    use_folder_tag = False
+
+    def __init__(self, ann_file: str, img_prefix: str = "",
+                 filter_empty_gt: bool = True, min_size: int = 32,
+                 classes=None, img_subdir: str = "JPEGImages",
+                 ann_subdir: str = "Annotations"):
+        import xml.etree.ElementTree as ET
+
+        self.img_prefix = img_prefix
+        self.lvis_style = False
+        self.CLASSES = list(classes or VOC_CLASSES)
+        self.cat_ids = list(range(1, len(self.CLASSES) + 1))
+        self.cat2label = {cid: i for i, cid in enumerate(self.cat_ids)}
+        name2cid = {n: cid for n, cid in zip(self.CLASSES, self.cat_ids)}
+        self.cat_image_counts = {cid: 0 for cid in self.cat_ids}
+        self.cat_frequency = {cid: None for cid in self.cat_ids}
+
+        with open(ann_file) as f:
+            ids = [line.strip() for line in f if line.strip()]
+        self.num_images_total = len(ids)
+
+        self.img_infos = []
+        ann_id = 0
+        for k, img_id in enumerate(ids):
+            xml_path = os.path.join(img_prefix, ann_subdir,
+                                    f"{img_id}.xml")
+            root = ET.parse(xml_path).getroot()
+            size = root.find("size")
+            w = int(size.find("width").text)
+            h = int(size.find("height").text)
+            anns = []
+            for obj in root.findall("object"):
+                name = obj.find("name").text
+                if name not in name2cid:
+                    continue
+                diff = obj.find("difficult")
+                diff = 0 if diff is None else int(diff.text)
+                bb = obj.find("bndbox")
+                x1 = float(bb.find("xmin").text) - 1
+                y1 = float(bb.find("ymin").text) - 1
+                x2 = float(bb.find("xmax").text) - 1
+                y2 = float(bb.find("ymax").text) - 1
+                bw, bh = x2 - x1, y2 - y1
+                # xml_style.py:131 ignores only `difficult` objects
+                # (its min_size box-ignore defaults to None/off)
+                ignore = diff
+                ann_id += 1
+                anns.append({"id": ann_id,
+                             "category_id": name2cid[name],
+                             "bbox": [x1, y1, bw, bh],
+                             "area": bw * bh,
+                             "iscrowd": int(bool(ignore)),
+                             "segmentation": None})
+            obj_fname = root.find("filename")
+            fname = (obj_fname.text if obj_fname is not None
+                     else f"{img_id}.jpg")
+            folder = root.find("folder")
+            if self.use_folder_tag and folder is not None:
+                # WIDER-Face xmls name the per-event folder
+                # (wider_face.py:36-42)
+                fname = os.path.join(folder.text, fname)
+            self.img_infos.append({
+                "id": k + 1,
+                "file_name": os.path.join(img_subdir, fname),
+                "width": w, "height": h,
+                "neg_category_ids": [],
+                "not_exhaustive_category_ids": [],
+                "anns": anns,
+            })
+
+        if filter_empty_gt:
+            self.img_infos = [
+                r for r in self.img_infos
+                if any(not a["iscrowd"] for a in r["anns"])
+                and min(r["width"], r["height"]) >= min_size]
+        self.flag = np.array(
+            [1 if r["width"] / r["height"] > 1 else 0
+             for r in self.img_infos], np.uint8)
+
+
+@DATASETS.register(name="WIDERFaceDataset")
+class WIDERFaceDataset(VOCDataset):
+    """WIDER-Face in its mmdet XML packaging (reference
+    ``mmdet/datasets/wider_face.py``; configs/wider_face): one 'face'
+    class, images under per-event folders named in the xml
+    ``folder`` tag."""
+
+    use_folder_tag = True
+
+    def __init__(self, ann_file: str, img_prefix: str = "", **kw):
+        kw.setdefault("classes", ("face",))
+        kw.setdefault("img_subdir", "WIDER_train/images")
+        super().__init__(ann_file, img_prefix, **kw)
+
+
 @DATASETS.register(name="LVISV1Dataset")
 class LVISV1Dataset(CocoStyleDataset):
     def __init__(self, ann_file: str, img_prefix: str = "", **kw):

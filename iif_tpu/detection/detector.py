@@ -124,6 +124,13 @@ class MaskRCNN(nn.Module):
     # trunk conv (configs/gn+ws 'gn_ws-all').
     norm: str = ""
     conv_ws: bool = False
+    # GCNet ContextBlock per-stage flags + ratio (configs/gcnet) and
+    # GeneralizedAttention per-stage flags + 4-bit type
+    # (configs/empirical_attention)
+    gcb: tuple = ()
+    gcb_ratio: float = 0.25
+    gen_attention: str = ""
+    gen_attention_stages: tuple = ()
     # extra shared convs before the bbox fcs: the gn/gn+ws recipes use
     # the 4conv1fc head (num_shared_convs=4, num_shared_fcs=1)
     bbox_head_convs: int = 0
@@ -135,6 +142,9 @@ class MaskRCNN(nn.Module):
             frozen_stages=self.frozen_stages, norm_eval=self.norm_eval,
             remat=self.backbone_remat, dcn=tuple(self.dcn),
             norm=self.norm, conv_ws=self.conv_ws,
+            gcb=tuple(self.gcb), gcb_ratio=self.gcb_ratio,
+            gen_attention=self.gen_attention,
+            gen_attention_stages=tuple(self.gen_attention_stages),
             dtype=self.compute_dtype)
         if self.neck_type == "pafpn":
             from iif_tpu.detection.necks import PAFPN
@@ -156,6 +166,11 @@ class MaskRCNN(nn.Module):
 
             self.neck = FPNCarafe(out_channels=256, num_outs=5,
                                   dtype=self.compute_dtype, name="neck")
+        elif self.neck_type == "fpg":
+            from iif_tpu.detection.necks import FPG
+
+            self.neck = FPG(out_channels=256, num_outs=5,
+                            dtype=self.compute_dtype, name="neck")
         elif self.neck_type == "bfp":
             from iif_tpu.detection.necks import BFP
 
@@ -328,6 +343,9 @@ def build_backbone(backbone_type: str, depth: int = 50,
                    frozen_stages: int = 1, norm_eval: bool = True,
                    remat: bool = False, dcn: tuple = (),
                    norm: str = "bn", conv_ws: bool = False,
+                   gcb: tuple = (), gcb_ratio: float = 0.25,
+                   gen_attention: str = "",
+                   gen_attention_stages: tuple = (),
                    dtype=None, name: str = "backbone"):
     """Backbone registry shared by every detector body (the reference's
     ``build_backbone``, mmdet/models/builder.py): 'resnet' (+
@@ -381,6 +399,9 @@ def build_backbone(backbone_type: str, depth: int = 50,
                   width_per_group=base_width, frozen_stages=frozen_stages,
                   norm_eval=norm_eval, remat=remat,
                   norm=norm or "bn", conv_ws=conv_ws,
+                  gcb_stages=tuple(gcb), gcb_ratio=gcb_ratio,
+                  gen_attention=gen_attention or "1111",
+                  gen_attention_stages=tuple(gen_attention_stages),
                   dcn_stages=tuple(dcn), dtype=dtype, name=name)
 
 

@@ -368,3 +368,87 @@ class FPNCarafe(nn.Module):
         while len(outs) < self.num_outs:
             outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
         return tuple(outs)
+
+
+class FPG(nn.Module):
+    """Feature Pyramid Grids (``mmdet/models/necks/fpg.py``, config
+    ``configs/fpg/*_r50_fpg_crop640_50e_coco.py``): ``stack_times``
+    bottom-up pathways over a grid of per-level transitions —
+    same-stage up (act-conv/2-norm), across-lateral (act-conv1-norm),
+    across-down (nearest-2x-up + act-conv3-norm), and an identity-stage
+    skip (act-conv1-norm from the lateral feats) — each level joining a
+    pathway on the staircase schedule ``skip_inds``; per-level
+    act-conv3-norm output transitions.
+
+    TPU delta: the neck's BN is a stateless LayerNorm (this repo's
+    NASFPN convention — BN on the SPMD mesh is cross-replica-exact
+    already, and stateless norms keep the neck free of mutable
+    collections)."""
+
+    out_channels: int = 256
+    num_outs: int = 5
+    stack_times: int = 9
+    # reference config skip_inds: level j passes through the first
+    # len(skip_inds[j]) pathways
+    skip_inds: tuple = ((0, 1, 2, 3), (0, 1, 2), (0, 1), (0,), ())
+    # retinanet_r50_fpg: start_level=1 (C3-C5) + stride-2 conv extras
+    start_level: int = 0
+    add_extra_convs: bool = False
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray]
+                 ) -> Tuple[jnp.ndarray, ...]:
+        inputs = list(inputs)[self.start_level:]
+        oc = self.out_channels
+
+        def acn(x, k, stride, name):
+            """order=('act','conv','norm') ConvModule."""
+            x = nn.relu(x)
+            x = nn.Conv(oc, (k, k), strides=stride, padding=k // 2,
+                        kernel_init=xavier_uniform, dtype=self.dtype,
+                        name=f"{name}_conv")(x)
+            return nn.LayerNorm(name=f"{name}_ln")(x)
+
+        feats = [nn.Conv(oc, (1, 1), kernel_init=xavier_uniform,
+                         dtype=self.dtype, name=f"lateral_{i}")(x)
+                 for i, x in enumerate(inputs)]
+        extra_i = 0
+        while len(feats) < self.num_outs:
+            f = feats[-1]
+            if self.add_extra_convs:
+                feats.append(nn.Conv(
+                    oc, (3, 3), strides=(2, 2), padding=1,
+                    kernel_init=xavier_uniform, dtype=self.dtype,
+                    name=f"extra_{extra_i}")(f))
+                extra_i += 1
+            else:
+                ph, pw = f.shape[1] % 2, f.shape[2] % 2
+                feats.append(nn.max_pool(f, (1, 1), strides=(2, 2),
+                                         padding=((0, ph), (0, pw))))
+
+        outs = [feats]
+        for s in range(self.stack_times):
+            cur = outs[-1]
+            nxt = []
+            for lvl in range(self.num_outs):
+                if s in self.skip_inds[lvl]:
+                    nxt.append(cur[lvl])
+                    continue
+                total = acn(cur[lvl], 1, 1, f"s{s}_l{lvl}_lat")
+                if lvl > 0:               # same-stage up (this pathway)
+                    total = total + acn(nxt[-1], 3, 2,
+                                        f"s{s}_l{lvl}_same_up")
+                if lvl < self.num_outs - 1:   # across-down: coarser, up
+                    c = cur[lvl + 1]
+                    th, tw = total.shape[1:3]
+                    up = jax.image.resize(
+                        c, (c.shape[0], th, tw, c.shape[-1]), "nearest")
+                    total = total + acn(up, 3, 1, f"s{s}_l{lvl}_down")
+                total = total + acn(outs[0][lvl], 1, 1,
+                                    f"s{s}_l{lvl}_skip")
+                nxt.append(total)
+            outs.append(nxt)
+
+        return tuple(acn(outs[-1][i], 3, 1, f"out_{i}")
+                     for i in range(self.num_outs))

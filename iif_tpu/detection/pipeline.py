@@ -148,6 +148,77 @@ class CutOut:
         return sample
 
 
+class InstaBoost:
+    """Instance-level paste jitter (the reference pipeline's
+    ``InstaBoost`` wrapper around the ``instaboostfast`` package,
+    ``mmdet/datasets/pipelines/instaboost.py``; config
+    ``configs/instaboost``: action_prob (1,0,0) = 'normal' only,
+    scale (0.8,1.2), dx/dy 15, theta (-1,1), aug_ratio 0.5).
+
+    Native rebuild of the package's 'normal' action: each augmented
+    instance is cut out by its mask, the hole is inpainted
+    (cv2.INPAINT_TELEA), and the patch is re-pasted under a small
+    random similarity transform; box and mask move with it. The
+    paper's appearance-consistency heatmap (which biases WHERE to
+    paste) is approximated by the local jitter the shipped config uses
+    in practice — identity action with +-15 px translation."""
+
+    def __init__(self, action_candidate=("normal", "horizontal", "skip"),
+                 action_prob=(1, 0, 0), scale=(0.8, 1.2), dx=15, dy=15,
+                 theta=(-1, 1), color_prob=0.5, hflag=False,
+                 aug_ratio=0.5):
+        self.scale = tuple(scale)
+        self.dx = dx
+        self.dy = dy
+        self.theta = tuple(theta)
+        self.aug_ratio = aug_ratio
+        # action/color/heatmap knobs accepted for config parity; the
+        # shipped configs only exercise the 'normal' action
+        self.action_candidate = tuple(action_candidate)
+        self.action_prob = tuple(action_prob)
+
+    def __call__(self, sample: Dict, rng: np.random.RandomState) -> Dict:
+        import cv2
+
+        if sample.get("masks") is None or rng.rand() > self.aug_ratio:
+            return sample
+        img = np.clip(sample["image"], 0, 255).astype(np.uint8).copy()
+        h, w = img.shape[:2]
+        boxes = sample["boxes"].copy()
+        masks = sample["masks"].copy()
+        for i in range(len(boxes)):
+            m = masks[i].astype(np.uint8)
+            if m.sum() < 16 or rng.rand() > 0.5:
+                continue
+            # cut + inpaint the hole
+            patch = img * m[..., None]
+            img = cv2.inpaint(img, m * 255, 3, cv2.INPAINT_TELEA)
+            # similarity transform around the instance center
+            x1, y1, x2, y2 = boxes[i]
+            cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+            s = rng.uniform(*self.scale)
+            ang = rng.uniform(*self.theta)
+            tx = rng.randint(-self.dx, self.dx + 1)
+            ty = rng.randint(-self.dy, self.dy + 1)
+            mat = cv2.getRotationMatrix2D((float(cx), float(cy)), ang, s)
+            mat[0, 2] += tx
+            mat[1, 2] += ty
+            warped = cv2.warpAffine(patch, mat, (w, h))
+            m_w = cv2.warpAffine(m, mat, (w, h),
+                                 flags=cv2.INTER_NEAREST)
+            ys, xs = np.nonzero(m_w)
+            if len(ys) < 16:          # jittered out of the image: keep
+                img = np.where(m[..., None] > 0, patch, img)
+                continue
+            img = np.where(m_w[..., None] > 0, warped, img)
+            masks[i] = m_w
+            boxes[i] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+        sample["image"] = img.astype(sample["image"].dtype)
+        sample["boxes"] = boxes
+        sample["masks"] = masks
+        return sample
+
+
 class Albu:
     """Adapter running an albumentations pipeline when the (optional)
     package is importable — the reference's ``Albu`` wrapper surface."""
@@ -390,6 +461,7 @@ EXTRA_TRANSFORMS = {
     "RandomCrop": RandomCrop,
     "CutOut": CutOut,
     "Albu": Albu,
+    "InstaBoost": InstaBoost,
     "Mosaic": Mosaic,
     "MixUp": DetMixUp,
     "RandomAffine": RandomAffine,

@@ -294,6 +294,14 @@ class RetinaNet(_SingleStageBase):
             self.neck = NASFPN(out_channels=256, num_outs=5,
                                start_level=1,
                                dtype=self.compute_dtype, name="neck")
+        elif self.neck_type == "fpg":
+            # reference configs/fpg/retinanet_r50_fpg_crop640_50e_coco.py
+            # (C3-C5 + stride-2 conv extras -> P3-P7)
+            from iif_tpu.detection.necks import FPG
+
+            self.neck = FPG(out_channels=256, num_outs=5,
+                            start_level=1, add_extra_convs=True,
+                            dtype=self.compute_dtype, name="neck")
         else:
             self.neck = FPN(out_channels=256, num_outs=5, start_level=1,
                             add_extra_convs="on_input",

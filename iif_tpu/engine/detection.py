@@ -67,6 +67,7 @@ class DetectionTrainer:
         seed: int = 0,
         param_rules=None,
         grad_accum: int = 1,
+        teacher=None,   # (GFL model, frozen variables) -> LD training
     ):
         from iif_tpu.detection.detr import DETR
         from iif_tpu.detection.rpn_detector import RPNDetector
@@ -90,6 +91,7 @@ class DetectionTrainer:
 
         self.is_cascade_rpn = isinstance(model, CascadeRPN)
         self.is_rpn_only = isinstance(model, RPNDetector)
+        self.teacher_model, self.teacher_vars = teacher or (None, None)
         self.is_trident = isinstance(model, TridentFasterRCNN)
         # cascade stages share one loss object unless per-stage losses are
         # given (the reference builds one FasaIIFLoss per stage from the
@@ -194,6 +196,14 @@ class DetectionTrainer:
 
                 total, losses, aux = detr_loss(
                     self.model, variables, mb, key, self.train_cfg)
+            elif self.teacher_model is not None:
+                # LD: GFL student distilled from a frozen GFL teacher
+                # (kd_one_stage.py; configs/ld)
+                from iif_tpu.detection.kd import ld_loss
+
+                total, losses, aux = ld_loss(
+                    self.model, variables, self.teacher_model,
+                    self.teacher_vars, mb, key, self.train_cfg)
             elif self.is_single_stage:
                 from iif_tpu.detection.single_stage import (
                     single_stage_loss_fn,

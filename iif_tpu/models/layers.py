@@ -182,3 +182,121 @@ class ConvWS(nn.Module):
             b = self.param("bias", self.bias_init, (self.features,))
             y = y + b.astype(y.dtype)
         return y
+
+
+class ContextBlock(nn.Module):
+    """GCNet global-context block (reference mmcv
+    ``cnn/bricks/context_block.py``, used via backbone ``plugins`` in
+    configs/gcnet — e.g. ``ContextBlock(ratio=1/4)`` after conv3 of
+    C3-C5): attention-pooled global context, squeezed through a
+    LayerNorm'd bottleneck, added back per channel. The final projection
+    is zero-initialized so the block starts as identity."""
+
+    ratio: float = 0.25
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        b, h, w, c = x.shape
+        planes = max(int(c * self.ratio), 1)
+        # spatial attention pooling (pooling_type='att')
+        mask = nn.Conv(1, (1, 1), kernel_init=kaiming_normal,
+                       name="conv_mask")(x.astype(jnp.float32))
+        attn = jax.nn.softmax(mask.reshape(b, h * w), axis=1)
+        ctx = jnp.einsum("bnc,bn->bc",
+                         x.reshape(b, h * w, c).astype(jnp.float32), attn)
+        # channel_add branch: conv -> LN -> relu -> conv(zero-init)
+        t = nn.Dense(planes, name="ca_fc1")(ctx)
+        t = nn.LayerNorm(name="ca_ln")(t)
+        t = nn.relu(t)
+        t = nn.Dense(c, kernel_init=nn.initializers.zeros,
+                     name="ca_fc2")(t)
+        return x + t[:, None, None, :].astype(x.dtype)
+
+
+class GeneralizedAttention(nn.Module):
+    """Empirical-attention block (reference mmcv
+    ``cnn/bricks/generalized_attention.py``, backbone plugin of
+    configs/empirical_attention; "An Empirical Study of Spatial
+    Attention Mechanisms", Zhu et al. 2019).
+
+    ``attention_type`` is the paper's 4-bit mask over energy terms:
+    (0) query-content x key-content, (1) query-content x relative
+    position, (2) key-content saliency, (3) relative-position bias.
+    The shipped configs use '0010' (key saliency only) and '1111'.
+    Multi-head (8), key/value stride 2; relative positions enter
+    through a sinusoidal embedding projected per head — every term is
+    a batched MXU matmul. Output projection is zero-initialized so the
+    residual starts as identity."""
+
+    attention_type: str = "1111"
+    num_heads: int = 8
+    kv_stride: int = 2
+    pos_dim: int = 64
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+        import numpy as np
+
+        b, h, w, c = x.shape
+        heads = self.num_heads
+        dh = max(c // heads, 1)
+        use = [t == "1" for t in self.attention_type]
+
+        kv = x[:, ::self.kv_stride, ::self.kv_stride, :]
+        hk, wk = kv.shape[1:3]
+        n_q, n_k = h * w, hk * wk
+
+        q = nn.Conv(heads * dh, (1, 1), use_bias=False,
+                    kernel_init=kaiming_normal, name="query_conv")(
+            x.astype(jnp.float32)).reshape(b, n_q, heads, dh)
+        k = nn.Conv(heads * dh, (1, 1), use_bias=False,
+                    kernel_init=kaiming_normal, name="key_conv")(
+            kv.astype(jnp.float32)).reshape(b, n_k, heads, dh)
+        v = nn.Conv(heads * dh, (1, 1), use_bias=False,
+                    kernel_init=kaiming_normal, name="value_conv")(
+            kv.astype(jnp.float32)).reshape(b, n_k, heads, dh)
+
+        energy = jnp.zeros((b, heads, n_q, n_k), jnp.float32)
+        scale = 1.0 / np.sqrt(dh)
+        if use[0]:
+            energy = energy + jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        if use[2]:
+            key_bias = nn.Conv(heads, (1, 1), use_bias=False,
+                               kernel_init=kaiming_normal,
+                               name="appr_bias_conv")(
+                kv.astype(jnp.float32)).reshape(b, n_k, heads)
+            energy = energy + key_bias.transpose(0, 2, 1)[:, :, None, :]
+        if use[1] or use[3]:
+            # sinusoidal embedding of relative (dy, dx) in key-grid units
+            qy = jnp.arange(h)[:, None].repeat(w, 1).reshape(-1)
+            qx = jnp.arange(w)[None].repeat(h, 0).reshape(-1)
+            ky = jnp.arange(hk)[:, None].repeat(wk, 1).reshape(-1)
+            kx = jnp.arange(wk)[None].repeat(hk, 0).reshape(-1)
+            dy = qy[:, None] / self.kv_stride - ky[None, :]   # (n_q, n_k)
+            dx = qx[:, None] / self.kv_stride - kx[None, :]
+            half = self.pos_dim // 4
+            freq = jnp.exp(-jnp.arange(half) * (np.log(100.0) / half))
+            emb = jnp.concatenate(
+                [jnp.sin(dy[..., None] * freq), jnp.cos(dy[..., None] * freq),
+                 jnp.sin(dx[..., None] * freq), jnp.cos(dx[..., None] * freq)],
+                axis=-1)                                     # (n_q,n_k,P)
+            if use[1]:
+                pos_k = nn.Dense(heads * dh, use_bias=False,
+                                 name="pos_proj")(emb).reshape(
+                    n_q, n_k, heads, dh)
+                energy = energy + jnp.einsum(
+                    "bqhd,qkhd->bhqk", q, pos_k) * scale
+            if use[3]:
+                pos_bias = nn.Dense(heads, use_bias=False,
+                                    name="pos_bias_proj")(emb)  # (q,k,h)
+                energy = energy + pos_bias.transpose(2, 0, 1)[None]
+
+        attn = jax.nn.softmax(energy, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h, w,
+                                                             heads * dh)
+        out = nn.Conv(c, (1, 1), kernel_init=nn.initializers.zeros,
+                      name="proj_conv")(out)
+        return x + out.astype(x.dtype)

@@ -107,6 +107,12 @@ class Bottleneck(nn.Module):
     dcn: str = ""                 # '' | 'dcn' | 'dcnv2'
     norm: str = "bn"
     conv_ws: bool = False
+    # backbone plugins (mmdet ResNet ``plugins``): GCNet ContextBlock
+    # after conv3 (configs/gcnet, ratio 1/4 or 1/16) and
+    # GeneralizedAttention after conv2 (configs/empirical_attention,
+    # '0010'/'1111')
+    gcb_ratio: float = 0.0        # 0 = off
+    gen_attention: str = ""       # '' | '0010' | '1111'
     dtype: object = None
 
     expansion = 4
@@ -143,12 +149,22 @@ class Bottleneck(nn.Module):
                        name="conv2")(out)
         out = make_norm(self.norm, train, "bn2", self.dtype)(out)
         out = nn.relu(out)
+        if self.gen_attention:
+            from iif_tpu.models.layers import GeneralizedAttention
+
+            out = GeneralizedAttention(
+                attention_type=self.gen_attention,
+                name="gen_attention")(out)
         out = Conv(self.planes * self.expansion, (1, 1), use_bias=False,
                    kernel_init=conv_init, dtype=self.dtype,
                    name="conv3")(out)
         # zero-init last BN gamma (zero_init_residual, Goyal et al.)
         out = make_norm(self.norm, train, "bn3", self.dtype,
                         zero_scale=True)(out)
+        if self.gcb_ratio:
+            from iif_tpu.models.layers import ContextBlock
+
+            out = ContextBlock(ratio=self.gcb_ratio, name="gcb")(out)
         if self.use_se:
             out = SEBlock(reduction=16, name="se")(out)
         if self.downsample:
@@ -194,6 +210,13 @@ class ResNet(nn.Module):
     # configs/gn, configs/gn+ws, configs/scratch recipes)
     norm: str = "bn"
     conv_ws: bool = False
+    # per-stage plugin flags (mmdet ``plugins`` stages tuples):
+    # GCNet ContextBlock (configs/gcnet c3-c5) and GeneralizedAttention
+    # (configs/empirical_attention)
+    gcb_stages: Sequence[bool] = ()
+    gcb_ratio: float = 0.25
+    gen_attention_stages: Sequence[bool] = ()
+    gen_attention: str = "1111"
 
     def stage_widths(self) -> List[int]:
         return [64, 128, 256, 512]
@@ -242,11 +265,18 @@ class ResNet(nn.Module):
                 if self.block == "bottleneck":
                     dcn = (self.dcn_stages[stage - 1]
                            if len(self.dcn_stages) >= stage else "")
+                    gcb = (self.gcb_ratio
+                           if len(self.gcb_stages) >= stage
+                           and self.gcb_stages[stage - 1] else 0.0)
+                    ga = (self.gen_attention
+                          if len(self.gen_attention_stages) >= stage
+                          and self.gen_attention_stages[stage - 1] else "")
                     blk = cls(
                         planes, stride if first else 1, downsample,
                         groups=self.groups, base_width=self.width_per_group,
                         use_se=self.use_se, dcn=dcn, norm=self.norm,
-                        conv_ws=self.conv_ws, dtype=self.dtype,
+                        conv_ws=self.conv_ws, gcb_ratio=gcb,
+                        gen_attention=ga, dtype=self.dtype,
                         name=f"layer{stage}_{i}")
                 else:
                     blk = cls(

@@ -592,3 +592,83 @@ def test_detection_loader_prefetch_deterministic(tmp_path):
                             num_workers=2, prefetch=3)
     with pytest.raises(FileNotFoundError):
         list(l_bad)
+
+
+def test_instaboost_moves_instance_consistently():
+    """InstaBoost keeps box == tight bbox of the warped mask and leaves
+    the sample untouched when no masks are present."""
+    import numpy as np
+
+    from iif_tpu.detection.pipeline import InstaBoost
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 255, (80, 80, 3)).astype(np.float32)
+    mask = np.zeros((80, 80), np.uint8)
+    mask[20:40, 25:45] = 1
+    s = {"image": img, "boxes": np.array([[25., 20., 45., 40.]]),
+         "labels": np.array([0]), "masks": mask[None]}
+    t = InstaBoost(aug_ratio=1.0)
+    moved = False
+    for seed in range(8):
+        out = t({k: (v.copy() if hasattr(v, "copy") else v)
+                 for k, v in s.items()}, np.random.RandomState(seed))
+        ys, xs = np.nonzero(out["masks"][0])
+        if len(ys):
+            np.testing.assert_array_equal(
+                out["boxes"][0],
+                [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1])
+        if not np.array_equal(out["boxes"], s["boxes"]):
+            moved = True
+    assert moved                     # some seed actually augmented
+
+    no_mask = {"image": img.copy(), "boxes": s["boxes"].copy(),
+               "labels": s["labels"], "masks": None}
+    out = InstaBoost(aug_ratio=1.0)(no_mask, np.random.RandomState(0))
+    np.testing.assert_array_equal(out["boxes"], s["boxes"])
+
+
+def test_voc_xml_dataset(tmp_path):
+    """VOCDataset parses XML splits into coco-style records: 1-based ->
+    0-based boxes, difficult -> ignore (crowd), folder tag for
+    WIDER-Face."""
+    import os
+
+    import numpy as np
+
+    from iif_tpu.detection.datasets import VOCDataset, WIDERFaceDataset
+
+    ann_dir = tmp_path / "Annotations"
+    os.makedirs(ann_dir)
+    xml = """<annotation><folder>ev0</folder>
+    <filename>{name}.jpg</filename>
+    <size><width>100</width><height>80</height><depth>3</depth></size>
+    <object><name>dog</name><difficult>0</difficult>
+      <bndbox><xmin>11</xmin><ymin>21</ymin><xmax>51</xmax>
+      <ymax>61</ymax></bndbox></object>
+    <object><name>cat</name><difficult>1</difficult>
+      <bndbox><xmin>1</xmin><ymin>1</ymin><xmax>31</xmax>
+      <ymax>31</ymax></bndbox></object>
+    <object><name>unknown</name>
+      <bndbox><xmin>1</xmin><ymin>1</ymin><xmax>9</xmax>
+      <ymax>9</ymax></bndbox></object>
+    </annotation>"""
+    for name in ("im0", "im1"):
+        (ann_dir / f"{name}.xml").write_text(xml.format(name=name))
+    split = tmp_path / "trainval.txt"
+    split.write_text("im0\nim1\n")
+
+    ds = VOCDataset(str(split), img_prefix=str(tmp_path))
+    assert len(ds) == 2 and len(ds.CLASSES) == 20
+    ann = ds.get_ann(0)
+    np.testing.assert_allclose(ann["boxes"], [[10, 20, 50, 60]])
+    assert ds.CLASSES[int(ann["labels"][0])] == "dog"
+    # difficult object became an ignore (crowd) region
+    np.testing.assert_allclose(ann["crowd_boxes"], [[0, 0, 30, 30]])
+    assert ds.img_infos[0]["file_name"].endswith("JPEGImages/im0.jpg")
+    counts = ds.class_instance_counts()
+    assert counts[ds.CLASSES.index("dog")] == 2 and counts.sum() == 2
+
+    wf = WIDERFaceDataset(str(split), img_prefix=str(tmp_path),
+                          filter_empty_gt=False)
+    assert wf.CLASSES == ["face"]
+    assert "ev0/im0.jpg" in wf.img_infos[0]["file_name"]

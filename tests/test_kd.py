@@ -87,3 +87,29 @@ def test_ld_loss_runs_and_grads_only_student():
     _, losses_self, _ = ld_loss(student, sv, student, sv, batch,
                                 jax.random.PRNGKey(0))
     assert float(losses_self["loss_ld"]) < 1e-5
+
+
+def test_ld_through_trainer(mesh):
+    """configs/ld path: DetectionTrainer(teacher=...) trains the GFL
+    student with the distillation loss; the teacher stays frozen."""
+    import optax
+
+    from iif_tpu.detection.single_stage import SSTrainCfg
+    from iif_tpu.engine.detection import DetectionTrainer
+
+    student = GFL(num_classes=NUM_CLASSES, depth=18, frozen_stages=-1)
+    teacher = GFL(num_classes=NUM_CLASSES, depth=18, frozen_stages=-1)
+    tvars = jax.jit(teacher.init, static_argnums=2)(
+        jax.random.PRNGKey(7), jnp.zeros((1, H, W, 3), jnp.float32),
+        False)
+    trainer = DetectionTrainer(student, None,
+                               optax.sgd(0.005, momentum=0.9), mesh,
+                               SSTrainCfg(), teacher=(teacher, tvars))
+    state = trainer.init_state((H, W, 3))
+    batch = _demo_inputs(b=1)
+    state, m0 = trainer._train_step(state, batch)
+    for _ in range(5):
+        state, m = trainer._train_step(state, batch)
+    assert "loss_ld" in m or any("ld" in k for k in m)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) < float(m0["loss"])
