@@ -1,0 +1,82 @@
+"""Sequential on-TPU learning validation across detector families.
+
+Runs ``overfit_retinanet.py``'s harness (synthetic bright-square COCO
+dataset, smoke-scale config, real train CLI -> real test CLI) for each
+requested family, captures the final bbox AP from the eval output, and
+writes a summary table to ``--out`` (markdown) so the results are
+recordable in docs/validation.md.
+
+Families already TPU-validated elsewhere (MaskRCNN/Cascade overfit
+harnesses) are not re-run here.
+
+Usage:
+  python scripts/validate_families.py [--models ATSS,GFL,...]
+  python scripts/validate_families.py --models all --epochs 30
+"""
+import argparse
+import os
+import re
+import subprocess
+import sys
+import time
+
+ALL = ["RetinaNet", "FCOS", "ATSS", "GFL", "FSAF", "FOVEA", "YOLOF",
+       "RepPointsDetector", "VFNet", "AutoAssign", "NASFCOS", "PAA",
+       "YOLOX", "YOLOV3", "CenterNet", "DETR", "SparseRCNN",
+       "DeformableDETR"]
+
+
+def run_one(model, epochs, batch):
+    root = f"/tmp/family_overfit/{model}"
+    os.makedirs(root, exist_ok=True)
+    t0 = time.time()
+    p = subprocess.run(
+        [sys.executable, "scripts/overfit_retinanet.py", "--model", model,
+         "--root", root, "--epochs", str(epochs), "--batch", str(batch)],
+        cwd="/root/repo", capture_output=True, text=True, timeout=3600)
+    dt = time.time() - t0
+    out = p.stdout + p.stderr
+    # the test CLI prints: bbox {'AP': 0.825, 'AP50': ..., ...}
+    ap = None
+    m_ = re.search(r"bbox \{[^}]*'AP': ([0-9.eE+-]+)", out)
+    if m_:
+        ap = float(m_.group(1))
+    return {"model": model, "ok": p.returncode == 0, "bbox_ap": ap,
+            "wall_s": round(dt, 1),
+            "tail": out[-1200:] if p.returncode != 0 else ""}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", default="all")
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--out", default="/tmp/family_overfit/summary.md")
+    args = ap.parse_args()
+    models = ALL if args.models == "all" else args.models.split(",")
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    rows = []
+    for m in models:
+        try:
+            r = run_one(m, args.epochs, args.batch)
+        except subprocess.TimeoutExpired:
+            r = {"model": m, "ok": False, "bbox_ap": None,
+                 "wall_s": 3600.0, "tail": "TIMEOUT"}
+        rows.append(r)
+        print(f"{m}: ok={r['ok']} bbox_ap={r['bbox_ap']} "
+              f"({r['wall_s']}s)", flush=True)
+        if not r["ok"]:
+            print(r["tail"], flush=True)
+        with open(args.out, "w") as f:
+            f.write("| family | bbox AP (30-ep overfit) | wall (s) |\n"
+                    "|---|---|---|\n")
+            for r2 in rows:
+                ap_s = ("%.3f" % r2["bbox_ap"]
+                        if r2["bbox_ap"] is not None else
+                        ("FAIL" if not r2["ok"] else "n/a"))
+                f.write(f"| {r2['model']} | {ap_s} | {r2['wall_s']} |\n")
+
+
+if __name__ == "__main__":
+    main()
