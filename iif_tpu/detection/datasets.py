@@ -267,6 +267,32 @@ class LVISV1Dataset(CocoStyleDataset):
         super().__init__(ann_file, img_prefix, lvis_style=True, **kw)
 
 
+@DATASETS.register(name="CityscapesDataset")
+class CityscapesDataset(CocoStyleDataset):
+    """Cityscapes instance segmentation via its instancesonly COCO json
+    (reference ``mmdet/datasets/cityscapes.py``: 8 instance classes,
+    all-crowd images filtered — the base filter already requires a
+    non-crowd annotation). Produce the json from raw gtFine with
+    ``python -m iif_tpu.cli.convert cityscapes``."""
+
+    CITYSCAPES_CLASSES = ("person", "rider", "car", "truck", "bus",
+                          "train", "motorcycle", "bicycle")
+
+    def __init__(self, ann_file: str, img_prefix: str = "", **kw):
+        super().__init__(ann_file, img_prefix, **kw)
+        if tuple(self.CLASSES) != self.CITYSCAPES_CLASSES:
+            raise ValueError(
+                "not a cityscapes instancesonly json: categories "
+                f"{self.CLASSES}")
+
+
+@DATASETS.register(name="DeepFashionDataset")
+class DeepFashionDataset(CocoStyleDataset):
+    """DeepFashion landmark/clothes detection in COCO packaging
+    (reference ``mmdet/datasets/deepfashion.py`` — a CocoDataset with a
+    fixed 15-class roster; classes come from the json categories)."""
+
+
 class ConcatDataset:
     """``mmdet.datasets.dataset_wrappers.ConcatDataset`` equivalent: chain
     several CocoStyle datasets (shared class set)."""
