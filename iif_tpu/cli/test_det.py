@@ -8,7 +8,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 
@@ -18,7 +18,9 @@ def parse_args():
     p.add_argument("config")
     p.add_argument("checkpoint", help="checkpoint dir (orbax)")
     p.add_argument("--eval", nargs="+", default=["bbox"],
-                   help="metrics: bbox segm")
+                   help="metrics: bbox segm proposal_fast mAP PQ "
+                        "(PQ needs a PanopticFPN model + "
+                        "CocoPanopticDataset)")
     p.add_argument("--format-only", action="store_true")
     p.add_argument("--out", default=None, help="results json path")
     p.add_argument("--max-images", default=None, type=int)
@@ -36,7 +38,12 @@ def parse_args():
 
 
 def run_inference(model, variables, loader, loss_cls, test_cfg, cat_ids,
-                  with_mask: bool, max_images=None) -> List[dict]:
+                  with_mask: bool, max_images=None,
+                  pan_out: Optional[list] = None,
+                  pan_cfg: Optional[dict] = None) -> List[dict]:
+    """``pan_out``: pass a list to ALSO collect fused panoptic maps
+    ({image_id, pan}) when the model is a PanopticFPN — the reference's
+    panoptic simple_test + heuristic fusion path."""
     import jax
 
     from iif_tpu.detection.cascade import CascadeMaskRCNN, cascade_simple_test
@@ -97,8 +104,23 @@ def run_inference(model, variables, loader, loss_cls, test_cfg, cat_ids,
             run = jax.jit(lambda v, img: rpn_only_simple_test(
                 model, v, img, test_cfg))
         else:
-            run = jax.jit(lambda v, img: maskrcnn_simple_test(
-                model, v, img, loss_cls, test_cfg))
+            from iif_tpu.detection.panoptic import PanopticFPN
+
+            if pan_out is not None and isinstance(model, PanopticFPN):
+                # panoptic simple_test: detections + stuff logits in one
+                # program (XLA CSEs the shared backbone/FPN)
+                def _pan_test(v, img):
+                    det = dict(maskrcnn_simple_test(
+                        model, v, img, loss_cls, test_cfg))
+                    det["seg_logits"] = model.apply(
+                        v, img, method=lambda m, im: m.semantic_head(
+                            m.extract_feat(im, train=False)))
+                    return det
+
+                run = jax.jit(_pan_test)
+            else:
+                run = jax.jit(lambda v, img: maskrcnn_simple_test(
+                    model, v, img, loss_cls, test_cfg))
 
     results: List[dict] = []
     n_done = 0
@@ -128,6 +150,24 @@ def run_inference(model, variables, loader, loss_cls, test_cfg, cat_ids,
                 for k in range(pasted.shape[0]):
                     per_img.append(rle_encode(pasted[k].astype(np.uint8)))
                 masks_rle.append(per_img)
+                if pan_out is not None and "seg_logits" in out:
+                    from iif_tpu.detection.panoptic import heuristic_fuse
+
+                    nh, nw = (int(batch["img_shape"][b][0]),
+                              int(batch["img_shape"][b][1]))
+                    seg = np.asarray(out["seg_logits"][b])
+                    stride = (batch["image"].shape[1]
+                              + seg.shape[0] - 1) // seg.shape[0]
+                    seg = seg[:(nh + stride - 1) // stride,
+                              :(nw + stride - 1) // stride]
+                    pan = heuristic_fuse(
+                        boxes[b], np.asarray(out["scores"][b]),
+                        np.asarray(out["labels"][b]),
+                        np.asarray(out["valid"][b]), pasted, seg,
+                        num_things=model.num_classes,
+                        **(pan_cfg or {}))
+                    pan_out.append({"image_id": int(batch["image_ids"][b]),
+                                    "pan": pan})
         results.extend(detections_to_coco_results(
             batch["image_ids"], boxes, np.asarray(out["scores"]),
             np.asarray(out["labels"]), np.asarray(out["valid"]), cat_ids,
@@ -260,6 +300,7 @@ def main():
         print(f"fuse-conv-bn: folded {n_fused} conv/BN pairs")
     test_cfg = test_cfg_cls(**cfg.get("test_cfg", {}))
 
+    pan_results = None
     if args.tta:
         from iif_tpu.detection.tta import multi_scale_flip_views
 
@@ -274,19 +315,25 @@ def main():
             max_images=args.max_images, num_shards=jax.process_count(),
             shard_id=jax.process_index())
     else:
+        if any(m.lower() == "pq" for m in args.eval):
+            pan_results = []
         results = run_inference(model, variables, loader, loss_cls, test_cfg,
                                 test_ds.cat_ids,
                                 cfg.model.get("with_mask", True),
-                                max_images=args.max_images)
+                                max_images=args.max_images,
+                                pan_out=pan_results,
+                                pan_cfg=cfg.get("panoptic", None))
     # multi-host: merge per-host result lists; rank 0 evaluates/dumps
     # (reference collect_results_cpu, apis/test.py:118-191)
     from iif_tpu.parallel import gather_objects, is_main_process
 
     if jax.process_count() > 1:
-        parts = gather_objects(results)
+        parts = gather_objects((results, pan_results))
         if not is_main_process():
             return
-        results = [r for part in parts for r in part]
+        results = [r for part in parts for r in part[0]]
+        if pan_results is not None:
+            pan_results = [r for part in parts for r in (part[1] or [])]
     if args.out or args.format_only:
         out = args.out or "results.json"
         with open(out, "w") as f:
@@ -298,13 +345,21 @@ def main():
     if args.show_dir:
         _draw_results(args, test_ds, results)
 
+    coco_metrics = [m for m in args.eval if m.lower() != "pq"]
+    if pan_results is not None:
+        # panoptic quality over the fused maps (reference
+        # CocoPanopticDataset.evaluate -> panopticapi pq_compute)
+        res = test_ds.evaluate(pan_results)
+        print("PQ", {k: round(v, 4) for k, v in res.items()})
+        if not coco_metrics:
+            return
     gt_anns = [a for rec in test_ds.img_infos for a in rec["anns"]]
     ev = DetEvaluator(test_ds.img_infos, gt_anns, test_ds.cat_ids,
                       lvis=test_ds.lvis_style,
                       cat_image_counts=test_ds.cat_image_counts,
                       cat_frequency=getattr(test_ds, "cat_frequency", None),
                       max_dets=cfg.get("test_cfg", {}).get("max_per_img", 100))
-    for metric in args.eval:
+    for metric in coco_metrics:
         if metric == "proposal_fast":
             # mmdet CocoDataset.evaluate 'proposal_fast': class-agnostic
             # AR@k from the dumped detections vs GT (fast_eval_recall)

@@ -146,7 +146,9 @@ def main():
         # host->device traffic; normalization/unpack run on device
         emit_uint8=pcfg.get("uint8", True),
         pack_masks=pcfg.get("pack_masks", True),
-        keep_ratio=pcfg.get("keep_ratio", True))
+        keep_ratio=pcfg.get("keep_ratio", True),
+        with_seg=pcfg.get("with_seg", False),
+        seg_stride=pcfg.get("seg_stride", 4))
     loader = DetectionLoader(
         train_ds, pipeline, batch_size=dcfg.get("samples_per_gpu", 4)
         * mesh.shape["data"],   # global batch = per-DP-shard x data axis

@@ -489,6 +489,8 @@ class DetectionPipeline:
         emit_uint8: bool = False,
         pack_masks: bool = False,
         keep_ratio: bool = True,
+        with_seg: bool = False,
+        seg_stride: int = 4,
     ):
         # keep_ratio=False: stretch to exactly ``scale`` (w, h) like the
         # reference SSD pipeline (Resize keep_ratio=False,
@@ -523,6 +525,17 @@ class DetectionPipeline:
         self.mask_stride = mask_stride
         self.mean = mean
         self.std = std
+        # with_seg: carry the dataset's per-pixel semantic map (uint8
+        # contiguous labels, 255 = void) through resize/flip/pad and emit
+        # it at ``seg_stride`` under 'gt_semantic_seg' — the PanopticFPN
+        # stuff-branch target (reference LoadPanopticAnnotations +
+        # SegRescale; the loss resizes its logits to this map)
+        self.with_seg = with_seg
+        self.seg_stride = seg_stride
+        if with_seg and extra_transforms:
+            raise ValueError("with_seg supports the basic resize/flip "
+                             "geometry only (no extra_transforms), like "
+                             "the reference panoptic recipe")
         # optional pre-resize transforms (RandomCrop / PhotoMetric-
         # Distortion / CutOut / Albu), train-time only
         self.extra_transforms = list(extra_transforms or [])
@@ -745,6 +758,17 @@ class DetectionPipeline:
                 out["gt_masks_packed"] = packed
             else:
                 out["gt_masks"] = masks
+
+        if self.with_seg and "semantic_seg" in ann:
+            sem = np.asarray(ann["semantic_seg"], np.uint8)
+            ss = self.seg_stride
+            sh, sw = max(nh // ss, 1), max(nw // ss, 1)
+            sm = cv2.resize(sem, (sw, sh), interpolation=cv2.INTER_NEAREST)
+            if flip:
+                sm = sm[:, ::-1]
+            canvas_sem = np.full((ch // ss, cw // ss), 255, np.uint8)
+            canvas_sem[:sh, :sw] = sm
+            out["gt_semantic_seg"] = canvas_sem.astype(np.int32)
         return out
 
 

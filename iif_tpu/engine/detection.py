@@ -356,6 +356,7 @@ class DetectionTrainer:
             feed = {k: v for k, v in batch.items()
                     if k in ("image", "gt_boxes", "gt_labels", "gt_valid",
                              "gt_masks", "gt_masks_packed",
+                             "gt_semantic_seg",
                              "proposals", "proposals_valid")}
             gbatch = shard_batch(feed, self.mesh)
             state, metrics = self._train_step(

@@ -24,6 +24,8 @@ CASES = {  # name -> (batch, backbone_remat)
     "b8r": (8, True),
     "b12r": (12, True),
     "b16r": (16, True),
+    "b24r": (24, True),
+    "b32r": (32, True),
 }
 
 
