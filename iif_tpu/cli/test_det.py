@@ -94,8 +94,13 @@ def run_inference(model, variables, loader, loss_cls, test_cfg, cat_ids,
             cascade_rpn_simple_test,
         )
 
+        from iif_tpu.detection.c4 import C4FasterRCNN, c4_simple_test
+
         if isinstance(model, TridentFasterRCNN):
             run = jax.jit(lambda v, img: trident_simple_test(
+                model, v, img, loss_cls, test_cfg))
+        elif isinstance(model, C4FasterRCNN):
+            run = jax.jit(lambda v, img: c4_simple_test(
                 model, v, img, loss_cls, test_cfg))
         elif isinstance(model, CascadeRPN):
             run = jax.jit(lambda v, img: cascade_rpn_simple_test(

@@ -142,6 +142,12 @@ def build_detector(model_cfg: dict):
                   "teacher_ckpt"):
             kw.pop(k, None)
         return GFL(**kw), SSTrainCfg, SSTestCfg
+    if mtype == "FasterRCNNC4":
+        from iif_tpu.detection.c4 import C4FasterRCNN
+
+        for k in ("cls_predictor", "mask_predictor"):
+            kw.pop(k, None)
+        return C4FasterRCNN(**kw), DetTrainCfg, DetTestCfg
     if mtype == "CascadeRPN":
         from iif_tpu.detection.cascade_rpn import CascadeRPN
 

@@ -93,6 +93,9 @@ class DetectionTrainer:
         self.is_rpn_only = isinstance(model, RPNDetector)
         self.teacher_model, self.teacher_vars = teacher or (None, None)
         self.is_trident = isinstance(model, TridentFasterRCNN)
+        from iif_tpu.detection.c4 import C4FasterRCNN
+
+        self.is_c4 = isinstance(model, C4FasterRCNN)
         # cascade stages share one loss object unless per-stage losses are
         # given (the reference builds one FasaIIFLoss per stage from the
         # same CSV — identical weights, so sharing is equivalent)
@@ -225,6 +228,12 @@ class DetectionTrainer:
 
                 total, losses, aux = rpn_only_loss(
                     self.model, variables, mb, key, self.train_cfg)
+            elif self.is_c4:
+                from iif_tpu.detection.c4 import c4_loss
+
+                total, losses, aux = c4_loss(
+                    self.model, variables, mb, key, loss_cls_obj,
+                    self.train_cfg)
             elif self.is_trident:
                 from iif_tpu.detection.trident import trident_loss
 

@@ -217,6 +217,11 @@ class ResNet(nn.Module):
     gcb_ratio: float = 0.25
     gen_attention_stages: Sequence[bool] = ()
     gen_attention: str = "1111"
+    # C4-style truncation (mmdet ResNet num_stages=3, out_indices=(2,)
+    # in configs/_base_/models/faster_rcnn_r50_caffe_c4.py): stop after
+    # this many stages; res5 then runs per-RoI as the shared head
+    # (see ResLayer below)
+    num_stages: int = 4
 
     def stage_widths(self) -> List[int]:
         return [64, 128, 256, 512]
@@ -251,7 +256,8 @@ class ResNet(nn.Module):
 
         feats = []
         for stage, (planes, n_blocks) in enumerate(
-                zip(self.stage_widths(), self.layers), start=1):
+                zip(self.stage_widths()[:self.num_stages],
+                    self.layers[:self.num_stages]), start=1):
             stage_train = (train and stage > self.frozen_stages
                            and not self.norm_eval)
             stride = 1 if stage == 1 else 2
@@ -295,6 +301,36 @@ class ResNet(nn.Module):
         out = out.mean(axis=(1, 2))
         head = make_classifier_head(self.num_classes, self.use_norm)
         return head(out)
+
+
+class ResLayer(nn.Module):
+    """res5 as a standalone per-RoI trunk — the reference's shared head
+    (``mmdet/models/roi_heads/shared_heads/res_layer.py``): C4 detectors
+    run stages 1-3 in the backbone, RoIAlign 14x14 on the C4 map, and
+    apply this stage-4 layer to every RoI (14x14 -> 7x7, stride 2).
+    ``norm_eval=True`` mirrors the reference default — BN runs on
+    running stats even in training (affine still trains)."""
+
+    block: str = "bottleneck"        # 'basic' | 'bottleneck'
+    n_blocks: int = 3                # layers[3] of the depth
+    planes: int = 512
+    stride: int = 2
+    norm_eval: bool = True
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        block_cls = Bottleneck if self.block == "bottleneck" else BasicBlockV1
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        stage_train = train and not self.norm_eval
+        for i in range(self.n_blocks):
+            first = i == 0
+            blk = block_cls(self.planes, self.stride if first else 1,
+                            downsample=first, dtype=self.dtype,
+                            name=f"layer4_{i}")
+            x = blk(x, stage_train)
+        return x
 
 
 # ------------------------------------------------------------- constructors
