@@ -73,7 +73,15 @@ def init_detector(config: Union[str, Any], checkpoint: Optional[str] = None,
     canvas = pipeline.canvas
     variables = jax.jit(model.init, static_argnums=(2,))(
         jax.random.PRNGKey(0), jnp.zeros((1,) + canvas + (3,)), False)
-    if checkpoint:
+    if checkpoint and checkpoint.endswith(".pth"):
+        # reference-trained mmdet checkpoint (the reference's
+        # init_detector also takes a .pth): convert + overlay
+        from iif_tpu.detection.pretrained_det import load_mmdet_checkpoint
+        from iif_tpu.models.pretrained import merge_pretrained
+
+        p, bs = load_mmdet_checkpoint(checkpoint, cfg.model["num_classes"])
+        variables = merge_pretrained(variables, p, bs)
+    elif checkpoint:
         from iif_tpu.utils.checkpoint import CheckpointManager
 
         restored = CheckpointManager(checkpoint).restore()

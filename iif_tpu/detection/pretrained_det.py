@@ -1,9 +1,10 @@
-"""mmdet MaskRCNN checkpoint ingestion: reference-trained ``.pth`` ->
-iif_tpu variables.
+"""mmdet checkpoint ingestion: reference-trained ``.pth`` -> iif_tpu
+variables.
 
 Lets a user of the reference repo bring an mmdet-format MaskRCNN (the
 IIF/FASA LVIS models, ``mmdet/models/detectors/mask_rcnn.py`` naming)
-into this stack for eval/finetune. Layout conversions:
+or single-stage RetinaNet/FCOS checkpoint into this stack for
+eval/finetune. Layout conversions:
 
 - convs: OIHW -> HWIO; the backbone reuses
   ``iif_tpu.models.pretrained.convert_torch_resnet``.
@@ -131,9 +132,95 @@ def convert_mmdet_maskrcnn(
     return params, batch_stats
 
 
+def convert_mmdet_single_stage(
+    state_dict: Dict[str, Any],
+    num_classes: Optional[int] = None,
+) -> Tuple[Dict, Dict]:
+    """mmdet RetinaNet/FCOS state_dict -> (params, batch_stats) pytrees
+    matching ``iif_tpu.detection.single_stage.RetinaNet``/``FCOS``
+    (mmdet namings: ``retina_head.py``, ``fcos_head.py``, ``fpn.py``
+    ``add_extra_convs`` fpn_convs tail).
+
+    FPN index convention: mmdet keeps P6/P7 extra convs inside
+    ``fpn_convs`` after the ``len(lateral_convs)`` real outputs; here
+    they split into ``fpn_conv_{i}`` / ``extra_conv_{j}``.
+    """
+    import re
+
+    params: Dict = {}
+    batch_stats: Dict = {}
+
+    bb = {k[len("backbone."):]: v for k, v in state_dict.items()
+          if k.startswith("backbone.")}
+    bb_params, bb_stats = convert_torch_resnet(bb)
+    params["backbone"] = bb_params
+    batch_stats["backbone"] = bb_stats
+
+    n_lateral = len({m.group(1) for m in (
+        re.match(r"neck\.lateral_convs\.(\d+)\.conv\.weight", k)
+        for k in state_dict) if m})
+
+    ckpt_classes = None
+    if "bbox_head.retina_cls.weight" in state_dict:
+        a = _np(state_dict["bbox_head.retina_reg.weight"]).shape[0] // 4
+        ckpt_classes = _np(
+            state_dict["bbox_head.retina_cls.weight"]).shape[0] // a
+    elif "bbox_head.conv_cls.weight" in state_dict:
+        ckpt_classes = _np(state_dict["bbox_head.conv_cls.weight"]).shape[0]
+    keep_heads = num_classes is None or ckpt_classes in (None, num_classes)
+    predictors = ("retina_cls", "retina_reg", "conv_cls", "conv_reg",
+                  "conv_centerness")
+
+    for name, t in state_dict.items():
+        parts = name.split(".")
+        leaf = parts[-1]
+        if parts[0] == "backbone":
+            continue
+        if parts[0] == "neck":
+            i = int(parts[2])
+            if parts[1] == "lateral_convs":
+                ours = f"lateral_{i}"
+            elif i < n_lateral:
+                ours = f"fpn_conv_{i}"
+            else:
+                ours = f"extra_conv_{i - n_lateral}"
+            _assign(params, ("neck", ours,
+                             "kernel" if leaf == "weight" else "bias"),
+                    _conv(t) if leaf == "weight" else _np(t))
+        elif parts[0] == "bbox_head":
+            sub = parts[1]
+            if sub in ("cls_convs", "reg_convs"):
+                i, kind = parts[2], parts[3]
+                prefix = sub[:3]            # 'cls' | 'reg'
+                if kind == "conv":
+                    _assign(params, ("bbox_head", f"{prefix}_conv_{i}",
+                                     "kernel" if leaf == "weight"
+                                     else "bias"),
+                            _conv(t) if leaf == "weight" else _np(t))
+                elif kind == "gn":
+                    _assign(params, ("bbox_head", f"{prefix}_gn_{i}",
+                                     "scale" if leaf == "weight"
+                                     else "bias"), _np(t))
+            elif sub in predictors:
+                if not keep_heads:
+                    continue
+                _assign(params, ("bbox_head", sub,
+                                 "kernel" if leaf == "weight" else "bias"),
+                        _conv(t) if leaf == "weight" else _np(t))
+            elif sub == "scales":
+                _assign(params, ("bbox_head", f"scale_{parts[2]}"),
+                        _np(t).reshape(()))
+        # num_batches_tracked and unknowns skipped
+
+    return params, batch_stats
+
+
 def load_mmdet_checkpoint(path: str, num_classes: Optional[int] = None
                           ) -> Tuple[Dict, Dict]:
-    """Load an mmdet ``.pth`` (plain or runner checkpoint) and convert."""
+    """Load an mmdet ``.pth`` (plain or runner checkpoint) and convert.
+
+    Dispatches on the state dict's own keys: ``roi_head.*`` -> two-stage
+    MaskRCNN layout; retina/FCOS predictor keys -> single-stage."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
@@ -143,4 +230,7 @@ def load_mmdet_checkpoint(path: str, num_classes: Optional[int] = None
                 ckpt = ckpt[key]
                 break
     ckpt = {k.replace("module.", ""): v for k, v in ckpt.items()}
+    if any(k.startswith("bbox_head.retina_cls")
+           or k.startswith("bbox_head.conv_centerness") for k in ckpt):
+        return convert_mmdet_single_stage(ckpt, num_classes)
     return convert_mmdet_maskrcnn(ckpt, num_classes)

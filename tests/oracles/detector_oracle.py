@@ -217,3 +217,56 @@ def detector_forward_oracle(img_nchw, sd, num_classes, img_hw,
     return {"proposals": proposals, "prop_scores": prop_scores,
             "boxes": det_boxes, "scores": det_scores,
             "labels": det_labels, "masks": mask_probs}
+
+
+# ----------------------------------------------------- single-stage chains
+def fpn_forward_retina(feats, sd, num_outs=5):
+    """mmdet FPN with start_level=1 and P6/P7 extra convs on the raw C5
+    (``fpn.py`` add_extra_convs='on_input', RetinaNet config). ``feats``
+    is the full [C2..C5]; fpn_convs indices 3,4 are the extras."""
+    c5 = feats[-1]
+    used = feats[1:]
+    laterals = [
+        F.conv2d(f, sd[f"neck.lateral_convs.{i}.conv.weight"],
+                 sd[f"neck.lateral_convs.{i}.conv.bias"])
+        for i, f in enumerate(used)
+    ]
+    for i in range(len(laterals) - 1, 0, -1):
+        th, tw = laterals[i - 1].shape[-2:]
+        up = F.interpolate(laterals[i], scale_factor=2, mode="nearest")
+        laterals[i - 1] = laterals[i - 1] + up[..., :th, :tw]
+    outs = [
+        F.conv2d(l, sd[f"neck.fpn_convs.{i}.conv.weight"],
+                 sd[f"neck.fpn_convs.{i}.conv.bias"], padding=1)
+        for i, l in enumerate(laterals)
+    ]
+    src = c5
+    for j in range(num_outs - len(laterals)):
+        i = len(laterals) + j
+        src = F.conv2d(src, sd[f"neck.fpn_convs.{i}.conv.weight"],
+                       sd[f"neck.fpn_convs.{i}.conv.bias"], stride=2,
+                       padding=1)
+        outs.append(src)
+    return outs
+
+
+def retina_head_forward(fpn_outs, sd):
+    """``retina_head.py``: shared 4x(conv+relu) towers + A*C / A*4
+    predictors per level."""
+    cls_scores, bbox_preds = [], []
+    for f in fpn_outs:
+        c = r = f
+        for i in range(4):
+            c = F.relu(F.conv2d(c, sd[f"bbox_head.cls_convs.{i}.conv.weight"],
+                                sd[f"bbox_head.cls_convs.{i}.conv.bias"],
+                                padding=1))
+            r = F.relu(F.conv2d(r, sd[f"bbox_head.reg_convs.{i}.conv.weight"],
+                                sd[f"bbox_head.reg_convs.{i}.conv.bias"],
+                                padding=1))
+        cls_scores.append(F.conv2d(c, sd["bbox_head.retina_cls.weight"],
+                                   sd["bbox_head.retina_cls.bias"],
+                                   padding=1))
+        bbox_preds.append(F.conv2d(r, sd["bbox_head.retina_reg.weight"],
+                                   sd["bbox_head.retina_reg.bias"],
+                                   padding=1))
+    return cls_scores, bbox_preds
