@@ -31,6 +31,12 @@ def parse_args():
     p.add_argument("--tta", action="store_true",
                    help="multi-scale+flip aug-test (reference aug_test: "
                         "merged proposals re-scored per view)")
+    p.add_argument("--exported", default=None,
+                   help="evaluate a serialized .stablehlo artifact "
+                        "(python -m iif_tpu.cli.export) instead of the "
+                        "checkpoint — the reference's "
+                        "tools/deployment/test.py; the artifact embeds "
+                        "the weights and fixes the batch size")
     p.add_argument("--fuse-conv-bn", action="store_true",
                    help="fold frozen BN into conv kernels at load "
                         "(reference tools/test.py:45-47)")
@@ -40,10 +46,15 @@ def parse_args():
 def run_inference(model, variables, loader, loss_cls, test_cfg, cat_ids,
                   with_mask: bool, max_images=None,
                   pan_out: Optional[list] = None,
-                  pan_cfg: Optional[dict] = None) -> List[dict]:
+                  pan_cfg: Optional[dict] = None,
+                  exported=None) -> List[dict]:
     """``pan_out``: pass a list to ALSO collect fused panoptic maps
     ({image_id, pan}) when the model is a PanopticFPN — the reference's
-    panoptic simple_test + heuristic fusion path."""
+    panoptic simple_test + heuristic fusion path.
+
+    ``exported``: a deserialized ``jax.export`` artifact; when given the
+    detection program is the artifact itself (weights embedded) — the
+    deployment-eval path (reference ``tools/deployment/test.py``)."""
     import jax
 
     from iif_tpu.detection.cascade import CascadeMaskRCNN, cascade_simple_test
@@ -58,8 +69,29 @@ def run_inference(model, variables, loader, loss_cls, test_cfg, cat_ids,
 
     from iif_tpu.detection.detr import DETR, detr_simple_test
 
-    is_detr = isinstance(model, DETR)
-    if is_detr:
+    is_detr = isinstance(model, DETR) and exported is None
+    if exported is not None:
+        import jax.numpy as jnp
+
+        want = tuple(exported.in_avals[0].shape)
+
+        def run(v, img):
+            # the artifact was traced on float input, so the uint8
+            # canvas normalization happens here (normalize_if_uint8
+            # is identity for float inside the exported program)
+            from iif_tpu.detection.detector import normalize_if_uint8
+
+            img = jnp.asarray(img)
+            img = (normalize_if_uint8(img) if img.dtype == jnp.uint8
+                   else img.astype(jnp.float32))
+            if tuple(img.shape) != want:
+                raise ValueError(
+                    f"exported artifact expects input {want}, "
+                    f"loader produced {tuple(img.shape)} — re-export "
+                    f"with --batch-size {img.shape[0]} or set "
+                    f"data.samples_per_gpu={want[0]}")
+            return exported.call(img)
+    elif is_detr:
         run = jax.jit(lambda v, img, ishape: detr_simple_test(
             model, v, img, test_cfg, img_shape=ishape,
             max_per_img=test_cfg.max_per_img))
@@ -281,7 +313,15 @@ def main():
             float(x) for x in np.asarray(loss_cls.weights))
     model, _, test_cfg_cls = build_detector(cfg.model)
 
-    if args.checkpoint.endswith(".pth"):
+    exported = None
+    if args.exported:
+        # deployment artifact eval: weights live inside the program, so
+        # no checkpoint restore (pass '-' as the checkpoint arg)
+        from iif_tpu.cli.export import load_exported
+
+        exported = load_exported(args.exported)
+        variables = None
+    elif args.checkpoint.endswith(".pth"):
         # reference-trained mmdet checkpoint: convert + overlay
         from iif_tpu.detection.pretrained_det import load_mmdet_checkpoint
         from iif_tpu.models.pretrained import merge_pretrained
@@ -298,7 +338,7 @@ def main():
         restored = mngr.restore()
         variables = {"params": restored["state"]["params"],
                      "batch_stats": restored["state"]["batch_stats"]}
-    if args.fuse_conv_bn:
+    if args.fuse_conv_bn and variables is not None:
         from iif_tpu.models.fuse import fuse_conv_bn
 
         variables, n_fused = fuse_conv_bn(variables)
@@ -306,6 +346,9 @@ def main():
     test_cfg = test_cfg_cls(**cfg.get("test_cfg", {}))
 
     pan_results = None
+    if args.tta and args.exported:
+        raise SystemExit("--tta and --exported are mutually exclusive "
+                         "(the artifact is a fixed single-view program)")
     if args.tta:
         from iif_tpu.detection.tta import multi_scale_flip_views
 
@@ -327,7 +370,8 @@ def main():
                                 cfg.model.get("with_mask", True),
                                 max_images=args.max_images,
                                 pan_out=pan_results,
-                                pan_cfg=cfg.get("panoptic", None))
+                                pan_cfg=cfg.get("panoptic", None),
+                                exported=exported)
     # multi-host: merge per-host result lists; rank 0 evaluates/dumps
     # (reference collect_results_cpu, apis/test.py:118-191)
     from iif_tpu.parallel import gather_objects, is_main_process

@@ -41,3 +41,50 @@ def test_export_mlir_contains_stablehlo():
     exported, _, _ = build_export(_tiny_cfg("FCOS"), batch_size=1)
     mlir = exported.mlir_module()
     assert "stablehlo" in mlir
+
+
+def test_exported_deployment_eval_path(tmp_path):
+    """`test_det --exported`'s run path (reference
+    tools/deployment/test.py): the artifact evaluated through
+    run_inference must produce the same COCO results as the live
+    jitted model."""
+    from iif_tpu.cli.test_det import run_inference
+    from iif_tpu.detection import build_detector
+    from iif_tpu.detection.losses import DetCrossEntropyLoss
+
+    cfg = _tiny_cfg("RetinaNet")
+    exported, infer, _ = build_export(cfg, batch_size=1)
+    model, _, test_cfg_cls = build_detector(dict(cfg.model))
+    test_cfg = test_cfg_cls(**cfg.get("test_cfg", {}))
+    loss_cls = DetCrossEntropyLoss(num_classes=4)
+
+    rng = np.random.RandomState(1)
+    batch = {"image": rng.randint(0, 255, (1, 64, 64, 3), np.uint8),
+             "scale_factor": np.ones((1,), np.float32),
+             "orig_shape": np.array([[64, 64]]),
+             "img_shape": np.array([[64, 64]]),
+             "image_ids": np.array([7])}
+    cat_ids = [1, 2, 3, 4]
+
+    res_exported = run_inference(model, None, [batch], loss_cls, test_cfg,
+                                 cat_ids, with_mask=False,
+                                 exported=exported)
+    # live path needs real variables: rebuild them the way export did
+    # (same PRNGKey(0) init inside build_export) by re-tracing infer's
+    # closure -- simplest is to compare against the infer callable
+    import jax
+
+    out = jax.device_get(infer(
+        (jnp.asarray(batch["image"], jnp.float32) -
+         jnp.asarray((123.675, 116.28, 103.53))) /
+        jnp.asarray((58.395, 57.12, 57.375))))
+    from iif_tpu.detection.evaluation import detections_to_coco_results
+
+    res_live = detections_to_coco_results(
+        batch["image_ids"], np.asarray(out["boxes"]),
+        np.asarray(out["scores"]), np.asarray(out["labels"]),
+        np.asarray(out["valid"]), cat_ids)
+    assert len(res_exported) == len(res_live)
+    for a, b in zip(res_exported, res_live):
+        np.testing.assert_allclose(a["bbox"], b["bbox"], atol=1e-3)
+        assert a["category_id"] == b["category_id"]
