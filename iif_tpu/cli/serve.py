@@ -47,13 +47,72 @@ def format_predictions(result, classes, score_thr: float = 0.5
     return out
 
 
+class _Batcher:
+    """Dynamic micro-batching: concurrent requests landing within
+    ``window_ms`` of each other ride one device program of a fixed
+    ``max_batch`` shape (padding rows repeat the last canvas and are
+    dropped). b4 inference is ~1.7x b1 throughput on a v5e, so batching
+    is the TPU-native answer to TorchServe's ``batch_size`` config."""
+
+    def __init__(self, detector, max_batch: int, window_ms: float = 5.0):
+        import queue
+
+        self.detector = detector
+        self.max_batch = max_batch
+        self.window = window_ms / 1000.0
+        self.q: "queue.Queue" = queue.Queue()
+        t = threading.Thread(target=self._worker, daemon=True)
+        t.start()
+
+    def _worker(self):
+        import queue
+        import time
+
+        from iif_tpu.detection.inference import inference_detector_batch
+
+        while True:
+            batch = [self.q.get()]
+            deadline = time.monotonic() + self.window
+            while len(batch) < self.max_batch:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self.q.get(timeout=left))
+                except queue.Empty:
+                    break
+            try:
+                results = inference_detector_batch(
+                    self.detector, [b["img"] for b in batch],
+                    pad_to=self.max_batch)
+                for slot, res in zip(batch, results):
+                    slot["result"] = res
+            except Exception as exc:  # noqa: BLE001 — fail the batch
+                for slot in batch:
+                    slot["error"] = exc
+            for slot in batch:
+                slot["event"].set()
+
+    def infer(self, img):
+        slot = {"img": img, "event": threading.Event()}
+        self.q.put(slot)
+        slot["event"].wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["result"]
+
+
 def make_server(detector, classes=None, score_thr: float = 0.5,
-                port: int = 8080, host: str = "127.0.0.1"
+                port: int = 8080, host: str = "127.0.0.1",
+                max_batch: int = 1, batch_window_ms: float = 5.0
                 ) -> ThreadingHTTPServer:
-    """Build (without starting) the HTTP server bound to ``detector``."""
+    """Build (without starting) the HTTP server bound to ``detector``.
+    ``max_batch > 1`` turns on dynamic micro-batching."""
     from iif_tpu.detection.inference import inference_detector
 
     lock = threading.Lock()
+    batcher = (_Batcher(detector, max_batch, batch_window_ms)
+               if max_batch > 1 else None)
     cls = classes if classes is not None else getattr(
         detector, "CLASSES", None)
 
@@ -93,8 +152,11 @@ def make_server(detector, classes=None, score_thr: float = 0.5,
                     self._reply(400, {"error": "undecodable image"})
                     return
                 img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-                with lock:
-                    result = inference_detector(detector, img)
+                if batcher is not None:
+                    result = batcher.infer(img)
+                else:
+                    with lock:
+                        result = inference_detector(detector, img)
                 self._reply(200, format_predictions(result, cls, score_thr))
             except Exception as exc:   # noqa: BLE001 — report to client
                 self._reply(500, {"error": str(exc)})
@@ -113,9 +175,19 @@ def main(argv: Optional[List[str]] = None) -> None:
     parser.add_argument("--score-thr", type=float, default=0.5,
                         help="mmdet_handler.py threshold (default 0.5)")
     parser.add_argument("--fuse-conv-bn", action="store_true")
+    parser.add_argument("--max-batch", type=int, default=1,
+                        help=">1 turns on dynamic micro-batching: "
+                             "concurrent requests share one device "
+                             "program of this batch size")
+    parser.add_argument("--batch-window-ms", type=float, default=5.0,
+                        help="how long to wait for batch companions")
     args = parser.parse_args(argv)
 
-    from iif_tpu.detection.inference import inference_detector, init_detector
+    from iif_tpu.detection.inference import (
+        inference_detector,
+        inference_detector_batch,
+        init_detector,
+    )
     from iif_tpu.utils import compile_cache
 
     compile_cache.enable()
@@ -123,10 +195,17 @@ def main(argv: Optional[List[str]] = None) -> None:
                              fuse_conv_bn=args.fuse_conv_bn)
     # warmup: compile the jitted forward before accepting traffic
     canvas = detector.pipeline.canvas
-    inference_detector(detector,
-                       np.zeros(canvas + (3,), np.uint8))
+    if args.max_batch > 1:
+        inference_detector_batch(detector,
+                                 [np.zeros(canvas + (3,), np.uint8)],
+                                 pad_to=args.max_batch)
+    else:
+        inference_detector(detector,
+                           np.zeros(canvas + (3,), np.uint8))
     server = make_server(detector, score_thr=args.score_thr,
-                         port=args.port, host=args.host)
+                         port=args.port, host=args.host,
+                         max_batch=args.max_batch,
+                         batch_window_ms=args.batch_window_ms)
     print(f"serving on http://{args.host}:{server.server_address[1]} "
           f"(POST /predictions/model, GET /ping)")
     server.serve_forever()

@@ -177,8 +177,12 @@ def _dispatch(detector: Detector, sample: Dict[str, np.ndarray]):
 
 
 def _postprocess(detector: Detector, sample: Dict[str, np.ndarray], out,
-                 hw: Tuple[int, int]) -> Dict[str, np.ndarray]:
-    """Read back + rescale to the original image frame, paste masks."""
+                 hw: Tuple[int, int], idx: int = 0
+                 ) -> Dict[str, np.ndarray]:
+    """Read back + rescale to the original image frame, paste masks.
+    ``idx`` selects the batch row (``out`` may be device arrays or an
+    already-fetched numpy pytree — ``device_get`` passes numpy through).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -187,16 +191,16 @@ def _postprocess(detector: Detector, sample: Dict[str, np.ndarray], out,
     h, w = hw
     out = jax.device_get(out)
     f = np.asarray(sample["scale_factor"])   # scalar or (4,) per-axis
-    boxes = np.asarray(out["boxes"][0]) / f
+    boxes = np.asarray(out["boxes"][idx]) / f
     result = {
         "boxes": boxes,
-        "scores": np.asarray(out["scores"][0]),
-        "labels": np.asarray(out["labels"][0]),
-        "valid": np.asarray(out["valid"][0]),
+        "scores": np.asarray(out["scores"][idx]),
+        "labels": np.asarray(out["labels"][idx]),
+        "valid": np.asarray(out["valid"][idx]),
     }
     if "masks" in out:
         result["masks"] = np.asarray(paste_masks(
-            jnp.asarray(out["masks"][0]), jnp.asarray(boxes), (h, w)))
+            jnp.asarray(out["masks"][idx]), jnp.asarray(boxes), (h, w)))
     return result
 
 
@@ -208,6 +212,46 @@ def inference_detector(detector: Detector,
     _ensure_run(detector)
     sample, hw = _preprocess(detector, image)
     return _postprocess(detector, sample, _dispatch(detector, sample), hw)
+
+
+def inference_detector_batch(detector: Detector,
+                             images: List[Union[str, np.ndarray]],
+                             pad_to: Optional[int] = None
+                             ) -> List[Dict[str, np.ndarray]]:
+    """Detect on several images in ONE device program (all canvases are
+    the same static shape, so the batch rides the leading axis — the
+    serving-throughput path: b4 is ~1.7x b1 img/s on a v5e).
+
+    ``pad_to``: compile for a fixed batch size by repeating the last
+    canvas (results for the padding rows are dropped) — keeps one
+    compiled program across variable request bursts.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from iif_tpu.detection.detr import DETR
+
+    if not images:
+        return []
+    _ensure_run(detector)
+    pre = [_preprocess(detector, img) for img in images]
+    n = len(pre)
+    reps = [1] * n
+    if pad_to is not None and pad_to > n:
+        reps[-1] += pad_to - n
+    batch_img = jnp.asarray(np.concatenate(
+        [np.repeat(s["image"][None], r, axis=0)
+         for (s, _), r in zip(pre, reps)], axis=0))
+    if isinstance(detector.model, DETR):
+        ishape = jnp.asarray(np.concatenate(
+            [np.repeat(s["img_shape"][None], r, axis=0)
+             for (s, _), r in zip(pre, reps)], axis=0))
+        out = detector._run(detector.variables, batch_img, ishape)
+    else:
+        out = detector._run(detector.variables, batch_img)
+    out = jax.device_get(out)
+    return [_postprocess(detector, s, out, hw, idx=i)
+            for i, (s, hw) in enumerate(pre)]
 
 
 def inference_detector_pipelined(detector: Detector,

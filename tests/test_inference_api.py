@@ -150,3 +150,77 @@ def test_http_server_roundtrip(tiny_detector):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_batch_matches_sequential(tiny_detector):
+    from iif_tpu.detection.inference import (
+        inference_detector,
+        inference_detector_batch,
+    )
+
+    rng = np.random.RandomState(5)
+    images = [_rand_image(rng) for _ in range(3)]
+    seq = [inference_detector(tiny_detector, im) for im in images]
+    # pad_to > len: padding rows must be dropped, results identical
+    batched = inference_detector_batch(tiny_detector, images, pad_to=4)
+    assert len(batched) == 3
+    for a, b in zip(seq, batched):
+        np.testing.assert_allclose(a["boxes"], b["boxes"], atol=1e-4)
+        np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-5)
+        np.testing.assert_array_equal(a["labels"], b["labels"])
+        np.testing.assert_array_equal(a["valid"], b["valid"])
+    assert inference_detector_batch(tiny_detector, []) == []
+
+
+def test_http_server_micro_batching(tiny_detector):
+    import cv2
+
+    from iif_tpu.cli.serve import make_server
+    from iif_tpu.detection.inference import inference_detector
+
+    server = make_server(tiny_detector, score_thr=0.0, port=0,
+                         max_batch=2, batch_window_ms=200.0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.RandomState(6)
+        images = [_rand_image(rng) for _ in range(3)]
+        refs = [inference_detector(tiny_detector, im) for im in images]
+
+        bufs = []
+        for im in images:
+            ok, buf = cv2.imencode(
+                ".png", cv2.cvtColor(im, cv2.COLOR_RGB2BGR))
+            assert ok
+            bufs.append(buf.tobytes())
+
+        out = [None] * 3
+
+        def post(i):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predictions/model",
+                data=bufs[i], method="POST",
+                headers={"Content-Type": "application/octet-stream"})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                out[i] = json.load(r)
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(3)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        from iif_tpu.cli.serve import format_predictions
+
+        for i in range(3):
+            assert out[i] is not None
+            want = format_predictions(refs[i], tiny_detector.CLASSES, 0.0)
+            got = out[i]
+            assert len(got) == len(want)
+            for a, b in zip(got, want):
+                assert a["class_name"] == b["class_name"]
+                np.testing.assert_allclose(a["bbox"], b["bbox"], atol=1e-3)
+    finally:
+        server.shutdown()
+        server.server_close()
