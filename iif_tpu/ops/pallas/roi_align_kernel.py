@@ -714,8 +714,13 @@ def _pallas_ml_call(padded, boxes, oy, ox, bidx, lvl, small, output_size,
     s = sampling_ratio if sampling_ratio > 0 else 2
     # double-buffer the window DMA only at 7x7: the 14x14 variant's
     # Mosaic temporaries already run the ~16 MB scoped-VMEM budget to
-    # ~14 MB (measured), so the second slot OOMs there
-    n_buf = 2 if out_h <= 7 else 1
+    # ~14 MB (measured), so the second slot OOMs there under the default
+    # budget. IIF_ROI_ML_NBUF14=2 opts in when XLA_FLAGS raises it
+    # (--xla_tpu_scoped_vmem_limit_kib=32768; scripts/sweep_vmem.py)
+    import os
+
+    n_buf = (2 if out_h <= 7
+             else int(os.environ.get("IIF_ROI_ML_NBUF14", "1")))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,     # boxes, oy, ox, bidx, lvl, small
         grid=(r,),
