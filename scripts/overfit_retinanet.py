@@ -78,7 +78,7 @@ def main():
                              "FSAF", "FOVEA", "YOLOF",
                              "RepPointsDetector", "VFNet", "SparseRCNN",
                              "DeformableDETR", "AutoAssign", "NASFCOS",
-                             "PAA"])
+                             "PAA", "FreeAnchor", "GARetinaNet"])
     ap.add_argument("--root", default="/tmp/retina_overfit")
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--batch", type=int, default=4)

@@ -23,22 +23,31 @@ import time
 ALL = ["RetinaNet", "FCOS", "ATSS", "GFL", "FSAF", "FOVEA", "YOLOF",
        "RepPointsDetector", "VFNet", "AutoAssign", "NASFCOS", "PAA",
        "YOLOX", "YOLOV3", "CenterNet", "DETR", "SparseRCNN",
-       "DeformableDETR"]
+       "DeformableDETR", "FreeAnchor", "GARetinaNet"]
+# two-stage exotic families route to the overfit_twostage harness
+TWO_STAGE = ["FasterRCNN", "MaskScoringRCNN", "HybridTaskCascade",
+             "SCNet", "PointRend", "GridRCNN", "TridentFasterRCNN",
+             "FasterRCNNC4", "DetectoRS", "CascadeRPN"]
 
 
 def run_one(model, epochs, batch):
     root = f"/tmp/family_overfit/{model}"
     os.makedirs(root, exist_ok=True)
+    script = ("scripts/overfit_twostage.py" if model in TWO_STAGE
+              else "scripts/overfit_retinanet.py")
     t0 = time.time()
     p = subprocess.run(
-        [sys.executable, "scripts/overfit_retinanet.py", "--model", model,
+        [sys.executable, script, "--model", model,
          "--root", root, "--epochs", str(epochs), "--batch", str(batch)],
         cwd="/root/repo", capture_output=True, text=True, timeout=3600)
     dt = time.time() - t0
     out = p.stdout + p.stderr
-    # the test CLI prints: bbox {'AP': 0.825, 'AP50': ..., ...}
+    # the test CLI prints: bbox {'AP': 0.825, ...} (proposal-only
+    # families print AR@100 instead)
     ap = None
     m_ = re.search(r"bbox \{[^}]*'AP': ([0-9.eE+-]+)", out)
+    if m_ is None:
+        m_ = re.search(r"'AR@100': ([0-9.eE+-]+)", out)
     if m_:
         ap = float(m_.group(1))
     return {"model": model, "ok": p.returncode == 0, "bbox_ap": ap,
@@ -53,7 +62,9 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--out", default="/tmp/family_overfit/summary.md")
     args = ap.parse_args()
-    models = ALL if args.models == "all" else args.models.split(",")
+    models = (ALL if args.models == "all"
+              else TWO_STAGE if args.models == "twostage"
+              else args.models.split(","))
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     rows = []
