@@ -192,6 +192,20 @@ _HEAD_PREFIXES = ("bbox_head", "mask_head", "semantic_head", "grid_head",
                   "mask_iou_head")
 
 
+def _version_tuple(v: str) -> tuple:
+    """'2.10.0rc1' -> (2, 10, 0). Numeric comparison — the reference
+    compares version STRINGS ('2.10.0' < '2.5.0' lexicographically),
+    which would wrongly re-apply the rpn upgrade to mmdet>=2.10
+    checkpoints; we diverge deliberately."""
+    parts = []
+    for p in v.split(".")[:3]:
+        digits = re.match(r"\d+", p)
+        parts.append(int(digits.group()) if digits else 0)
+    while len(parts) < 3:
+        parts.append(0)
+    return tuple(parts)
+
+
 def parse_legacy_config(config_str: str) -> Dict[str, bool]:
     """Extract the four routing facts the reference pulls out of the
     embedded config (``upgrade_model_version.py:19-43``) with regexes
@@ -374,11 +388,11 @@ def main(argv: Optional[List[str]] = None) -> None:
         ckpt = _load_any(args.in_file)
         meta = ckpt.get("meta", {})
         facts = parse_legacy_config(meta.get("config", ""))
-        version = meta.get("mmdet_version", "0.0.0")
+        version = _version_tuple(meta.get("mmdet_version", "0.0.0"))
         new_sd = upgrade_state_dict(
             _to_numpy_dict(ckpt["state_dict"]), args.num_classes,
-            upgrade_rpn=version < "2.5.0",
-            upgrade_retina=version <= "0.5.3" and facts["is_retina"],
+            upgrade_rpn=version < (2, 5, 0),
+            upgrade_retina=version <= (0, 5, 3) and facts["is_retina"],
             **facts)
         _save_pth(new_sd, args.out_file, meta=meta)
     elif args.cmd == "upgrade-ssd":

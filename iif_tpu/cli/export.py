@@ -45,13 +45,7 @@ def build_export(config, checkpoint=None, batch_size: int = 1,
 
     from iif_tpu.config import Config
     from iif_tpu.detection import build_detector
-    from iif_tpu.detection.cascade import CascadeMaskRCNN, cascade_simple_test
-    from iif_tpu.detection.detector import maskrcnn_simple_test
     from iif_tpu.detection.losses import DetCrossEntropyLoss
-    from iif_tpu.detection.single_stage import (
-        _SingleStageBase,
-        single_stage_simple_test,
-    )
 
     cfg = config if not isinstance(config, str) else Config.fromfile(config)
     mcfg = dict(cfg.model)
@@ -61,8 +55,16 @@ def build_export(config, checkpoint=None, batch_size: int = 1,
     loss_cls = DetCrossEntropyLoss(num_classes=cfg.model["num_classes"])
     canvas = tuple(cfg.get("pipeline", {}).get("canvas", (800, 1344)))
 
-    variables = jax.jit(model.init, static_argnums=(2,))(
-        jax.random.PRNGKey(0), jnp.zeros((1,) + canvas + (3,)), False)
+    from iif_tpu.detection.detr import DETR
+
+    if isinstance(model, DETR):
+        # DETR's __call__ is (images, img_shape, train)
+        variables = jax.jit(model.init, static_argnums=(3,))(
+            jax.random.PRNGKey(0), jnp.zeros((1,) + canvas + (3,)),
+            jnp.asarray([[canvas[0], canvas[1]]], jnp.int32), False)
+    else:
+        variables = jax.jit(model.init, static_argnums=(2,))(
+            jax.random.PRNGKey(0), jnp.zeros((1,) + canvas + (3,)), False)
     if checkpoint:
         from iif_tpu.utils.checkpoint import CheckpointManager
 
@@ -74,32 +76,24 @@ def build_export(config, checkpoint=None, batch_size: int = 1,
 
         variables, _ = fuse_conv_bn(variables)
 
-    from iif_tpu.detection.detr import DETR, detr_simple_test
+    from iif_tpu.detection.simple_test import make_simple_test
 
-    if isinstance(model, DETR):
-        def infer(img):
-            # deployment export: full-canvas valid region (the static
-            # serving shape)
-            b = img.shape[0]
-            ishape = jnp.tile(jnp.asarray([[canvas[0], canvas[1]]],
-                                          jnp.int32), (b, 1))
-            return detr_simple_test(model, variables, img, test_cfg,
-                                    img_shape=ishape,
-                                    max_per_img=test_cfg.max_per_img)
-    elif isinstance(model, _SingleStageBase):
-        def infer(img):
-            return single_stage_simple_test(model, variables, img, test_cfg)
-    elif isinstance(model, CascadeMaskRCNN):
-        def infer(img):
-            return cascade_simple_test(
-                model, variables, img, [loss_cls] * model.num_stages,
-                test_cfg)
+    fn, needs_shape = make_simple_test(model, loss_cls, test_cfg)
+    if needs_shape:
+        # DETR-style: the valid-region shape is a runtime input of the
+        # artifact (NOT baked to the full canvas — keep-ratio resize
+        # means the valid region differs per image)
+        def infer(img, img_shape):
+            return fn(variables, img, img_shape)
+
+        example = (jnp.zeros((batch_size,) + canvas + (3,), jnp.float32),
+                   jnp.tile(jnp.asarray([[canvas[0], canvas[1]]],
+                                        jnp.int32), (batch_size, 1)))
     else:
         def infer(img):
-            return maskrcnn_simple_test(model, variables, img, loss_cls,
-                                        test_cfg)
+            return fn(variables, img)
 
-    example = (jnp.zeros((batch_size,) + canvas + (3,), jnp.float32),)
+        example = (jnp.zeros((batch_size,) + canvas + (3,), jnp.float32),)
     exported = jexport.export(jax.jit(infer))(*example)
     return exported, infer, example
 

@@ -84,7 +84,7 @@ class _Batcher:
             try:
                 results = inference_detector_batch(
                     self.detector, [b["img"] for b in batch],
-                    pad_to=self.max_batch)
+                    pad_to=self.max_batch, masks=False)
                 for slot, res in zip(batch, results):
                     slot["result"] = res
             except Exception as exc:  # noqa: BLE001 — fail the batch
@@ -156,7 +156,11 @@ def make_server(detector, classes=None, score_thr: float = 0.5,
                     result = batcher.infer(img)
                 else:
                     with lock:
-                        result = inference_detector(detector, img)
+                        # masks=False: the handler response is
+                        # class/bbox/score only — skip the full-res
+                        # mask paste + readback
+                        result = inference_detector(detector, img,
+                                                    masks=False)
                 self._reply(200, format_predictions(result, cls, score_thr))
             except Exception as exc:   # noqa: BLE001 — report to client
                 self._reply(500, {"error": str(exc)})

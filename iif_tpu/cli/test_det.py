@@ -57,25 +57,18 @@ def run_inference(model, variables, loader, loss_cls, test_cfg, cat_ids,
     deployment-eval path (reference ``tools/deployment/test.py``)."""
     import jax
 
-    from iif_tpu.detection.cascade import CascadeMaskRCNN, cascade_simple_test
-    from iif_tpu.detection.detector import maskrcnn_simple_test
     from iif_tpu.detection.evaluation import detections_to_coco_results
     from iif_tpu.detection.mask_utils import rle_encode
     from iif_tpu.detection.mask_head import paste_masks
-    from iif_tpu.detection.single_stage import (
-        _SingleStageBase,
-        single_stage_simple_test,
-    )
+    from iif_tpu.detection.simple_test import make_simple_test
 
-    from iif_tpu.detection.detr import DETR, detr_simple_test
-
-    is_detr = isinstance(model, DETR) and exported is None
     if exported is not None:
         import jax.numpy as jnp
 
         want = tuple(exported.in_avals[0].shape)
+        needs_shape = len(exported.in_avals) > 1   # DETR exports carry it
 
-        def run(v, img):
+        def run(v, img, ishape=None):
             # the artifact was traced on float input, so the uint8
             # canvas normalization happens here (normalize_if_uint8
             # is identity for float inside the exported program)
@@ -90,79 +83,31 @@ def run_inference(model, variables, loader, loss_cls, test_cfg, cat_ids,
                     f"loader produced {tuple(img.shape)} — re-export "
                     f"with --batch-size {img.shape[0]} or set "
                     f"data.samples_per_gpu={want[0]}")
+            if needs_shape:
+                return exported.call(img, jnp.asarray(ishape, jnp.int32))
             return exported.call(img)
-    elif is_detr:
-        run = jax.jit(lambda v, img, ishape: detr_simple_test(
-            model, v, img, test_cfg, img_shape=ishape,
-            max_per_img=test_cfg.max_per_img))
-    elif isinstance(model, _SingleStageBase):
-        run = jax.jit(lambda v, img: single_stage_simple_test(
-            model, v, img, test_cfg))
-    elif isinstance(model, CascadeMaskRCNN):
-        from iif_tpu.detection.htc import HTC, htc_simple_test
-        from iif_tpu.detection.scnet import SCNet, scnet_simple_test
-
-        if isinstance(model, HTC):
-            run = jax.jit(lambda v, img: htc_simple_test(
-                model, v, img, [loss_cls] * model.num_stages, test_cfg))
-        elif isinstance(model, SCNet):
-            run = jax.jit(lambda v, img: scnet_simple_test(
-                model, v, img, [loss_cls] * model.num_stages, test_cfg))
-        else:
-            run = jax.jit(lambda v, img: cascade_simple_test(
-                model, v, img, [loss_cls] * model.num_stages, test_cfg))
     else:
-        from iif_tpu.detection.rpn_detector import (
-            RPNDetector,
-            rpn_only_simple_test,
-        )
-        from iif_tpu.detection.trident import (
-            TridentFasterRCNN,
-            trident_simple_test,
-        )
+        base, needs_shape = make_simple_test(model, loss_cls, test_cfg)
+        from iif_tpu.detection.panoptic import PanopticFPN
 
-        from iif_tpu.detection.cascade_rpn import (
-            CascadeRPN,
-            cascade_rpn_simple_test,
-        )
+        if pan_out is not None and isinstance(model, PanopticFPN):
+            # panoptic simple_test: detections + stuff logits in one
+            # program (XLA CSEs the shared backbone/FPN)
+            def _pan_test(v, img):
+                det = dict(base(v, img))
+                det["seg_logits"] = model.apply(
+                    v, img, method=lambda m, im: m.semantic_head(
+                        m.extract_feat(im, train=False)))
+                return det
 
-        from iif_tpu.detection.c4 import C4FasterRCNN, c4_simple_test
-
-        if isinstance(model, TridentFasterRCNN):
-            run = jax.jit(lambda v, img: trident_simple_test(
-                model, v, img, loss_cls, test_cfg))
-        elif isinstance(model, C4FasterRCNN):
-            run = jax.jit(lambda v, img: c4_simple_test(
-                model, v, img, loss_cls, test_cfg))
-        elif isinstance(model, CascadeRPN):
-            run = jax.jit(lambda v, img: cascade_rpn_simple_test(
-                model, v, img, test_cfg))
-        elif isinstance(model, RPNDetector):
-            run = jax.jit(lambda v, img: rpn_only_simple_test(
-                model, v, img, test_cfg))
+            run = jax.jit(_pan_test)
         else:
-            from iif_tpu.detection.panoptic import PanopticFPN
-
-            if pan_out is not None and isinstance(model, PanopticFPN):
-                # panoptic simple_test: detections + stuff logits in one
-                # program (XLA CSEs the shared backbone/FPN)
-                def _pan_test(v, img):
-                    det = dict(maskrcnn_simple_test(
-                        model, v, img, loss_cls, test_cfg))
-                    det["seg_logits"] = model.apply(
-                        v, img, method=lambda m, im: m.semantic_head(
-                            m.extract_feat(im, train=False)))
-                    return det
-
-                run = jax.jit(_pan_test)
-            else:
-                run = jax.jit(lambda v, img: maskrcnn_simple_test(
-                    model, v, img, loss_cls, test_cfg))
+            run = jax.jit(base)
 
     results: List[dict] = []
     n_done = 0
     for batch in loader:
-        if is_detr:
+        if needs_shape:
             out = jax.device_get(run(variables, batch["image"],
                                      batch["img_shape"]))
         else:

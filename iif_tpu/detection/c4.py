@@ -38,11 +38,7 @@ from iif_tpu.models.resnet import ResLayer, ResNet
 from iif_tpu.ops.anchors import AnchorGenerator
 from iif_tpu.ops.roi_align import roi_align
 
-_ARCH = {18: ((2, 2, 2, 2), "basic"),
-         34: ((3, 4, 6, 3), "basic"),
-         50: ((3, 4, 6, 3), "bottleneck"),
-         101: ((3, 4, 23, 3), "bottleneck"),
-         152: ((3, 8, 36, 3), "bottleneck")}
+from iif_tpu.detection.detector import _DEPTH_LAYERS
 
 
 class C4BBoxHead(nn.Module):
@@ -77,7 +73,7 @@ class C4FasterRCNN(nn.Module):
     with_rpn: bool = True
 
     def setup(self):
-        layers, block = _ARCH[self.depth]
+        layers, block = _DEPTH_LAYERS[self.depth]
         self.backbone = ResNet(
             layers, block, frozen_stages=self.frozen_stages,
             norm_eval=self.norm_eval, num_stages=3,

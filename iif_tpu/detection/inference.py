@@ -103,48 +103,11 @@ def _ensure_run(detector: Detector) -> None:
 
     if detector._run is not None:
         return
-    from iif_tpu.detection.cascade import CascadeMaskRCNN, cascade_simple_test
-    from iif_tpu.detection.detector import maskrcnn_simple_test
-    from iif_tpu.detection.detr import DETR, detr_simple_test
-    from iif_tpu.detection.single_stage import (
-        _SingleStageBase,
-        single_stage_simple_test,
-    )
+    from iif_tpu.detection.simple_test import make_simple_test
 
-    if isinstance(detector.model, DETR):
-        detector._run = jax.jit(
-            lambda v, img, ishape: detr_simple_test(
-                detector.model, v, img, detector.test_cfg,
-                img_shape=ishape,
-                max_per_img=detector.test_cfg.max_per_img))
-    elif isinstance(detector.model, _SingleStageBase):
-        detector._run = jax.jit(lambda v, img: single_stage_simple_test(
-            detector.model, v, img, detector.test_cfg))
-    elif isinstance(detector.model, CascadeMaskRCNN):
-        detector._run = jax.jit(lambda v, img: cascade_simple_test(
-            detector.model, v, img,
-            [detector.loss_cls] * detector.model.num_stages,
-            detector.test_cfg))
-    elif type(detector.model).__name__ == "CascadeRPN":
-        from iif_tpu.detection.cascade_rpn import cascade_rpn_simple_test
-
-        detector._run = jax.jit(lambda v, img: cascade_rpn_simple_test(
-            detector.model, v, img, detector.test_cfg))
-    elif type(detector.model).__name__ == "C4FasterRCNN":
-        from iif_tpu.detection.c4 import c4_simple_test
-
-        detector._run = jax.jit(lambda v, img: c4_simple_test(
-            detector.model, v, img, detector.loss_cls,
-            detector.test_cfg))
-    elif type(detector.model).__name__ == "RPNDetector":
-        from iif_tpu.detection.rpn_detector import rpn_only_simple_test
-
-        detector._run = jax.jit(lambda v, img: rpn_only_simple_test(
-            detector.model, v, img, detector.test_cfg))
-    else:
-        detector._run = jax.jit(lambda v, img: maskrcnn_simple_test(
-            detector.model, v, img, detector.loss_cls,
-            detector.test_cfg))
+    fn, _ = make_simple_test(detector.model, detector.loss_cls,
+                             detector.test_cfg)
+    detector._run = jax.jit(fn)
 
 
 def _preprocess(detector: Detector, image: Union[str, np.ndarray]
@@ -177,8 +140,8 @@ def _dispatch(detector: Detector, sample: Dict[str, np.ndarray]):
 
 
 def _postprocess(detector: Detector, sample: Dict[str, np.ndarray], out,
-                 hw: Tuple[int, int], idx: int = 0
-                 ) -> Dict[str, np.ndarray]:
+                 hw: Tuple[int, int], idx: int = 0,
+                 with_masks: bool = True) -> Dict[str, np.ndarray]:
     """Read back + rescale to the original image frame, paste masks.
     ``idx`` selects the batch row (``out`` may be device arrays or an
     already-fetched numpy pytree — ``device_get`` passes numpy through).
@@ -198,7 +161,7 @@ def _postprocess(detector: Detector, sample: Dict[str, np.ndarray], out,
         "labels": np.asarray(out["labels"][idx]),
         "valid": np.asarray(out["valid"][idx]),
     }
-    if "masks" in out:
+    if "masks" in out and with_masks:
         result["masks"] = np.asarray(paste_masks(
             jnp.asarray(out["masks"][idx]), jnp.asarray(boxes), (h, w)))
     return result
@@ -206,17 +169,22 @@ def _postprocess(detector: Detector, sample: Dict[str, np.ndarray], out,
 
 # ------------------------------------------------------------------- public
 def inference_detector(detector: Detector,
-                       image: Union[str, np.ndarray]) -> Dict[str, np.ndarray]:
+                       image: Union[str, np.ndarray],
+                       masks: bool = True) -> Dict[str, np.ndarray]:
     """Detect on one image (path or RGB array). Returns original-scale
-    boxes/scores/labels (+ full-size boolean masks when available)."""
+    boxes/scores/labels (+ full-size boolean masks when available;
+    ``masks=False`` skips the host-side full-resolution paste +
+    readback — the serving path only returns boxes)."""
     _ensure_run(detector)
     sample, hw = _preprocess(detector, image)
-    return _postprocess(detector, sample, _dispatch(detector, sample), hw)
+    return _postprocess(detector, sample, _dispatch(detector, sample), hw,
+                        with_masks=masks)
 
 
 def inference_detector_batch(detector: Detector,
                              images: List[Union[str, np.ndarray]],
-                             pad_to: Optional[int] = None
+                             pad_to: Optional[int] = None,
+                             masks: bool = True
                              ) -> List[Dict[str, np.ndarray]]:
     """Detect on several images in ONE device program (all canvases are
     the same static shape, so the batch rides the leading axis — the
@@ -250,7 +218,7 @@ def inference_detector_batch(detector: Detector,
     else:
         out = detector._run(detector.variables, batch_img)
     out = jax.device_get(out)
-    return [_postprocess(detector, s, out, hw, idx=i)
+    return [_postprocess(detector, s, out, hw, idx=i, with_masks=masks)
             for i, (s, hw) in enumerate(pre)]
 
 

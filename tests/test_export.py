@@ -88,3 +88,31 @@ def test_exported_deployment_eval_path(tmp_path):
     for a, b in zip(res_exported, res_live):
         np.testing.assert_allclose(a["bbox"], b["bbox"], atol=1e-3)
         assert a["category_id"] == b["category_id"]
+
+
+def test_export_detr_carries_img_shape(tmp_path):
+    """DETR artifacts take the per-image valid-region shape as a runtime
+    input (NOT baked to the canvas): boxes must differ between a
+    full-canvas and a letterboxed valid region."""
+    cfg = Config({
+        "model": {"type": "DETR", "num_classes": 4, "depth": 18,
+                  "with_mask": False, "frozen_stages": -1,
+                  "num_query": 10},
+        "test_cfg": {"max_per_img": 5},
+        "pipeline": {"canvas": (64, 64)},
+    })
+    exported, infer, example = build_export(cfg, batch_size=1)
+    assert len(exported.in_avals) == 2
+    path = tmp_path / "detr.stablehlo"
+    path.write_bytes(exported.serialize())
+    back = load_exported(str(path))
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(1, 64, 64, 3).astype(np.float32))
+    full = back.call(x, jnp.asarray([[64, 64]], jnp.int32))
+    crop = back.call(x, jnp.asarray([[48, 64]], jnp.int32))
+    live = infer(x, jnp.asarray([[48, 64]], jnp.int32))
+    np.testing.assert_allclose(np.asarray(live["boxes"]),
+                               np.asarray(crop["boxes"]),
+                               rtol=1e-5, atol=1e-4)
+    assert not np.allclose(np.asarray(full["boxes"]),
+                           np.asarray(crop["boxes"]))
