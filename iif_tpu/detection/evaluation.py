@@ -64,6 +64,66 @@ class _ImgCatResult:
         self.n_gt = n_gt                # non-ignored gt count
 
 
+def _greedy_match_py(ious: np.ndarray, g_ignore: np.ndarray,
+                     iscrowd: np.ndarray,
+                     iou_thrs: np.ndarray) -> np.ndarray:
+    """Pure-Python greedy matcher: (T, D) matched-gt index, -1 = none.
+
+    Gts must arrive sorted real-first (``g_ignore`` ascending). Rules
+    (pycocotools/lvis-api semantics):
+    - only CROWD gts may be matched by multiple detections;
+    - once the current best is a real gt, ignored gts cannot displace
+      it (the sort order makes a ``break`` correct);
+    - strict improvement only — an equal IoU does not switch gts.
+    """
+    D, G = ious.shape
+    T = len(iou_thrs)
+    out = np.full((T, D), -1, np.int64)
+    for t, thr in enumerate(iou_thrs):
+        g_taken = np.zeros(G, bool)
+        thr0 = min(float(thr), 1 - 1e-10)
+        for d in range(D):
+            best, best_g = thr0, -1
+            row = ious[d]
+            for g in range(G):
+                if g_taken[g] and not iscrowd[g]:
+                    continue
+                if best_g > -1 and not g_ignore[best_g] and g_ignore[g]:
+                    break
+                if row[g] < best:
+                    continue
+                best = row[g]
+                best_g = g
+            out[t, d] = best_g
+            if best_g >= 0:
+                g_taken[best_g] = True
+    return out
+
+
+def _greedy_match(ious: np.ndarray, g_ignore: np.ndarray,
+                  iscrowd: np.ndarray, iou_thrs: np.ndarray) -> np.ndarray:
+    from iif_tpu.native.eval_native import greedy_match_native
+
+    res = greedy_match_native(ious, g_ignore, iscrowd, iou_thrs)
+    if res is None:
+        res = _greedy_match_py(ious, g_ignore, iscrowd, iou_thrs)
+    return res
+
+
+def _flags_from_match(best_g: np.ndarray, g_ignore: np.ndarray,
+                      unmatched_ignore: np.ndarray
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Derive (dt_matched, dt_ignore) (T, D) bools from matched indices."""
+    matched = best_g >= 0
+    if g_ignore.size:
+        gi = g_ignore[np.clip(best_g, 0, None)] & matched
+    else:
+        gi = np.zeros_like(matched)
+    dt_matched = matched & ~gi
+    dt_ignore = np.where(matched, gi, unmatched_ignore[None, :])
+    return dt_matched, dt_ignore
+
+
 def _evaluate_img_cat(dts: List[dict], gts: List[dict], iou_type: str,
                       area_rng: Tuple[float, float], max_dets: int,
                       nel: bool = False,
@@ -89,71 +149,184 @@ def _evaluate_img_cat(dts: List[dict], gts: List[dict], iou_type: str,
     dt_scores = np.array([d["score"] for d in dts])
 
     if iou_type == "segm":
-        iscrowd = [bool(g.get("iscrowd", 0)) for g in gts]
+        iscrowd = np.array([bool(g.get("iscrowd", 0)) for g in gts])
         # native run-intersection IoU (O(runs), no decode) when available
         from iif_tpu.native import rle_iou_native
 
-        ious = rle_iou_native([d["segmentation"] for d in dts],
-                              [g["segmentation"] for g in gts], iscrowd)
+        ious = np.asarray(rle_iou_native(
+            [d["segmentation"] for d in dts],
+            [g["segmentation"] for g in gts],
+            [bool(c) for c in iscrowd])).reshape(len(dts), len(gts))
     else:
         iscrowd = np.array([bool(g.get("iscrowd", 0)) for g in gts])
         ious = _box_iou_xywh(
             np.array([d["bbox"] for d in dts]).reshape(-1, 4),
             np.array([g["bbox"] for g in gts]).reshape(-1, 4), iscrowd)
 
-    T, D, G = len(iou_thrs), len(dts), len(gts)
-    dt_matched = np.zeros((T, D), bool)
-    dt_ignore = np.zeros((T, D), bool)
-    for t, thr in enumerate(iou_thrs):
-        g_taken = np.zeros(G, bool)
-        for d in range(D):
-            best, best_g = min(thr, 1 - 1e-10), -1
-            for g in range(G):
-                # only CROWD gts may be matched by multiple detections
-                # (pycocotools: `gtm>0 and not iscrowd` -> skip); an
-                # area-ignored non-crowd gt is still taken exactly once
-                if g_taken[g] and not iscrowd[g]:
-                    continue
-                # real matches found; don't switch to an ignored gt
-                if best_g > -1 and not g_ignore[best_g] and g_ignore[g]:
-                    break
-                if ious[d, g] < best:
-                    continue
-                best = ious[d, g]
-                best_g = g
-            if best_g == -1:
-                # unmatched dt outside the area range (or on a
-                # not-exhaustively-annotated image, LVIS) is ignored
-                a = dts[d]["bbox"][2] * dts[d]["bbox"][3]
-                if iou_type == "segm" and "area" in dts[d]:
-                    a = dts[d]["area"]
-                dt_ignore[t, d] = nel or not (
-                    area_rng[0] <= a <= area_rng[1])
-            else:
-                dt_matched[t, d] = not g_ignore[best_g]
-                dt_ignore[t, d] = g_ignore[best_g]
-                g_taken[best_g] = True
+    # unmatched dt outside the area range (or on a not-exhaustively-
+    # annotated image, LVIS) is ignored rather than counted as a FP
+    dt_area = np.array([
+        d["area"] if iou_type == "segm" and "area" in d
+        else d["bbox"][2] * d["bbox"][3] for d in dts])
+    unmatched_ignore = np.full(len(dts), bool(nel)) | (
+        ~((area_rng[0] <= dt_area) & (dt_area <= area_rng[1]))
+        if len(dts) else np.zeros(0, bool))
+
+    best_g = _greedy_match(ious, g_ignore, iscrowd,
+                           np.asarray(iou_thrs, np.float64))
+    dt_matched, dt_ignore = _flags_from_match(best_g, g_ignore,
+                                              unmatched_ignore)
     return _ImgCatResult(dt_scores, dt_matched, dt_ignore,
                          int((~g_ignore).sum()))
+
+
+class _PairCache:
+    """Area-range-independent per-(img, cat) state, computed once and
+    reused by all four area-range matchings in ``DetEvaluator.evaluate``."""
+    __slots__ = ("dt_scores", "dt_area", "ious", "g_base", "g_area",
+                 "iscrowd", "nel")
+
+    def __init__(self, dt_scores, dt_area, ious, g_base, g_area,
+                 iscrowd, nel):
+        self.dt_scores = dt_scores  # (D,) descending
+        self.dt_area = dt_area      # (D,)
+        self.ious = ious            # (D, G) in ORIGINAL gt order
+        self.g_base = g_base        # (G,) crowd/explicit-ignore flags
+        self.g_area = g_area        # (G,)
+        self.iscrowd = iscrowd      # (G,)
+        self.nel = nel              # bool
+
+
+def _prep_pair(dts: List[dict], gts: List[dict], iou_type: str,
+               max_dets: int, nel: bool) -> _PairCache:
+    dts = sorted(dts, key=lambda d: -d["score"])[:max_dets]
+    dt_scores = np.array([d["score"] for d in dts])
+    dt_area = np.array([
+        d["area"] if iou_type == "segm" and "area" in d
+        else d["bbox"][2] * d["bbox"][3] for d in dts])
+    g_base = np.array([
+        bool(g.get("iscrowd", 0)) or g.get("ignore", False)
+        for g in gts], bool)
+    g_area = np.array([g.get("area", g["bbox"][2] * g["bbox"][3])
+                       for g in gts])
+    iscrowd = np.array([bool(g.get("iscrowd", 0)) for g in gts])
+    if iou_type == "segm":
+        from iif_tpu.native import rle_iou_native
+
+        ious = np.asarray(rle_iou_native(
+            [d["segmentation"] for d in dts],
+            [g["segmentation"] for g in gts],
+            [bool(c) for c in iscrowd])).reshape(len(dts), len(gts))
+    else:
+        ious = _box_iou_xywh(
+            np.array([d["bbox"] for d in dts]).reshape(-1, 4),
+            np.array([g["bbox"] for g in gts]).reshape(-1, 4), iscrowd)
+    return _PairCache(dt_scores, dt_area, ious, g_base, g_area,
+                      iscrowd, bool(nel))
+
+
+def _match_pair(p: _PairCache, area_rng: Tuple[float, float],
+                iou_thrs: np.ndarray) -> _ImgCatResult:
+    """Match one cached pair under one area range (closed interval,
+    matching pycocotools' ``a < rng[0] or a > rng[1]`` ignore rule)."""
+    g_ignore = p.g_base | ~((area_rng[0] <= p.g_area)
+                            & (p.g_area <= area_rng[1]))
+    order = np.argsort(g_ignore, kind="stable")  # real gts first
+    g_ignore = g_ignore[order]
+    ious = p.ious[:, order]
+    iscrowd = p.iscrowd[order]
+    unmatched_ignore = np.full(len(p.dt_scores), p.nel) | ~(
+        (area_rng[0] <= p.dt_area) & (p.dt_area <= area_rng[1]))
+    best_g = _greedy_match(ious, g_ignore, iscrowd,
+                           np.asarray(iou_thrs, np.float64))
+    dt_matched, dt_ignore = _flags_from_match(best_g, g_ignore,
+                                              unmatched_ignore)
+    return _ImgCatResult(p.dt_scores, dt_matched, dt_ignore,
+                         int((~g_ignore).sum()))
+
+
+def _eval_cat(pairs: List["_PairCache"]) -> Dict[str, np.ndarray]:
+    """Per-category precision arrays for every area range.
+
+    Batches all of the category's (img, cat) pairs into one native
+    matcher call per area range (per-pair Python dispatch costs more
+    than the matching itself at COCO/LVIS scale); falls back to the
+    per-pair Python path when the C++ library is unavailable.
+    """
+    from iif_tpu.native.eval_native import greedy_match_batch_native
+
+    T = len(IOU_THRS)
+    if not pairs:
+        empty = (-np.ones((T, len(REC_THRS))), -np.ones(T))
+        return {a: empty[0] for a in AREA_RANGES}
+
+    d_cnt = np.array([len(p.dt_scores) for p in pairs], np.int64)
+    g_cnt = np.array([p.g_base.size for p in pairs], np.int64)
+    d_off = np.concatenate([[0], np.cumsum(d_cnt)[:-1]]).astype(np.int64)
+    g_off = np.concatenate([[0], np.cumsum(g_cnt)[:-1]]).astype(np.int64)
+    sizes = d_cnt * g_cnt
+    iou_off = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+    ious_flat = (np.concatenate([p.ious.ravel() for p in pairs])
+                 if sizes.sum() else np.zeros(0))
+    scores = (np.concatenate([p.dt_scores for p in pairs])
+              if d_cnt.sum() else np.zeros(0))
+    dt_area = (np.concatenate([p.dt_area for p in pairs])
+               if d_cnt.sum() else np.zeros(0))
+    nel_dt = (np.concatenate([np.full(len(p.dt_scores), p.nel)
+                              for p in pairs])
+              if d_cnt.sum() else np.zeros(0, bool))
+    g_base = (np.concatenate([p.g_base for p in pairs])
+              if g_cnt.sum() else np.zeros(0, bool))
+    g_area = (np.concatenate([p.g_area for p in pairs])
+              if g_cnt.sum() else np.zeros(0))
+    iscrowd = (np.concatenate([p.iscrowd for p in pairs])
+               if g_cnt.sum() else np.zeros(0, bool))
+
+    out = {}
+    for area_name, rng in AREA_RANGES.items():
+        g_ignore = g_base | ~((rng[0] <= g_area) & (g_area <= rng[1]))
+        uig = nel_dt | ~((rng[0] <= dt_area) & (dt_area <= rng[1]))
+        res = greedy_match_batch_native(
+            ious_flat, iou_off, d_cnt, g_cnt, d_off, g_off,
+            g_ignore, iscrowd, uig, IOU_THRS)
+        if res is None:   # no compiler: per-pair Python path
+            prec, _ = _accumulate([_match_pair(p, rng, IOU_THRS)
+                                   for p in pairs])
+        else:
+            matched, ignored = res
+            prec, _ = _accumulate_flat(scores, matched, ignored,
+                                       int((~g_ignore).sum()))
+        out[area_name] = prec
+    return out
 
 
 def _accumulate(results: List[_ImgCatResult],
                 n_thrs: int = len(IOU_THRS)
                 ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-category precision (T, R) and recall (T,) arrays."""
+    results = [r for r in results if r is not None]
+    if not results:
+        return -np.ones((n_thrs, len(REC_THRS))), -np.ones(n_thrs)
+    return _accumulate_flat(
+        np.concatenate([r.dt_scores for r in results]),
+        np.concatenate([r.dt_matched for r in results], axis=1),
+        np.concatenate([r.dt_ignore for r in results], axis=1),
+        sum(r.n_gt for r in results), n_thrs)
+
+
+def _accumulate_flat(scores: np.ndarray, matched: np.ndarray,
+                     ignored: np.ndarray, n_gt: int,
+                     n_thrs: int = len(IOU_THRS)
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """``_accumulate`` on pre-concatenated (T, N) arrays."""
     T, R = n_thrs, len(REC_THRS)
     precision = -np.ones((T, R))
     recall = -np.ones(T)
-    results = [r for r in results if r is not None]
-    if not results:
-        return precision, recall
-    n_gt = sum(r.n_gt for r in results)
     if n_gt == 0:
         return precision, recall
-    scores = np.concatenate([r.dt_scores for r in results])
     order = np.argsort(-scores, kind="mergesort")
-    matched = np.concatenate([r.dt_matched for r in results], axis=1)[:, order]
-    ignored = np.concatenate([r.dt_ignore for r in results], axis=1)[:, order]
+    matched = matched[:, order]
+    ignored = ignored[:, order]
 
     for t in range(T):
         m = matched[t][~ignored[t]]
@@ -167,8 +340,7 @@ def _accumulate(results: List[_ImgCatResult],
         pr = tp / np.maximum(tp + fp, 1e-10)
         recall[t] = rc[-1]
         # monotone non-increasing envelope
-        for i in range(len(pr) - 1, 0, -1):
-            pr[i - 1] = max(pr[i - 1], pr[i])
+        pr = np.maximum.accumulate(pr[::-1])[::-1]
         inds = np.searchsorted(rc, REC_THRS, side="left")
         q = np.zeros(R)
         valid = inds < len(pr)
@@ -259,16 +431,22 @@ class DetEvaluator:
         per_area_prec = {a: [] for a in AREA_RANGES}
         for cat in self.cat_ids:
             imgs = self._img_list(cat)
-            nel = [cat in self.imgs[iid].get(
-                "not_exhaustive_category_ids", ()) for iid in imgs] \
-                if self.lvis else [False] * len(imgs)
-            for area_name, rng in AREA_RANGES.items():
-                res = [_evaluate_img_cat(
-                    dt_by_img_cat.get((iid, cat), []),
-                    self.gt_by_img_cat.get((iid, cat), []),
-                    iou_type, rng, self.max_dets, nel=ne)
-                    for iid, ne in zip(imgs, nel)]
-                prec, rec = _accumulate(res)
+            # IoU matrices, score sort, and area vectors are shared by
+            # all four area ranges — compute them once per (img, cat)
+            # pair with any content (lvis-api computes per-pair ious
+            # once, too; pairs with neither dts nor gts contribute
+            # nothing to precision/recall and are skipped outright)
+            pairs = []
+            for iid in imgs:
+                dts = dt_by_img_cat.get((iid, cat), [])
+                gts = self.gt_by_img_cat.get((iid, cat), [])
+                if not dts and not gts:
+                    continue
+                nel = self.lvis and cat in self.imgs[iid].get(
+                    "not_exhaustive_category_ids", ())
+                pairs.append(_prep_pair(dts, gts, iou_type,
+                                        self.max_dets, nel))
+            for area_name, prec in _eval_cat(pairs).items():
                 if area_name == "all":
                     per_cat_prec[cat] = prec
                 per_area_prec[area_name].append(prec)
