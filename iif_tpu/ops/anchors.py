@@ -81,3 +81,28 @@ class AnchorGenerator:
             vv = (vy[:, None] & vx[None, :]).ravel()
             out.append(np.repeat(vv, self.num_base_anchors[lvl]))
         return out
+
+
+class LegacyAnchorGenerator(AnchorGenerator):
+    """MMDet V1.x anchor convention (reference
+    ``core/anchor/anchor_generator.py:601-699``): anchor centers sit at
+    ``center_offset * (size - 1)``, corners use ``size - 1`` half-extents,
+    and base anchors are rounded to integers. Only needed when evaluating
+    checkpoints trained with MMDetection 1.x (pair with
+    ``legacy_delta2bbox``); V2.x+ models use ``AnchorGenerator``."""
+
+    def __init__(self, *args, center_offset: float = 0.5, **kwargs):
+        super().__init__(*args, center_offset=center_offset, **kwargs)
+
+    def _base_anchors(self, base_size: int, stride: Tuple[int, int]
+                      ) -> np.ndarray:
+        w = h = float(base_size)
+        cx = self.center_offset * (w - 1)
+        cy = self.center_offset * (h - 1)
+        h_ratios = np.sqrt(self.ratios)
+        w_ratios = 1.0 / h_ratios
+        ws = (w * w_ratios[:, None] * self.scales[None, :]).reshape(-1)
+        hs = (h * h_ratios[:, None] * self.scales[None, :]).reshape(-1)
+        return np.round(np.stack(
+            [cx - 0.5 * (ws - 1), cy - 0.5 * (hs - 1),
+             cx + 0.5 * (ws - 1), cy + 0.5 * (hs - 1)], axis=-1))

@@ -622,3 +622,92 @@ def uniform_assign_t(bbox_pred, anchor, gt_bboxes,
     pos_gt_index_with_ignore[pos_ignore_idx] = -1
     assigned_gt_inds[indexes] = pos_gt_index_with_ignore
     return assigned_gt_inds, ~pos_ignore_idx, indexes, pos_gt_index
+
+
+# ------------------------------------------------- legacy (MMDet V1.x) coder
+def legacy_bbox2delta_t(proposals, gt, means=(0., 0., 0., 0.),
+                        stds=(1., 1., 1., 1.)):
+    """Lifted from legacy_delta_xywh_bbox_coder.py:97-136 (+1 wh)."""
+    proposals = proposals.float()
+    gt = gt.float()
+    px = (proposals[..., 0] + proposals[..., 2]) * 0.5
+    py = (proposals[..., 1] + proposals[..., 3]) * 0.5
+    pw = proposals[..., 2] - proposals[..., 0] + 1.0
+    ph = proposals[..., 3] - proposals[..., 1] + 1.0
+
+    gx = (gt[..., 0] + gt[..., 2]) * 0.5
+    gy = (gt[..., 1] + gt[..., 3]) * 0.5
+    gw = gt[..., 2] - gt[..., 0] + 1.0
+    gh = gt[..., 3] - gt[..., 1] + 1.0
+
+    dx = (gx - px) / pw
+    dy = (gy - py) / ph
+    dw = torch.log(gw / pw)
+    dh = torch.log(gh / ph)
+    deltas = torch.stack([dx, dy, dw, dh], dim=-1)
+    means = deltas.new_tensor(means).unsqueeze(0)
+    stds = deltas.new_tensor(stds).unsqueeze(0)
+    return deltas.sub_(means).div_(stds)
+
+
+def legacy_delta2bbox_t(rois, deltas, means=(0., 0., 0., 0.),
+                        stds=(1., 1., 1., 1.), max_shape=None,
+                        wh_ratio_clip=16 / 1000):
+    """Lifted from legacy_delta_xywh_bbox_coder.py:139-215 (+1 wh, no
+    corner -+0.5 per the reference's own deviation, max_shape-1 clamp)."""
+    means = deltas.new_tensor(means).repeat(1, deltas.size(1) // 4)
+    stds = deltas.new_tensor(stds).repeat(1, deltas.size(1) // 4)
+    denorm_deltas = deltas * stds + means
+    dx = denorm_deltas[:, 0::4]
+    dy = denorm_deltas[:, 1::4]
+    dw = denorm_deltas[:, 2::4]
+    dh = denorm_deltas[:, 3::4]
+    max_ratio = np.abs(np.log(wh_ratio_clip))
+    dw = dw.clamp(min=-max_ratio, max=max_ratio)
+    dh = dh.clamp(min=-max_ratio, max=max_ratio)
+    px = ((rois[:, 0] + rois[:, 2]) * 0.5).unsqueeze(1).expand_as(dx)
+    py = ((rois[:, 1] + rois[:, 3]) * 0.5).unsqueeze(1).expand_as(dy)
+    pw = (rois[:, 2] - rois[:, 0] + 1.0).unsqueeze(1).expand_as(dw)
+    ph = (rois[:, 3] - rois[:, 1] + 1.0).unsqueeze(1).expand_as(dh)
+    gw = pw * dw.exp()
+    gh = ph * dh.exp()
+    gx = px + pw * dx
+    gy = py + ph * dy
+    x1 = gx - gw * 0.5
+    y1 = gy - gh * 0.5
+    x2 = gx + gw * 0.5
+    y2 = gy + gh * 0.5
+    if max_shape is not None:
+        x1 = x1.clamp(min=0, max=max_shape[1] - 1)
+        y1 = y1.clamp(min=0, max=max_shape[0] - 1)
+        x2 = x2.clamp(min=0, max=max_shape[1] - 1)
+        y2 = y2.clamp(min=0, max=max_shape[0] - 1)
+    return torch.stack([x1, y1, x2, y2], dim=-1).view_as(deltas)
+
+
+class LegacyAnchorOracle(AnchorOracle):
+    """anchor_generator.py:601-699: centers at offset*(size-1), size-1
+    half-extents, rounded base anchors; legacy center_offset=0.5."""
+
+    def __init__(self, strides, ratios=(0.5, 1.0, 2.0), scales=(8.0,),
+                 center_offset=0.5):
+        super().__init__(strides, ratios=ratios, scales=scales,
+                         center_offset=center_offset)
+
+    def gen_base_anchors(self):
+        out = []
+        for base_size in self.base_sizes:
+            w = h = float(base_size)
+            x_center = self.center_offset * (w - 1)
+            y_center = self.center_offset * (h - 1)
+            h_ratios = torch.sqrt(torch.tensor(self.ratios))
+            w_ratios = 1 / h_ratios
+            scales = torch.tensor(self.scales)
+            ws = (w * w_ratios[:, None] * scales[None, :]).view(-1)
+            hs = (h * h_ratios[:, None] * scales[None, :]).view(-1)
+            base_anchors = [
+                x_center - 0.5 * (ws - 1), y_center - 0.5 * (hs - 1),
+                x_center + 0.5 * (ws - 1), y_center + 0.5 * (hs - 1)
+            ]
+            out.append(torch.stack(base_anchors, dim=-1).round())
+        return out

@@ -257,3 +257,57 @@ def test_multiclass_nms_parity_vs_oracle():
     ours = sorted(zip(np.asarray(out_scores)[v].round(5).tolist(),
                       np.asarray(out_labels)[v].tolist()))
     assert ours == ref
+
+
+# ------------------------------------------------- legacy (MMDet V1.x) coder
+def test_legacy_coder_parity():
+    from iif_tpu.ops.boxes import legacy_bbox2delta, legacy_delta2bbox
+    from tests.oracles.geometry_oracle import (legacy_bbox2delta_t,
+                                               legacy_delta2bbox_t)
+
+    rng = np.random.RandomState(7)
+    props = _rand_boxes(rng, 48)
+    gts = _rand_boxes(rng, 48)
+    means, stds = (0.0, 0.0, 0.1, 0.05), (0.1, 0.1, 0.2, 0.2)
+    ours = np.asarray(legacy_bbox2delta(jnp.asarray(props), jnp.asarray(gts),
+                                        means, stds))
+    want = legacy_bbox2delta_t(torch.from_numpy(props),
+                               torch.from_numpy(gts), means, stds).numpy()
+    np.testing.assert_allclose(ours, want, rtol=1e-5, atol=1e-5)
+
+    deltas = rng.randn(48, 8).astype(np.float32)
+    ours = np.asarray(legacy_delta2bbox(
+        jnp.asarray(props), jnp.asarray(deltas), means, stds,
+        max_shape=(256, 320)))
+    want = legacy_delta2bbox_t(torch.from_numpy(props),
+                               torch.from_numpy(deltas), means, stds,
+                               max_shape=(256, 320)).numpy()
+    np.testing.assert_allclose(ours, want, rtol=1e-5, atol=1e-4)
+
+
+def test_legacy_delta2bbox_reference_golden():
+    """The reference's own docstring example
+    (legacy_delta_xywh_bbox_coder.py:139-215)."""
+    from iif_tpu.ops.boxes import legacy_delta2bbox
+
+    rois = jnp.asarray([[0., 0., 1., 1.], [0., 0., 1., 1.],
+                        [0., 0., 1., 1.], [5., 5., 5., 5.]])
+    deltas = jnp.asarray([[0., 0., 0., 0.], [1., 1., 1., 1.],
+                          [0., 0., 2., -1.], [0.7, -1.9, -0.5, 0.3]])
+    got = np.asarray(legacy_delta2bbox(rois, deltas, max_shape=(32, 32)))
+    want = np.array([[0.0000, 0.0000, 1.5000, 1.5000],
+                     [0.0000, 0.0000, 5.2183, 5.2183],
+                     [0.0000, 0.1321, 7.8891, 0.8679],
+                     [5.3967, 2.4251, 6.0033, 3.7749]])
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_legacy_anchor_parity():
+    from iif_tpu.ops.anchors import LegacyAnchorGenerator
+    from tests.oracles.geometry_oracle import LegacyAnchorOracle
+
+    gen = LegacyAnchorGenerator(strides=RPN_STRIDES, ratios=[0.5, 1.0, 2.0],
+                                scales=[8.0])
+    oracle = LegacyAnchorOracle(RPN_STRIDES)
+    for ours, ref in zip(gen.base_anchors, oracle.gen_base_anchors()):
+        np.testing.assert_allclose(ours, ref.numpy(), atol=1e-4)
