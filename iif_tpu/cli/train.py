@@ -270,6 +270,8 @@ def main(args, qat=None):
         from iif_tpu.utils.logging import TrainLogWriter
 
         log_writer = TrainLogWriter(args.output_dir)
+        log_writer.write_env_header(exp_name=f"{args.model}_{args.classif}",
+                                    seed=args.seed)
     start_time = time.time()
     best_acc = 0.0
     for epoch in range(start_epoch, args.epochs):

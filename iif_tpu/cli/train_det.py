@@ -333,6 +333,9 @@ def main():
         log_writer = TrainLogWriter(
             work_dir,
             tensorboard=cfg.get("log_config", {}).get("tensorboard", True))
+        log_writer.write_env_header(
+            exp_name=os.path.basename(args.config),
+            seed=cfg.get("seed"))
 
     dynamic = cfg.runner.get("type") == "EpochBasedDynamicRunner"
     fasa_val_loader = None

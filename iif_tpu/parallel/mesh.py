@@ -41,7 +41,15 @@ def initialize_distributed() -> None:
         return  # already initialized by the runtime
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coord:
-        jax.distributed.initialize()
+        nproc = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        if nproc is not None and pid is not None:
+            # manual launch (scripts/dist_train.sh): explicit rendezvous,
+            # the analog of torch.distributed.launch's MASTER_ADDR/RANK
+            jax.distributed.initialize(coord, int(nproc), int(pid))
+        else:
+            # TPU pod / SLURM / MPI: jax's ClusterEnv auto-detection
+            jax.distributed.initialize()
 
 
 def make_mesh(

@@ -45,6 +45,21 @@ class TrainLogWriter:
             except Exception:   # torch/tensorboard missing: JSON only
                 self.tb = None
 
+    def write_env_header(self, exp_name: str, seed: Optional[int] = None
+                         ) -> None:
+        """First line of every reference ``.log.json``: the collected
+        environment block + experiment name + seed (mmcv TextLoggerHook
+        writes the same header; see the env_info block in the reference's
+        ``20220825_181618.log.json``). Downstream readers skip it — it
+        carries no per-iter ``mode``/``time`` fields."""
+        from iif_tpu.utils.env import env_info_str
+
+        rec = {"env_info": env_info_str(), "exp_name": exp_name}
+        if seed is not None:
+            rec["seed"] = int(seed)
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
     def write(self, record: Dict, step: Optional[int] = None) -> None:
         """One log interval: dumps the record as a JSON line and mirrors
         numeric fields to TensorBoard under ``<mode>/<key>``."""

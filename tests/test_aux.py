@@ -162,6 +162,7 @@ def test_train_log_writer(tmp_path):
     from iif_tpu.utils.profiling import analyze_log_json
 
     w = TrainLogWriter(str(tmp_path), tensorboard=False, filename="t")
+    w.write_env_header(exp_name="unit", seed=7)
     w.write({"mode": "train", "epoch": 1, "iter": 0, "lr": 0.02,
              "loss": 1.5, "time": 0.1}, step=0)
     w.write({"mode": "train", "epoch": 1, "iter": 50, "lr": 0.02,
@@ -171,6 +172,26 @@ def test_train_log_writer(tmp_path):
     stats = analyze_log_json(w.path, "time")
     assert stats["n"] == 2
     assert abs(stats["mean"] - 0.105) < 1e-9
+    # env header is the first line (reference .log.json convention) and
+    # doesn't confuse the per-iter readers above
+    import json
+
+    with open(w.path) as f:
+        head = json.loads(f.readline())
+    assert head["exp_name"] == "unit" and head["seed"] == 7
+    assert "jax" in head["env_info"]
+
+
+def test_collect_env():
+    """collect_env analog (mmdet/utils/collect_env.py): versions + device
+    inventory, usable standalone."""
+    from iif_tpu.utils.env import collect_env, env_info_str
+
+    info = collect_env()
+    assert info["Python"].startswith("3.")
+    assert info["jax"] and info["iif_tpu"].startswith("0.3+")
+    assert "JAX backend" in info
+    assert "jax:" in env_info_str()
 
 
 def test_metric_logger_sink():
