@@ -135,6 +135,9 @@ class MaskRCNN(nn.Module):
     # the 4conv1fc head (num_shared_convs=4, num_shared_fcs=1)
     bbox_head_convs: int = 0
     bbox_head_fcs: int = 2
+    # space-to-depth rewrite of the 7x7/s2 stem conv (exact math, same
+    # params — pure TPU/MXU layout win; models/resnet.py S2DStemConv)
+    s2d_stem: bool = False
 
     def setup(self):
         self.backbone = build_backbone(
@@ -145,7 +148,7 @@ class MaskRCNN(nn.Module):
             gcb=tuple(self.gcb), gcb_ratio=self.gcb_ratio,
             gen_attention=self.gen_attention,
             gen_attention_stages=tuple(self.gen_attention_stages),
-            dtype=self.compute_dtype)
+            s2d_stem=self.s2d_stem, dtype=self.compute_dtype)
         if self.neck_type == "pafpn":
             from iif_tpu.detection.necks import PAFPN
 
@@ -346,6 +349,7 @@ def build_backbone(backbone_type: str, depth: int = 50,
                    gcb: tuple = (), gcb_ratio: float = 0.25,
                    gen_attention: str = "",
                    gen_attention_stages: tuple = (),
+                   s2d_stem: bool = False,
                    dtype=None, name: str = "backbone"):
     """Backbone registry shared by every detector body (the reference's
     ``build_backbone``, mmdet/models/builder.py): 'resnet' (+
@@ -402,7 +406,8 @@ def build_backbone(backbone_type: str, depth: int = 50,
                   gcb_stages=tuple(gcb), gcb_ratio=gcb_ratio,
                   gen_attention=gen_attention or "1111",
                   gen_attention_stages=tuple(gen_attention_stages),
-                  dcn_stages=tuple(dcn), dtype=dtype, name=name)
+                  dcn_stages=tuple(dcn), s2d_stem=s2d_stem,
+                  dtype=dtype, name=name)
 
 
 def model_kwargs_from_cfg(model_cfg: Dict[str, Any]) -> Dict[str, Any]:

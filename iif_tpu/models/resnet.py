@@ -55,6 +55,47 @@ def make_conv(conv_ws: bool):
     return nn.Conv
 
 
+class S2DStemConv(nn.Module):
+    """Space-to-depth rewrite of the 7x7/s2 stem conv — bit-exact (same
+    math, same parameter) but MXU-friendly: a 3-channel 7x7/s2 conv wastes
+    the 128-lane contraction dimension, so fold 2x2 input blocks into
+    channels (3 -> 12) and run an equivalent 4x4/s1 conv whose kernel is
+    the zero-padded 8x8 rearrangement of the original 7x7 weights (the
+    MLPerf-ResNet TPU stem transform). The parameter keeps the reference
+    (7,7,C,64) shape and the ``conv1`` path, so pretrained torchvision /
+    mmdet checkpoint ingestion is unchanged.
+
+    Derivation: y[i,j] = sum_{u,v<8} W8[u,v] x[2i+u-4, 2j+v-4] where
+    W8[1:,1:] = W7 (zero first row/col). With z[a,b,(p,q,c)] =
+    x[2a+p,2b+q,c], that is a 4x4 stride-1 conv over z with asymmetric
+    padding (2,1) and kernel K[s,t,(p,q,c)] = W8[2s+p, 2t+q, c].
+    """
+
+    features: int = 64
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        if h % 2 or w % 2:
+            raise ValueError(
+                f"s2d stem needs even H/W, got {h}x{w} (detection canvases "
+                "are padded to /32; classification crops are even)")
+        kernel = self.param("kernel", conv_init, (7, 7, c, self.features),
+                            jnp.float32)
+        k8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k = k8.reshape(4, 2, 4, 2, c, self.features)          # (s,p,t,q,c,o)
+        k = k.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
+        z = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        z = z.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        if self.dtype is not None:
+            z = z.astype(self.dtype)
+            k = k.astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            z, k, window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class BasicBlockV1(nn.Module):
     planes: int
     stride: int = 1
@@ -222,6 +263,9 @@ class ResNet(nn.Module):
     # this many stages; res5 then runs per-RoI as the shared head
     # (see ResLayer below)
     num_stages: int = 4
+    # exact space-to-depth stem rewrite (see S2DStemConv); same params,
+    # same outputs — a pure TPU layout optimization
+    s2d_stem: bool = False
 
     def stage_widths(self) -> List[int]:
         return [64, 128, 256, 512]
@@ -244,9 +288,12 @@ class ResNet(nn.Module):
             x = x.astype(self.dtype)
         # Stem: 7x7/2 + maxpool 3x3/2.
         stem_train = train and self.frozen_stages < 0 and not self.norm_eval
-        out = make_conv(self.conv_ws)(
-            64, (7, 7), strides=2, padding=3, use_bias=False,
-            kernel_init=conv_init, dtype=self.dtype, name="conv1")(x)
+        if self.s2d_stem and not self.conv_ws:
+            out = S2DStemConv(64, dtype=self.dtype, name="conv1")(x)
+        else:
+            out = make_conv(self.conv_ws)(
+                64, (7, 7), strides=2, padding=3, use_bias=False,
+                kernel_init=conv_init, dtype=self.dtype, name="conv1")(x)
         out = make_norm(self.norm, stem_train, "bn1", self.dtype)(out)
         out = nn.relu(out)
         out = nn.max_pool(out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

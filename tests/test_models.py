@@ -110,3 +110,40 @@ def test_backbone_remat_grads_bit_identical():
     for a, b in zip(jax.tree_util.tree_leaves(g0),
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_s2d_stem_exact():
+    """Space-to-depth stem == 7x7/s2 stem: same param tree (checkpoint
+    compatible), same outputs, same gradients (f32)."""
+    from iif_tpu.models.resnet import ResNet
+
+    m0 = ResNet(layers=(2, 2, 2, 2), block="basic")
+    m1 = m0.clone(s2d_stem=True)
+    v0 = jax.jit(m0.init, static_argnums=(2,))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)), False)
+    v1 = jax.jit(m1.init, static_argnums=(2,))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)), False)
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+    for a, b in zip(jax.tree_util.tree_leaves(v0["params"]),
+                    jax.tree_util.tree_leaves(v1["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 64, 96, 3),
+                    jnp.float32)
+
+    def feats_sum(m, p):
+        feats = m.apply({"params": p, "batch_stats": v0["batch_stats"]},
+                        x, False, return_features=True)
+        return sum(t.astype(jnp.float32).sum() for t in feats), feats
+
+    (_, f0), g0 = jax.value_and_grad(
+        lambda p: feats_sum(m0, p), has_aux=True)(v0["params"])
+    (_, f1), g1 = jax.value_and_grad(
+        lambda p: feats_sum(m1, p), has_aux=True)(v0["params"])
+    for a, b in zip(f0, f1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-3)
