@@ -12,12 +12,14 @@ data_root = "data/coco/"
 data = dict(
     train=dict(type="CocoDataset",
                ann_file=data_root + "annotations/instances_train2017.json",
-               img_prefix=data_root + "train2017/", oversample_thr=0.0),
+               img_prefix=data_root + "train2017/", oversample_thr=0.0,
+               proposal_file=data_root + "proposals/rpn_r50_fpn_1x_train2017.pkl"),
     val=dict(type="CocoDataset",
              ann_file=data_root + "annotations/instances_val2017.json",
              img_prefix=data_root + "val2017/"),
     test=dict(type="CocoDataset",
               ann_file=data_root + "annotations/instances_val2017.json",
-              img_prefix=data_root + "val2017/"),
+              img_prefix=data_root + "val2017/",
+              proposal_file=data_root + "proposals/rpn_r50_fpn_1x_val2017.pkl"),
 )
 evaluation = dict(interval=12, metric=["bbox"])

@@ -126,7 +126,6 @@ def main():
 
     from iif_tpu.config import Config
     from iif_tpu.detection import build_detector
-    from iif_tpu.detection.detector import MaskRCNN, maskrcnn_simple_test
     from iif_tpu.detection.losses import DetCrossEntropyLoss
 
     cfg = Config.fromfile(args.config)
@@ -137,10 +136,10 @@ def main():
     loss_cls = DetCrossEntropyLoss(num_classes=cfg.model["num_classes"])
 
     if args.cmd == "flops":
+        from iif_tpu.detection.simple_test import init_detector_variables
         from iif_tpu.utils.profiling import flops_of
 
-        variables = jax.jit(model.init, static_argnums=(2,))(
-            jax.random.PRNGKey(0), jnp.zeros((1,) + canvas + (3,)), False)
+        variables = init_detector_variables(model, canvas)
         fl = flops_of(
             lambda v, x: model.apply(v, x, False,
                                      method=type(model).extract_feat),
@@ -149,8 +148,9 @@ def main():
         return
 
     # benchmark: pure-inference FPS (reference benchmark.py:52-120)
-    variables = jax.jit(model.init, static_argnums=(2,))(
-        jax.random.PRNGKey(0), jnp.zeros((1,) + canvas + (3,)), False)
+    from iif_tpu.detection.simple_test import init_detector_variables
+
+    variables = init_detector_variables(model, canvas)
     if args.checkpoint:
         from iif_tpu.utils.checkpoint import CheckpointManager
 
@@ -168,29 +168,17 @@ def main():
     # NOTE: block_until_ready is unreliable on tunneled TPU backends; a
     # host readback of a value depending on the outputs is the only
     # honest sync. Chain iterations through the input so they serialize.
-    from iif_tpu.detection.cascade import CascadeMaskRCNN, cascade_simple_test
-    from iif_tpu.detection.single_stage import (
-        _SingleStageBase,
-        single_stage_simple_test,
-    )
+    from iif_tpu.detection.simple_test import make_simple_test
 
-    from iif_tpu.detection.detr import DETR, detr_simple_test
+    st_fn, needs_ishape = make_simple_test(model, loss_cls, test_cfg)
 
     def _one_iter(v, img):
-        if isinstance(model, DETR):
+        if needs_ishape:
             ishape = jnp.tile(jnp.asarray([[canvas[0], canvas[1]]],
                                           jnp.int32), (img.shape[0], 1))
-            out = detr_simple_test(model, v, img, test_cfg,
-                                   img_shape=ishape,
-                                   max_per_img=test_cfg.max_per_img)
-        elif isinstance(model, _SingleStageBase):
-            out = single_stage_simple_test(model, v, img, test_cfg)
-        elif isinstance(model, CascadeMaskRCNN):
-            out = cascade_simple_test(model, v, img,
-                                      [loss_cls] * model.num_stages,
-                                      test_cfg)
+            out = st_fn(v, img, ishape)
         else:
-            out = maskrcnn_simple_test(model, v, img, loss_cls, test_cfg)
+            out = st_fn(v, img)
         return out, out["scores"].sum()
 
     run = jax.jit(_one_iter)

@@ -104,10 +104,21 @@ def run_inference(model, variables, loader, loss_cls, test_cfg, cat_ids,
         else:
             run = jax.jit(base)
 
+    needs_props = exported is None and getattr(base, "needs_proposals",
+                                               False)
     results: List[dict] = []
     n_done = 0
     for batch in loader:
-        if needs_shape:
+        if needs_props:
+            if "proposals" not in batch:
+                raise SystemExit(
+                    "FastRCNN eval needs precomputed proposals: set "
+                    "data.test.proposal_file (pickle of per-image (n,4|5) "
+                    "arrays) in the config")
+            out = jax.device_get(run(variables, batch["image"],
+                                     batch["proposals"],
+                                     batch["proposals_valid"]))
+        elif needs_shape:
             out = jax.device_get(run(variables, batch["image"],
                                      batch["img_shape"]))
         else:
@@ -232,6 +243,13 @@ def main():
     cfg = Config.fromfile(args.config)
     cfg.merge_from_options(parse_cfg_options(args.cfg_options))
 
+    # multi-host eval (scripts/dist_test.sh / slurm_test.sh): must come
+    # before the first jax.process_count()/process_index() call so each
+    # host evaluates only its shard (reference multi_gpu_test,
+    # mmdet/apis/test.py:70)
+    from iif_tpu.parallel import initialize_distributed
+    initialize_distributed()
+
     test_ds = DATASETS.build({k: v for k, v in cfg.data["test"].items()
                               if k != "oversample_thr"})
     pcfg = cfg.get("pipeline", {})
@@ -240,7 +258,10 @@ def main():
         scales=[tuple(s) for s in pcfg.get("scales", [(1333, 800)])],
         flip_prob=0.0, max_gt=1, emit_uint8=pcfg.get("uint8", True),
         with_mask=cfg.model.get("with_mask", True),
-        keep_ratio=pcfg.get("keep_ratio", True))
+        keep_ratio=pcfg.get("keep_ratio", True),
+        max_proposals=pcfg.get(
+            "max_proposals",
+            512 if not cfg.model.get("with_rpn", True) else 0))
     loader = _EvalLoader(test_ds, pipeline,
                          cfg.data.get("samples_per_gpu", 4),
                          num_shards=jax.process_count(),
@@ -271,11 +292,10 @@ def main():
         from iif_tpu.detection.pretrained_det import load_mmdet_checkpoint
         from iif_tpu.models.pretrained import merge_pretrained
 
-        init_vars = jax.jit(model.init, static_argnums=(2,))(
-            jax.random.PRNGKey(0),
-            jax.numpy.zeros(
-                (1,) + tuple(pcfg.get("canvas", (800, 1344))) + (3,)),
-            False)
+        from iif_tpu.detection.simple_test import init_detector_variables
+
+        init_vars = init_detector_variables(
+            model, tuple(pcfg.get("canvas", (800, 1344))))
         p, bs = load_mmdet_checkpoint(args.checkpoint, num_classes)
         variables = merge_pretrained(init_vars, p, bs)
     else:
@@ -294,6 +314,10 @@ def main():
     if args.tta and args.exported:
         raise SystemExit("--tta and --exported are mutually exclusive "
                          "(the artifact is a fixed single-view program)")
+    if args.tta and any(m.lower() == "pq" for m in args.eval):
+        raise SystemExit("--eval PQ is not supported with --tta (the "
+                         "panoptic fusion runs on the single-view path "
+                         "only); drop --tta for PQ")
     if args.tta:
         from iif_tpu.detection.tta import multi_scale_flip_views
 
@@ -407,8 +431,17 @@ def main():
             annotations = []
             for idx in range(len(test_ds.img_infos)):
                 ann = test_ds.get_ann(idx)
+                # VOC 'difficult' objects land in crowd_boxes (the VOC
+                # loader gives them crowd semantics) and must enter
+                # eval_map as ignore regions, not be dropped — otherwise
+                # hits on difficult objects count as FPs
                 annotations.append({"bboxes": ann["boxes"],
-                                    "labels": ann["labels"]})
+                                    "labels": ann["labels"],
+                                    "bboxes_ignore": ann.get(
+                                        "crowd_boxes",
+                                        np.zeros((0, 4), np.float32)),
+                                    "labels_ignore": ann.get(
+                                        "crowd_labels")})
             mode = ("11points" if "VOC2007" in
                     getattr(test_ds, "img_prefix", "") else "area")
             m, per_cls = eval_map(det_results, annotations,
@@ -484,7 +517,12 @@ class _EvalLoader:
                 if self.corrupt is not None:
                     img = self.corrupt(img, seed=i)
                 ann = self.dataset.get_ann(i)
-                samples.append(self.pipeline(img, ann, rng, train=False))
+                props = (self.dataset.get_proposals(i)
+                         if self.pipeline.max_proposals > 0
+                         and getattr(self.dataset, "with_proposals", False)
+                         else None)
+                samples.append(self.pipeline(img, ann, rng, train=False,
+                                             proposals=props))
                 ids.append(self.dataset.img_infos[i]["id"])
                 shapes.append([ann["height"], ann["width"]])
             while len(samples) < self.batch_size:  # pad last batch

@@ -148,7 +148,12 @@ def main():
         pack_masks=pcfg.get("pack_masks", True),
         keep_ratio=pcfg.get("keep_ratio", True),
         with_seg=pcfg.get("with_seg", False),
-        seg_stride=pcfg.get("seg_stride", 4))
+        seg_stride=pcfg.get("seg_stride", 4),
+        # FastRCNN: precomputed proposals from data.train.proposal_file,
+        # padded to this static cap (reference LoadProposals)
+        max_proposals=pcfg.get(
+            "max_proposals",
+            512 if not cfg.model.get("with_rpn", True) else 0))
     loader = DetectionLoader(
         train_ds, pipeline, batch_size=dcfg.get("samples_per_gpu", 4)
         * mesh.shape["data"],   # global batch = per-DP-shard x data axis

@@ -90,11 +90,14 @@ def build_detector(model_cfg: dict):
             kw["deepen"] = model_cfg.get("deepen", 0.33)
             kw["widen"] = model_cfg.get("widen", 0.5)
         return cls(**kw), SSTrainCfg, SSTestCfg
-    if mtype == "CascadeMaskRCNN":
+    if mtype in ("CascadeMaskRCNN", "CascadeRCNN"):
+        # reference cascade_rcnn.py registers type='CascadeRCNN' for the
+        # box-only and mask variants alike (with_mask comes from the
+        # roi_head config); accept both spellings.
         from iif_tpu.detection.cascade import CascadeMaskRCNN
 
         return CascadeMaskRCNN(**kw), DetTrainCfg, DetTestCfg
-    if mtype == "HybridTaskCascade":
+    if mtype in ("HybridTaskCascade", "HTC"):
         from iif_tpu.detection.htc import HTC
 
         return HTC(**kw), DetTrainCfg, DetTestCfg
@@ -163,4 +166,10 @@ def build_detector(model_cfg: dict):
         kw["with_rpn"] = False
     elif mtype == "MaskScoringRCNN":
         kw["with_mask_iou"] = True
+    elif mtype != "MaskRCNN":
+        # never silently fall back to MaskRCNN: an unknown/typo'd type
+        # would otherwise train the wrong architecture without warning
+        raise ValueError(
+            f"build_detector: unknown model type {mtype!r} "
+            "(see iif_tpu/detection/__init__.py for the registry)")
     return MaskRCNN(**kw), DetTrainCfg, DetTestCfg

@@ -31,7 +31,8 @@ class CocoStyleDataset:
 
     def __init__(self, ann_file: str, img_prefix: str = "",
                  filter_empty_gt: bool = True, min_size: int = 32,
-                 lvis_style: bool = False):
+                 lvis_style: bool = False,
+                 proposal_file: Optional[str] = None):
         self.img_prefix = img_prefix
         self.lvis_style = lvis_style
         with open(ann_file) as f:
@@ -57,6 +58,19 @@ class CocoStyleDataset:
         # LVIS v1 train image list)
         self.num_images_total = len(data["images"])
 
+        # precomputed proposals for RPN-free training/eval (FastRCNN;
+        # reference CustomDataset(proposal_file=...) + LoadProposals,
+        # mmdet/datasets/custom.py + pipelines/loading.py): a pickle/npy
+        # list of per-image (n, 4|5) float arrays aligned with the json's
+        # image order, carried through filtering on the record itself
+        proposal_list = None
+        if proposal_file is not None:
+            proposal_list = self._load_proposals(proposal_file)
+            if len(proposal_list) != len(data["images"]):
+                raise ValueError(
+                    f"proposal_file has {len(proposal_list)} entries for "
+                    f"{len(data['images'])} images")
+
         self.img_infos: List[dict] = []
         for img in data["images"]:
             file_name = img.get("file_name")
@@ -73,7 +87,10 @@ class CocoStyleDataset:
                     img.get("not_exhaustive_category_ids", []),
                 "anns": anns_by_img.get(img["id"], []),
             }
+            if proposal_list is not None:
+                rec["proposals"] = proposal_list[len(self.img_infos)]
             self.img_infos.append(rec)
+        self.with_proposals = proposal_list is not None
 
         if filter_empty_gt:
             self.img_infos = [
@@ -88,11 +105,38 @@ class CocoStyleDataset:
     def __len__(self) -> int:
         return len(self.img_infos)
 
+    @staticmethod
+    def _load_proposals(path: str) -> List[np.ndarray]:
+        """Load a per-image proposal list (.pkl of arrays — the mmdet
+        convention — or a .npy object array); entries normalized to
+        float32 (n, 4|5)."""
+        if path.endswith(".npy"):
+            raw = list(np.load(path, allow_pickle=True))
+        else:
+            import pickle
+
+            with open(path, "rb") as f:
+                raw = pickle.load(f)
+        out = []
+        for p in raw:
+            p = np.asarray(p, np.float32)
+            if p.ndim != 2 or p.shape[-1] not in (4, 5):
+                raise ValueError(
+                    f"proposal entries must be (n, 4|5); got {p.shape}")
+            out.append(p)
+        return out
+
+    def get_proposals(self, idx: int) -> Optional[np.ndarray]:
+        """Precomputed proposals (n, 4|5) for image ``idx`` (None when no
+        proposal_file was configured)."""
+        return self.img_infos[idx].get("proposals")
+
     def get_ann(self, idx: int) -> Dict:
         """Parsed annotations (``coco.py:38-96`` _parse_ann_info)."""
         rec = self.img_infos[idx]
         w, h = rec["width"], rec["height"]
-        boxes, labels, segms, crowd_boxes = [], [], [], []
+        boxes, labels, segms = [], [], []
+        crowd_boxes, crowd_labels = [], []
         for a in rec["anns"]:
             x, y, bw, bh = a["bbox"]
             x1, y1 = max(x, 0), max(y, 0)
@@ -103,6 +147,7 @@ class CocoStyleDataset:
                 continue
             if a.get("iscrowd", 0):
                 crowd_boxes.append([x1, y1, x2, y2])
+                crowd_labels.append(self.cat2label[a["category_id"]])
                 continue
             boxes.append([x1, y1, x2, y2])
             labels.append(self.cat2label[a["category_id"]])
@@ -112,6 +157,7 @@ class CocoStyleDataset:
             "labels": np.asarray(labels, np.int64),
             "segms": segms,
             "crowd_boxes": np.asarray(crowd_boxes, np.float32).reshape(-1, 4),
+            "crowd_labels": np.asarray(crowd_labels, np.int64),
             "width": w,
             "height": h,
         }

@@ -41,9 +41,8 @@ from optax import assignment as optax_assignment
 from iif_tpu.detection.losses import iou_loss, l1_loss
 from iif_tpu.models.resnet import ResNet
 
-_DEPTH_LAYERS = {18: ((2, 2, 2, 2), "basic"), 34: ((3, 4, 6, 3), "basic"),
-                 50: ((3, 4, 6, 3), "bottleneck"),
-                 101: ((3, 4, 23, 3), "bottleneck")}
+from iif_tpu.detection.detector import _DEPTH_LAYERS  # noqa: E402  (canonical table)
+
 _BIG = 1e6
 
 

@@ -70,9 +70,10 @@ def init_detector(config: Union[str, Any], checkpoint: Optional[str] = None,
         with_mask=cfg.model.get("with_mask", True),
         keep_ratio=pcfg.get("keep_ratio", True))
 
+    from iif_tpu.detection.simple_test import init_detector_variables
+
     canvas = pipeline.canvas
-    variables = jax.jit(model.init, static_argnums=(2,))(
-        jax.random.PRNGKey(0), jnp.zeros((1,) + canvas + (3,)), False)
+    variables = init_detector_variables(model, canvas)
     if checkpoint and checkpoint.endswith(".pth"):
         # reference-trained mmdet checkpoint (the reference's
         # init_detector also takes a .pth): convert + overlay

@@ -160,6 +160,40 @@ class NonLocal2d(nn.Module):
         return x + out.astype(x.dtype)
 
 
+def _adaptive_max_axis(x: jnp.ndarray, out_len: int, axis: int) -> jnp.ndarray:
+    """Exact ``F.adaptive_max_pool`` along one axis (torch semantics:
+    output cell ``i`` maxes over ``[floor(i*in/out), ceil((i+1)*in/out))``).
+    Shapes are static, so the window map is precomputed host-side."""
+    import numpy as np
+
+    in_len = x.shape[axis]
+    if in_len == out_len:
+        return x
+    xm = jnp.moveaxis(x, axis, 0)
+    if in_len % out_len == 0:
+        k = in_len // out_len
+        pooled = xm.reshape((out_len, k) + xm.shape[1:]).max(axis=1)
+        return jnp.moveaxis(pooled, 0, axis)
+    idx_out = np.arange(out_len)
+    starts = (idx_out * in_len) // out_len
+    ends = -((-(idx_out + 1) * in_len) // out_len)
+    kmax = int((ends - starts).max())
+    offs = starts[:, None] + np.arange(kmax)[None]
+    gathered = xm[jnp.asarray(np.minimum(offs, in_len - 1))]
+    valid = jnp.asarray(offs < ends[:, None]).reshape(
+        (out_len, kmax) + (1,) * (xm.ndim - 1))
+    neg = jnp.asarray(jnp.finfo(x.dtype).min if jnp.issubdtype(
+        x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min, x.dtype)
+    pooled = jnp.where(valid, gathered, neg).max(axis=1)
+    return jnp.moveaxis(pooled, 0, axis)
+
+
+def adaptive_max_pool2d(x: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """NHWC ``F.adaptive_max_pool2d`` (exact, torch window semantics)."""
+    x = _adaptive_max_axis(x, out_hw[0], 1)
+    return _adaptive_max_axis(x, out_hw[1], 2)
+
+
 class BFP(nn.Module):
     """Balanced Feature Pyramid of Libra R-CNN
     (``mmdet/models/necks/bfp.py``): gather all levels to the
@@ -177,9 +211,7 @@ class BFP(nn.Module):
         gathered = []
         for i, x in enumerate(inputs):
             if i < self.refine_level:
-                # adaptive max pool down
-                g = jax.image.resize(
-                    x, (x.shape[0], th, tw, x.shape[-1]), "bilinear")
+                g = adaptive_max_pool2d(x, (th, tw))
             elif i > self.refine_level:
                 g = jax.image.resize(
                     x, (x.shape[0], th, tw, x.shape[-1]), "nearest")
@@ -195,9 +227,11 @@ class BFP(nn.Module):
         outs = []
         for i, x in enumerate(inputs):
             h, w = x.shape[1:3]
-            r = jax.image.resize(
-                bsf, (bsf.shape[0], h, w, bsf.shape[-1]),
-                "nearest" if i < self.refine_level else "bilinear")
+            if i > self.refine_level:
+                r = adaptive_max_pool2d(bsf, (h, w))
+            else:
+                r = jax.image.resize(
+                    bsf, (bsf.shape[0], h, w, bsf.shape[-1]), "nearest")
             outs.append(x + r)
         return tuple(outs)
 

@@ -491,6 +491,7 @@ class DetectionPipeline:
         keep_ratio: bool = True,
         with_seg: bool = False,
         seg_stride: int = 4,
+        max_proposals: int = 0,
     ):
         # keep_ratio=False: stretch to exactly ``scale`` (w, h) like the
         # reference SSD pipeline (Resize keep_ratio=False,
@@ -521,6 +522,10 @@ class DetectionPipeline:
         self.scales = list(scales)
         self.flip_prob = flip_prob
         self.max_gt = max_gt
+        # max_proposals > 0: carry precomputed proposals (FastRCNN)
+        # through resize/flip, score-sorted, padded to this static cap
+        # (reference LoadProposals num_max_proposals, loading.py)
+        self.max_proposals = max_proposals
         self.with_mask = with_mask
         self.mask_stride = mask_stride
         self.mean = mean
@@ -610,7 +615,9 @@ class DetectionPipeline:
 
     def __call__(self, image: np.ndarray, ann: Dict, rng: np.random.RandomState,
                  train: bool = True, mix_fetch=None,
-                 scale_idx: Optional[int] = None) -> Dict[str, np.ndarray]:
+                 scale_idx: Optional[int] = None,
+                 proposals: Optional[np.ndarray] = None
+                 ) -> Dict[str, np.ndarray]:
         """``mix_fetch(rng, n) -> [sample dict, ...]`` supplies partner
         images for multi-image transforms (Mosaic/MixUp) — the
         ``MultiImageMixDataset`` role (``dataset_wrappers.py:289``), owned
@@ -677,6 +684,27 @@ class DetectionPipeline:
             flipped[:, 2] = nw - boxes[:, 0]
             boxes = flipped
 
+        prop_out = prop_valid_out = None
+        if self.max_proposals > 0:
+            # precomputed proposals follow the image geometry exactly like
+            # gt boxes (reference Resize/RandomFlip also transform the
+            # 'proposals' key, transforms.py)
+            p = (np.zeros((0, 5), np.float32) if proposals is None
+                 else np.asarray(proposals, np.float32))
+            if p.shape[-1] == 5:        # score-sorted cap, then drop score
+                p = p[np.argsort(-p[:, 4])][:, :4]
+            p = p * box_scale
+            if flip:
+                pf = p.copy()
+                pf[:, 0] = nw - p[:, 2]
+                pf[:, 2] = nw - p[:, 0]
+                p = pf
+            k = min(len(p), self.max_proposals)
+            prop_out = np.zeros((self.max_proposals, 4), np.float32)
+            prop_valid_out = np.zeros(self.max_proposals, bool)
+            prop_out[:k] = p[:k]
+            prop_valid_out[:k] = True
+
         if self.emit_uint8:
             out_img = np.empty((ch, cw, 3), np.uint8)
             out_img[:] = self._pad_pixel
@@ -704,6 +732,9 @@ class DetectionPipeline:
             "scale_factor": sf_out,
             "flip": np.bool_(flip),
         }
+        if prop_out is not None:
+            out["proposals"] = prop_out
+            out["proposals_valid"] = prop_valid_out
 
         if self.with_mask:
             s = self.mask_stride
@@ -886,14 +917,19 @@ class DetectionLoader:
         buckets = self.pipeline.buckets if self.train else []
         multi_bucket = len(buckets) > 1
 
+        with_props = (self.pipeline.max_proposals > 0
+                      and getattr(self.dataset, "with_proposals", False))
+
         def _one(args):
             i, sample_seed, scale_idx = args
             img = self._load_image(int(i))
             ann = self.dataset.get_ann(int(i))
+            props = (self.dataset.get_proposals(int(i))
+                     if with_props else None)
             return self.pipeline(img, ann, np.random.RandomState(sample_seed),
                                  self.train,
                                  mix_fetch=_mix_fetch if needs_mix else None,
-                                 scale_idx=scale_idx)
+                                 scale_idx=scale_idx, proposals=props)
 
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             for b0 in range(0, len(order) - self.batch_size + 1,

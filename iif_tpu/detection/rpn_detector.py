@@ -25,9 +25,7 @@ from iif_tpu.detection.necks import FPN
 from iif_tpu.detection.rpn import RPNHead, rpn_loss, rpn_proposals
 from iif_tpu.models.resnet import ResNet
 
-_DEPTH_LAYERS = {18: ((2, 2, 2, 2), "basic"), 34: ((3, 4, 6, 3), "basic"),
-                 50: ((3, 4, 6, 3), "bottleneck"),
-                 101: ((3, 4, 23, 3), "bottleneck")}
+from iif_tpu.detection.detector import _DEPTH_LAYERS  # noqa: E402  (canonical table)
 
 
 class RPNDetector(nn.Module):

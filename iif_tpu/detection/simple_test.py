@@ -11,6 +11,28 @@ from __future__ import annotations
 from typing import Any, Callable, Tuple
 
 
+def init_detector_variables(model, canvas, seed: int = 0):
+    """Family-aware ``model.init`` on a zero canvas batch.
+
+    DETR's ``__call__(images, img_shape, train)`` takes the per-image
+    pixel shape as a second array argument; every other family is
+    ``__call__(images, train)``. Centralised so the inference API, the
+    analysis CLI, and ``test_det`` cannot drift from the trainer's
+    dispatch (``engine/detection.py`` ``init_state``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iif_tpu.detection.detr import DETR
+
+    images = jnp.zeros((1,) + tuple(canvas) + (3,), jnp.float32)
+    if isinstance(model, DETR):
+        ishape = jnp.asarray([[canvas[0], canvas[1]]], jnp.int32)
+        return jax.jit(model.init, static_argnums=(3,))(
+            jax.random.PRNGKey(seed), images, ishape, False)
+    return jax.jit(model.init, static_argnums=(2,))(
+        jax.random.PRNGKey(seed), images, False)
+
+
 def make_simple_test(model, loss_cls, test_cfg
                      ) -> Tuple[Callable, bool]:
     """Return ``(fn, needs_img_shape)``.
@@ -71,5 +93,15 @@ def make_simple_test(model, loss_cls, test_cfg
     if isinstance(model, RPNDetector):
         return (lambda v, img: rpn_only_simple_test(
             model, v, img, test_cfg)), False
+    if not getattr(model, "with_rpn", True):
+        # FastRCNN: precomputed proposals ride alongside the image; the
+        # returned fn is marked so callers feed batch['proposals']
+        def _fast(v, img, proposals, proposals_valid):
+            return maskrcnn_simple_test(
+                model, v, img, loss_cls, test_cfg,
+                proposals=proposals, proposals_valid=proposals_valid)
+
+        _fast.needs_proposals = True
+        return _fast, False
     return (lambda v, img: maskrcnn_simple_test(
         model, v, img, loss_cls, test_cfg)), False

@@ -39,9 +39,7 @@ from iif_tpu.ops.assigner import max_iou_assign
 from iif_tpu.ops.boxes import bbox2delta, delta2bbox
 from iif_tpu.ops.nms import multiclass_nms
 
-_DEPTH_LAYERS = {18: ((2, 2, 2, 2), "basic"), 34: ((3, 4, 6, 3), "basic"),
-                 50: ((3, 4, 6, 3), "bottleneck"),
-                 101: ((3, 4, 23, 3), "bottleneck")}
+from iif_tpu.detection.detector import _DEPTH_LAYERS  # noqa: E402  (canonical table)
 
 normal_init = nn.initializers.normal(stddev=0.01)
 

@@ -43,38 +43,65 @@ def average_precision(recalls: np.ndarray, precisions: np.ndarray,
 
 def eval_map(
     det_results: List[List[np.ndarray]],   # [img][cls] -> (n, 5) box+score
-    annotations: List[Dict[str, np.ndarray]],  # {bboxes, labels}
+    annotations: List[Dict[str, np.ndarray]],  # {bboxes, labels[,
+    #  bboxes_ignore, labels_ignore]} — ignore = VOC 'difficult' regions
     iou_thr: float = 0.5,
     mode: str = "area",
 ) -> Tuple[float, List[Dict]]:
-    """Per-class VOC mAP. Returns (mAP, per-class results)."""
+    """Per-class VOC mAP. Returns (mAP, per-class results).
+
+    Ignore semantics follow ``mean_ap.py:62-168`` (`tpfp_default`): a
+    detection whose best-IoU match is an ignore region counts as
+    neither TP nor FP, and ignore regions don't count toward num_gts.
+    """
     num_classes = len(det_results[0]) if det_results else 0
     eval_results = []
     for c in range(num_classes):
-        scores_all, tp_all, n_gt = [], [], 0
+        scores_all, tp_all, fp_all, n_gt = [], [], [], 0
         for dets, ann in zip(det_results, annotations):
             gt = ann["bboxes"][ann["labels"] == c].reshape(-1, 4)
+            ig = ann.get("bboxes_ignore",
+                         np.empty((0, 4), np.float32)).reshape(-1, 4)
+            ig_labels = ann.get("labels_ignore")
+            if ig_labels is not None:
+                ig = ig[np.asarray(ig_labels) == c].reshape(-1, 4)
             n_gt += len(gt)
             d = dets[c].reshape(-1, 5)
             order = np.argsort(-d[:, 4])
             d = d[order]
-            matched = np.zeros(len(gt), bool)
+            all_gt = np.vstack([gt, ig])
+            is_ignore = np.concatenate(
+                [np.zeros(len(gt), bool), np.ones(len(ig), bool)])
+            matched = np.zeros(len(all_gt), bool)
             tp = np.zeros(len(d))
-            if len(gt) and len(d):
-                ious = _iou_xyxy(d[:, :4], gt)
+            fp = np.zeros(len(d))
+            if len(all_gt) and len(d):
+                ious = _iou_xyxy(d[:, :4], all_gt)
                 for i in range(len(d)):
                     j = ious[i].argmax()
-                    if ious[i, j] >= iou_thr and not matched[j]:
-                        matched[j] = True
-                        tp[i] = 1
+                    if ious[i, j] >= iou_thr:
+                        if is_ignore[j]:
+                            pass        # matched a difficult region
+                        elif not matched[j]:
+                            matched[j] = True
+                            tp[i] = 1
+                        else:
+                            fp[i] = 1   # duplicate on a covered gt
+                    else:
+                        fp[i] = 1
+            else:
+                fp[:] = 1
             scores_all.append(d[:, 4])
             tp_all.append(tp)
+            fp_all.append(fp)
         scores = np.concatenate(scores_all) if scores_all else np.empty(0)
         tps = np.concatenate(tp_all) if tp_all else np.empty(0)
+        fps = np.concatenate(fp_all) if fp_all else np.empty(0)
         order = np.argsort(-scores)
         tps = tps[order]
+        fps = fps[order]
         tp_cum = np.cumsum(tps)
-        fp_cum = np.cumsum(1 - tps)
+        fp_cum = np.cumsum(fps)
         recalls = tp_cum / max(n_gt, 1)
         precisions = tp_cum / np.maximum(tp_cum + fp_cum, 1e-10)
         ap = average_precision(recalls, precisions, mode) if n_gt else 0.0

@@ -238,7 +238,7 @@ class DetectionTrainer:
                 from iif_tpu.detection.trident import trident_loss
 
                 total, losses, aux = trident_loss(
-                    self.model, variables, mb, key, self.loss_cls,
+                    self.model, variables, mb, key, loss_cls_obj,
                     self.train_cfg)
             elif self.is_htc:
                 from iif_tpu.detection.htc import htc_loss

@@ -48,8 +48,13 @@ def initialize_distributed() -> None:
             # the analog of torch.distributed.launch's MASTER_ADDR/RANK
             jax.distributed.initialize(coord, int(nproc), int(pid))
         else:
-            # TPU pod / SLURM / MPI: jax's ClusterEnv auto-detection
-            jax.distributed.initialize()
+            jax.distributed.initialize(coordinator_address=coord)
+    elif (int(os.environ.get("SLURM_NTASKS", "1") or 1) > 1
+          or int(os.environ.get("OMPI_COMM_WORLD_SIZE", "1") or 1) > 1):
+        # SLURM / MPI multi-task allocation with no explicit coordinator
+        # (scripts/slurm_train.sh): jax's ClusterEnv auto-detection reads
+        # the SLURM_*/OMPI_* env itself
+        jax.distributed.initialize()
 
 
 def make_mesh(

@@ -31,6 +31,43 @@ def test_voc_map_false_positive_hurts():
     assert 0.0 < m < 1.0
 
 
+def test_voc_map_ignore_regions():
+    """A detection whose best match is a difficult/ignore box is neither
+    TP nor FP (mean_ap.py:154 semantics); ignore boxes don't add gts."""
+    from iif_tpu.detection.voc_eval import eval_map
+
+    gt = {"bboxes": np.array([[0, 0, 10, 10]], float),
+          "labels": np.array([0]),
+          "bboxes_ignore": np.array([[50, 50, 60, 60]], float),
+          "labels_ignore": np.array([0])}
+    # high-scoring hit on the ignore region + perfect hit on the gt
+    dets = [[np.array([[50, 50, 60, 60, 0.95], [0, 0, 10, 10, 0.9]])]]
+    m, per = eval_map(dets, [gt])
+    assert m == pytest.approx(1.0)          # ignore det doesn't count
+    assert per[0]["num_gts"] == 1           # ignore box isn't a gt
+    # same dets with NO ignore annotation: the 0.95 det is now an FP
+    # ranked above the TP, so precision at the TP is 0.5
+    gt_plain = {"bboxes": gt["bboxes"], "labels": gt["labels"]}
+    m2, _ = eval_map(dets, [gt_plain])
+    assert m2 == pytest.approx(0.5)
+
+
+def test_voc_map_ignore_is_per_class():
+    """labels_ignore scopes ignore regions to their class (mmdet
+    get_cls_results splits per class): a class-1 det on a class-0
+    difficult box is still an FP for class 1."""
+    from iif_tpu.detection.voc_eval import eval_map
+
+    gt = {"bboxes": np.array([[0, 0, 10, 10]], float),
+          "labels": np.array([1]),
+          "bboxes_ignore": np.array([[50, 50, 60, 60]], float),
+          "labels_ignore": np.array([0])}
+    dets = [[np.empty((0, 5)),
+             np.array([[50, 50, 60, 60, 0.95], [0, 0, 10, 10, 0.9]])]]
+    m, per = eval_map(dets, [gt])
+    assert per[1]["ap"] == pytest.approx(0.5)
+
+
 def test_eval_recalls():
     from iif_tpu.detection.voc_eval import eval_recalls
 

@@ -672,3 +672,64 @@ def test_voc_xml_dataset(tmp_path):
                           filter_empty_gt=False)
     assert wf.CLASSES == ["face"]
     assert "ev0/im0.jpg" in wf.img_infos[0]["file_name"]
+
+
+def test_proposal_file_through_loader(tmp_path):
+    """FastRCNN data path (reference CustomDataset(proposal_file=...) +
+    LoadProposals): proposals load from a pickle aligned with the json
+    image order, survive empty-gt filtering, rescale/flip with the image,
+    and arrive padded in the batch."""
+    import pickle
+
+    from iif_tpu.detection.pipeline import DetectionLoader
+
+    ann = _toy_coco(tmp_path)
+    # one (n, 5) scored entry per UNFILTERED image (4 images)
+    props = [np.array([[0, 0, 10, 10, 0.5], [2, 2, 30, 20, 0.9]], np.float32),
+             np.array([[1, 1, 9, 9, 0.7]], np.float32),
+             np.zeros((0, 5), np.float32),
+             np.array([[3, 3, 8, 8, 0.1]], np.float32)]
+    ppath = tmp_path / "props.pkl"
+    with open(ppath, "wb") as f:
+        pickle.dump(props, f)
+
+    ds = CocoStyleDataset(ann, img_prefix=str(tmp_path),
+                          filter_empty_gt=True,
+                          proposal_file=str(ppath))
+    assert ds.with_proposals and len(ds) == 3
+    # image 3 (empty) was filtered; survivors keep their own proposals
+    np.testing.assert_allclose(ds.get_proposals(1), props[1])
+
+    pipe = DetectionPipeline(canvas=(96, 160), scales=[(160, 96)], max_gt=5,
+                             flip_prob=0.0, max_proposals=8,
+                             with_mask=False)
+    rng = np.random.RandomState(0)
+    img = np.random.RandomState(1).randint(0, 255, (48, 64, 3), np.uint8)
+    out = pipe(img, ds.get_ann(0), rng, train=True,
+               proposals=ds.get_proposals(0))
+    assert out["proposals"].shape == (8, 4)
+    assert out["proposals_valid"].sum() == 2
+    # score-sorted: the 0.9 proposal first, scaled by keep-ratio factor 2
+    np.testing.assert_allclose(out["proposals"][0], [4, 4, 60, 40])
+
+    # flip: x-coords mirror in the resized frame
+    pipe_flip = DetectionPipeline(canvas=(96, 160), scales=[(160, 96)],
+                                  max_gt=5, flip_prob=1.0, max_proposals=8,
+                                  with_mask=False)
+    out_f = pipe_flip(img, ds.get_ann(0), rng, train=True,
+                      proposals=ds.get_proposals(0))
+    nw = 128  # 64 * 2
+    np.testing.assert_allclose(out_f["proposals"][0],
+                               [nw - 60, 4, nw - 4, 40])
+
+    # loader end-to-end: batches carry padded proposals
+    import cv2
+
+    for i in range(4):
+        cv2.imwrite(str(tmp_path / f"{i}.jpg"),
+                    np.random.RandomState(i).randint(
+                        0, 255, (48, 64, 3), np.uint8))
+    loader = DetectionLoader(ds, pipe, batch_size=2, seed=0, prefetch=0)
+    batch = next(iter(loader))
+    assert batch["proposals"].shape == (2, 8, 4)
+    assert batch["proposals_valid"].shape == (2, 8)

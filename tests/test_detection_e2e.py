@@ -252,3 +252,81 @@ def test_detection_cli_train_and_eval(tmp_path):
     assert "bbox" in r2.stdout and "AP" in r2.stdout
     res = json.load(open(os.path.join(root, "res.json")))
     assert isinstance(res, list)
+
+
+@pytest.mark.slow
+def test_fast_rcnn_cli_train_and_eval(tmp_path):
+    """FastRCNN from a config file: proposals load from
+    data.*.proposal_file (reference CustomDataset proposal_file +
+    LoadProposals), train through the CLI, eval through test_det."""
+    import pickle
+
+    root = str(tmp_path)
+    ann = _make_dataset(root)
+    # proposals = jittered copies of each gt box (score-carrying (n,5))
+    rng = np.random.RandomState(0)
+    with open(ann) as f:
+        meta = json.load(f)
+    props = []
+    for img in meta["images"]:
+        entries = []
+        for a in meta["annotations"]:
+            if a["image_id"] != img["id"]:
+                continue
+            x, y, bw, bh = a["bbox"]
+            for _ in range(6):
+                j = rng.uniform(-4, 4, 4)
+                entries.append([x + j[0], y + j[1],
+                                x + bw + j[2], y + bh + j[3],
+                                rng.rand()])
+        props.append(np.asarray(entries, np.float32).reshape(-1, 5))
+    ppath = os.path.join(root, "props.pkl")
+    with open(ppath, "wb") as f:
+        pickle.dump(props, f)
+
+    cfg_text = f'''
+model = dict(type="FastRCNN", depth=18, num_classes=1, with_mask=False,
+             frozen_stages=-1)
+loss_cls = dict(type="DetCrossEntropyLoss")
+train_cfg = dict(rcnn_num_samples=64)
+test_cfg = dict(score_thr=0.0, max_per_img=5)
+data = dict(
+    samples_per_gpu=2,
+    train=dict(type="CocoDataset", ann_file="{ann}",
+               img_prefix="{root}", oversample_thr=0.0,
+               proposal_file="{ppath}"),
+    val=dict(type="CocoDataset", ann_file="{ann}", img_prefix="{root}"),
+    test=dict(type="CocoDataset", ann_file="{ann}",
+              img_prefix="{root}", proposal_file="{ppath}"),
+)
+pipeline = dict(canvas=(96, 128), scales=[(128, 96)], max_gt=4,
+                max_proposals=16)
+optimizer = dict(type="sgd", lr=0.01, momentum=0.9, weight_decay=1e-4)
+lr_config = dict(milestones=[10], gamma=0.1)
+runner = dict(type="EpochBasedRunner", max_epochs=1)
+checkpoint_config = dict(interval=1)
+log_config = dict(interval=1)
+seed = 0
+'''
+    cfg = os.path.join(root, "fast_rcnn_cfg.py")
+    with open(cfg, "w") as f:
+        f.write(cfg_text)
+    work = os.path.join(root, "work")
+    env = _cpu_env()
+
+    r = subprocess.run(
+        [sys.executable, "-m", "iif_tpu.cli.train_det", cfg,
+         "--work-dir", work, "--max-steps", "2"],
+        capture_output=True, text=True, env=env, timeout=900,
+        cwd="/root/repo")
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    ckpt = os.path.join(work, "checkpoints")
+    assert os.path.isdir(ckpt)
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "iif_tpu.cli.test_det", cfg, ckpt,
+         "--eval", "bbox"],
+        capture_output=True, text=True, env=env, timeout=900,
+        cwd="/root/repo")
+    assert r2.returncode == 0, r2.stdout[-3000:] + r2.stderr[-3000:]
+    assert "AP" in r2.stdout

@@ -271,3 +271,27 @@ def test_mask_score_used_for_segm_eval():
         d.pop("mask_score")
     segm_plain = ev2.evaluate(no_ms, "segm")
     assert segm["AP50"] > segm_plain["AP50"]
+
+
+def test_fast_rcnn_simple_test_dispatch_needs_proposals():
+    """make_simple_test marks the FastRCNN fn so eval surfaces feed
+    batch['proposals'] instead of crashing on the with_rpn assert."""
+    from iif_tpu.detection.simple_test import make_simple_test
+
+    model = MaskRCNN(num_classes=NUM_CLASSES, depth=18, frozen_stages=-1,
+                     with_mask=False, with_rpn=False)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, H, W, 3)), False)
+    loss_cls = DetCrossEntropyLoss(NUM_CLASSES)
+    fn, needs_shape = make_simple_test(model, loss_cls, SMALL_TEST)
+    assert getattr(fn, "needs_proposals", False) and not needs_shape
+    props = jnp.asarray([[[8, 8, 40, 40], [16, 16, 56, 60]]], jnp.float32)
+    out = fn(variables, jnp.zeros((1, H, W, 3)), props,
+             jnp.ones((1, 2), bool))
+    assert out["boxes"].shape[0] == 1
+
+    # with_rpn models are NOT marked
+    fn2, _ = make_simple_test(
+        MaskRCNN(num_classes=NUM_CLASSES, depth=18, with_mask=False),
+        loss_cls, SMALL_TEST)
+    assert not getattr(fn2, "needs_proposals", False)
