@@ -36,3 +36,12 @@ pipeline = dict(
 )
 optimizer = dict(lr=0.01, weight_decay=5e-4)
 evaluation = dict(interval=10, metric=["bbox"])
+# YOLOX 300-epoch schedule (reference yolox_s_8x8_300e_coco.py:103-141):
+# quadratic-warmup cosine LR with a fixed-LR tail, and the mode-switch
+# hook that closes Mosaic/RandomAffine/MixUp + enables the L1 loss for
+# the last 15 epochs
+runner = dict(max_epochs=300)
+lr_config = dict(policy="YOLOX", warmup_iters=5, warmup_ratio=1.0,
+                 num_last_epochs=15, min_lr_ratio=0.05)
+custom_hooks = [dict(type="YOLOXModeSwitchHook", num_last_epochs=15),
+                dict(type="ExpMomentumEMAHook", momentum=0.0001)]

@@ -193,11 +193,41 @@ def main():
     steps_per_epoch = max(len(loader), 1)
     max_epochs = cfg.runner["max_epochs"]
     lcfg = cfg.get("lr_config", {})
-    schedule = build_lr_schedule(
-        ocfg["lr"], steps_per_epoch, max_epochs,
-        milestones=lcfg.get("milestones", []), lr_gamma=lcfg.get("gamma", 0.1),
-        warmup_iters=lcfg.get("warmup_iters"),
-        warmup_factor=lcfg.get("warmup_factor", 1.0 / 1000))
+    if str(lcfg.get("policy", "")).lower() == "yolox":
+        # YOLOXLrUpdaterHook: quadratic warmup + cosine + fixed-LR
+        # no-aug tail (warmup_iters is in EPOCHS — warmup_by_epoch=True
+        # in the reference yolox configs)
+        from iif_tpu.engine.schedules import build_yolox_lr_schedule
+        schedule = build_yolox_lr_schedule(
+            ocfg["lr"], steps_per_epoch, max_epochs,
+            num_last_epochs=lcfg.get("num_last_epochs", 15),
+            warmup_epochs=lcfg.get("warmup_iters", 5),
+            warmup_ratio=lcfg.get("warmup_ratio", 1.0),
+            min_lr_ratio=lcfg.get("min_lr_ratio", 0.05))
+    else:
+        schedule = build_lr_schedule(
+            ocfg["lr"], steps_per_epoch, max_epochs,
+            milestones=lcfg.get("milestones", []),
+            lr_gamma=lcfg.get("gamma", 0.1),
+            warmup_iters=lcfg.get("warmup_iters"),
+            warmup_factor=lcfg.get("warmup_factor", 1.0 / 1000))
+    # YOLOXModeSwitchHook (custom_hooks): close Mosaic/RandomAffine/MixUp
+    # and add the L1 loss for the last num_last_epochs epochs
+    mode_switch = None
+    ema_cfg = None
+    _EMA_MODES = {"EMAHook": "const", "ExpMomentumEMAHook": "exp",
+                  "LinearMomentumEMAHook": "linear"}
+    for hk in cfg.get("custom_hooks", []) or []:
+        if hk.get("type") == "YOLOXModeSwitchHook":
+            mode_switch = dict(
+                num_last_epochs=hk.get("num_last_epochs", 15),
+                skip_type_keys=tuple(hk.get(
+                    "skip_type_keys", ("Mosaic", "RandomAffine", "MixUp"))))
+        elif hk.get("type") in _EMA_MODES:
+            # EMA hook family (mmdet core/hook/ema.py)
+            ema_cfg = {k: v for k, v in hk.items()
+                       if k not in ("type", "priority", "resume_from")}
+            ema_cfg["mode"] = _EMA_MODES[hk["type"]]
     grad_clip = cfg.get("optimizer_config", {}).get(
         "grad_clip", {}) or {}
     pw = ocfg.get("paramwise_cfg", {}) or {}
@@ -262,7 +292,7 @@ def main():
                                param_rules=(detection_tp_rules()
                                             if tp > 1 else None),
                                grad_accum=dcfg.get("grad_accum", 1),
-                               teacher=teacher)
+                               teacher=teacher, ema_cfg=ema_cfg)
     canvas = pipeline.canvas
     state = trainer.init_state((canvas[0], canvas[1], 3),
                                fasa_state=fasa_state, seed=seed)
@@ -321,6 +351,12 @@ def main():
         restored = mngr.restore()
         state = jax.device_put(restored["state"])
         start_epoch = int(restored["epoch"]) + 1
+        if ema_cfg is not None and getattr(state, "ema", None) is not None:
+            # checkpoints hold the EMA-swapped layout (see save below);
+            # swap back so training resumes on the raw weights — the
+            # hook's before_train_epoch swap (ema.py:91-94)
+            from iif_tpu.engine.detection import ema_swapped
+            state = ema_swapped(state)
     if args.load_from or cfg.get("load_from"):
         from iif_tpu.utils.checkpoint import load_weights
 
@@ -363,15 +399,28 @@ def main():
     eval_interval = eval_cfg.get("interval", 0)
     print(f"Start training: {max_epochs} epochs, "
           f"{steps_per_epoch} steps/epoch, dynamic={dynamic}")
+    noaug_announced = False
     for epoch in range(start_epoch, max_epochs):
         if args.max_steps:
             loader_iter = _capped(loader, args.max_steps)
         else:
             loader_iter = loader
+        # YOLOXModeSwitchHook.before_train_epoch (fires when
+        # epoch+1 == max_epochs - num_last_epochs; >= keeps resumed runs
+        # inside the phase correct)
+        use_l1 = False
+        if mode_switch is not None and (
+                epoch + 1 >= max_epochs - mode_switch["num_last_epochs"]):
+            use_l1 = True
+            pipeline.update_skip_type_keys(mode_switch["skip_type_keys"])
+            if not noaug_announced:
+                print("No mosaic and mixup aug now! "
+                      "Add additional L1 loss now!")
+                noaug_announced = True
         state, logger = trainer.train_one_epoch(
             state, loader_iter, epoch,
             print_freq=cfg.get("log_config", {}).get("interval", 50),
-            log_writer=log_writer, lr_fn=schedule)
+            log_writer=log_writer, lr_fn=schedule, use_l1=use_l1)
         if dynamic and state.fasa is not None:
             vloader = (_capped(fasa_val_loader, args.max_steps)
                        if args.max_steps else fasa_val_loader)
@@ -384,14 +433,20 @@ def main():
                     log_writer.add_histogram(
                         f"fasa/prob_list_s{si}",
                         np.asarray(fs.prob_list), epoch)
+        # EMAHook.after_train_epoch swaps the EMA weights in before
+        # EvalHook/CheckpointHook see the state (ema.py:86-89) — so
+        # checkpoints and eval use the EMA weights, with the raw weights
+        # preserved in the ema field
+        from iif_tpu.engine.detection import ema_swapped
+        public_state = ema_swapped(state)
         ckpt_interval = cfg.get("checkpoint_config", {}).get("interval", 1)
         if is_main_process() and (
                 (epoch + 1) % ckpt_interval == 0 or epoch == max_epochs - 1):
-            mngr.save(epoch, {"state": jax.device_get(state),
+            mngr.save(epoch, {"state": jax.device_get(public_state),
                               "epoch": epoch})
         # EvalHook equivalent (reference core/evaluation/eval_hooks.py)
         if eval_interval and (epoch + 1) % eval_interval == 0:
-            _run_eval(cfg, model, state, loss_cls, pipeline,
+            _run_eval(cfg, model, public_state, loss_cls, pipeline,
                       eval_cfg.get("metric", ["bbox"]))
     if log_writer is not None:
         log_writer.close()

@@ -544,6 +544,7 @@ class DetectionPipeline:
         # optional pre-resize transforms (RandomCrop / PhotoMetric-
         # Distortion / CutOut / Albu), train-time only
         self.extra_transforms = list(extra_transforms or [])
+        self._extra_transforms_all = list(self.extra_transforms)
         # multiscale canvas buckets: each train scale gets the smallest
         # 32-divisible canvas that holds its content instead of the one
         # max canvas. mmdet pads per-batch max shape (dynamic shapes);
@@ -565,6 +566,21 @@ class DetectionPipeline:
                     break
             else:
                 self.buckets.append((cv, [idx]))
+
+    def update_skip_type_keys(self, skip_type_keys) -> None:
+        """YOLOXModeSwitchHook support (reference
+        yolox_mode_switch_hook.py:35-37 calling ``MultiImageMixDataset.
+        update_skip_type_keys``, dataset_wrappers.py:319-330): drop the
+        named extra transforms (matched by class name, e.g. 'Mosaic',
+        'RandomAffine', 'MixUp') for every subsequent sample. Idempotent;
+        the full set is kept so a later call can re-filter from scratch."""
+        skip = set(skip_type_keys)
+        # match by the registry *type key* (the name a config uses — e.g.
+        # "MixUp" builds class DetMixUp), falling back to the class name
+        name_of = {cls: key for key, cls in EXTRA_TRANSFORMS.items()}
+        self.extra_transforms = [
+            t for t in self._extra_transforms_all
+            if name_of.get(type(t), type(t).__name__) not in skip]
 
     def _rasterize(self, ann: Dict, n: int) -> np.ndarray:
         masks = np.zeros((n, ann["height"], ann["width"]), np.uint8)

@@ -53,6 +53,45 @@ class DetTrainState(struct.PyTreeNode):
     # Dynamic R-CNN adaptive IoU/beta state (dynamic_roi_head.py's
     # iou_history/beta_history python lists as device ring buffers)
     dynamic: Optional[Any] = None
+    # EMA shadow weights (mmdet core/hook/ema.py): {"params": ...} and,
+    # unless skip_buffers, {"batch_stats": ...}. None = EMA disabled.
+    ema: Optional[Any] = None
+
+
+def ema_momentum(ema_cfg: Dict[str, Any], step) -> jnp.ndarray:
+    """Per-step EMA momentum (mmdet core/hook/ema.py): constant for
+    EMAHook, ``(1-m)*exp(-(1+x)/total_iter)+m`` for ExpMomentumEMAHook
+    (:108-113), ``min(m**interval, (1+x)/(warm_up+x))`` for
+    LinearMomentumEMAHook (:116-124). ``step`` is the 0-based iter the
+    update follows (the hook's ``runner.iter``)."""
+    m = float(ema_cfg.get("momentum", 0.0002))
+    mode = ema_cfg.get("mode", "const")
+    step = jnp.asarray(step, jnp.float32)
+    if mode == "exp":
+        return (1.0 - m) * jnp.exp(
+            -(1.0 + step) / float(ema_cfg.get("total_iter", 2000))) + m
+    if mode == "linear":
+        wu = float(ema_cfg.get("warm_up", 100))
+        return jnp.minimum(m ** int(ema_cfg.get("interval", 1)),
+                           (1.0 + step) / (wu + step))
+    return jnp.float32(m)
+
+
+def ema_swapped(state: DetTrainState) -> DetTrainState:
+    """The hook's ``_swap_ema_parameters`` (ema.py:96-103): live weights
+    <-> EMA backup. mmdet swaps after every train epoch so EvalHook and
+    CheckpointHook see the EMA weights ("the original model parameters
+    are actually saved in ema field"), then swaps back before the next
+    epoch — an involution; callers apply it around eval/checkpoint."""
+    if state.ema is None:
+        return state
+    e = dict(state.ema)
+    raw = {"params": state.params}
+    new_bs = state.batch_stats
+    if "batch_stats" in e:
+        raw["batch_stats"] = state.batch_stats
+        new_bs = e["batch_stats"]
+    return state.replace(params=e["params"], batch_stats=new_bs, ema=raw)
 
 
 class DetectionTrainer:
@@ -68,6 +107,7 @@ class DetectionTrainer:
         param_rules=None,
         grad_accum: int = 1,
         teacher=None,   # (GFL model, frozen variables) -> LD training
+        ema_cfg: Optional[Dict[str, Any]] = None,
     ):
         from iif_tpu.detection.detr import DETR
         from iif_tpu.detection.rpn_detector import RPNDetector
@@ -119,13 +159,32 @@ class DetectionTrainer:
         # is one chunk's; the only extra residency is a params-sized
         # gradient accumulator.
         self.grad_accum = int(grad_accum)
+        # EMA config (custom_hooks EMAHook family): {"momentum", "mode":
+        # const|exp|linear, "interval", "skip_buffers", "total_iter",
+        # "warm_up"}; None disables (no ema leaf in the train state)
+        self.ema_cfg = ema_cfg
         self.base_rng = jax.random.PRNGKey(seed)
         # NOTE: the only epoch-dependent behaviour is the FASA aug gate
         # (active from epoch >= 1); a static boolean keeps it to at most
         # two compiled variants instead of a recompile per epoch.
+        # use_l1 is the YOLOXModeSwitchHook's L1-phase flag (reference
+        # yolox_mode_switch_hook.py:38 sets bbox_head.use_l1 at epoch
+        # max_epochs - num_last_epochs); static -> one extra compiled
+        # variant when the phase flips, served by the persistent cache.
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0,),
-                                   static_argnames=("fasa_aug_on",))
+                                   static_argnames=("fasa_aug_on",
+                                                    "use_l1"))
+
+    def _ema_init(self, params, batch_stats):
+        """EMA buffers start as a copy of the live weights
+        (ema.py:55-63 ``register_buffer(..., value.data.clone())``)."""
+        if self.ema_cfg is None:
+            return None
+        ema = {"params": params}
+        if not self.ema_cfg.get("skip_buffers", False):
+            ema["batch_stats"] = batch_stats
+        return ema
 
     def _dynamic_init(self):
         """Algorithm-state leaf: Dynamic R-CNN's adaptive thresholds or
@@ -164,7 +223,9 @@ class DetectionTrainer:
                 opt_state=self.tx.init(params), fasa=fasa_state,
                 seesaw_cum=(self.loss_cls.cum_samples
                             if self.is_seesaw else None),
-                dynamic=self._dynamic_init()),
+                dynamic=self._dynamic_init(),
+                ema=self._ema_init(params,
+                                   variables.get("batch_stats", {}))),
             replicated(self.mesh))
         if self.param_rules:
             from iif_tpu.parallel.mesh import shard_pytree_by_rules
@@ -178,7 +239,8 @@ class DetectionTrainer:
 
     def _train_step_impl(self, state: DetTrainState,
                          batch: Dict[str, jnp.ndarray], *,
-                         fasa_aug_on: bool = False
+                         fasa_aug_on: bool = False,
+                         use_l1: bool = False
                          ) -> Tuple[DetTrainState, Dict[str, jnp.ndarray]]:
         from iif_tpu.parallel.mesh import spatial_size
 
@@ -215,6 +277,10 @@ class DetectionTrainer:
                 ss_kw = {}
                 if getattr(self.train_cfg, "loss_kind", "focal") == "ghm":
                     ss_kw["ghm_state"] = dynamic
+                if use_l1:
+                    # only yolox_loss takes it (the L1-phase hook is a
+                    # YOLOX-specific schedule element)
+                    ss_kw["use_l1"] = True
                 total, losses, aux = single_stage_loss_fn(self.model)(
                     self.model, variables, mb, key, self.train_cfg,
                     **ss_kw)
@@ -310,17 +376,32 @@ class DetectionTrainer:
         updates, new_opt = self.tx.update(grads, state.opt_state,
                                           state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema
+        if state.ema is not None and self.ema_cfg is not None:
+            # after_train_iter (ema.py:72-83): ema += m * (cur - ema),
+            # every ``interval`` iters (m gated to 0 off-interval)
+            m = ema_momentum(self.ema_cfg, state.step)
+            interval = int(self.ema_cfg.get("interval", 1))
+            if interval > 1:
+                m = jnp.where((state.step + 1) % interval == 0, m, 0.0)
+            tgt = {"params": new_params}
+            if "batch_stats" in state.ema:
+                tgt["batch_stats"] = new_stats
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e + m * (p.astype(e.dtype) - e),
+                state.ema, tgt)
         new_state = DetTrainState(
             step=state.step + 1, params=new_params,
             batch_stats=new_stats, opt_state=new_opt, fasa=new_fasa,
-            seesaw_cum=new_cum, dynamic=new_dyn)
+            seesaw_cum=new_cum, dynamic=new_dyn, ema=new_ema)
         metrics = dict(losses)
         metrics["loss"] = total
         return new_state, metrics
 
     def train_one_epoch(self, state: DetTrainState, loader, epoch: int,
                         print_freq: int = 50, print_fn=print,
-                        log_writer=None, lr_fn=None, sync_window: int = 4
+                        log_writer=None, lr_fn=None, sync_window: int = 4,
+                        use_l1: bool = False
                         ) -> Tuple[DetTrainState, MetricLogger]:
         """Epoch loop with ASYNC metric readback: per-step device metrics
         are buffered and read back only when the sliding window fills (one
@@ -370,7 +451,8 @@ class DetectionTrainer:
             gbatch = shard_batch(feed, self.mesh)
             state, metrics = self._train_step(
                 state, gbatch, fasa_aug_on=(state.fasa is not None
-                                            and epoch >= 1))
+                                            and epoch >= 1),
+                use_l1=use_l1)
             pending.append(metrics)
             at_print = print_freq and (i % print_freq == 0 or i == total - 1)
             if at_print:

@@ -59,6 +59,47 @@ def build_lr_schedule(
     return schedule
 
 
+def build_yolox_lr_schedule(
+    base_lr: float,
+    steps_per_epoch: int,
+    epochs: int,
+    num_last_epochs: int = 15,
+    warmup_epochs: int = 5,
+    warmup_ratio: float = 1.0,
+    min_lr_ratio: float = 0.05,
+) -> optax.Schedule:
+    """The YOLOX LR policy (reference yolox_lrupdater_hook.py:28-67):
+
+    - quadratic "exp" warmup ``k = warmup_ratio * ((i+1)/warmup_iters)^2``
+      over ``warmup_epochs`` (the config's ``warmup_by_epoch=True,
+      warmup_iters=5``),
+    - cosine anneal from ``base_lr`` to ``base_lr * min_lr_ratio`` with
+      progress ``(i+1 - warmup_iters) / (max_iters - warmup_iters -
+      last_iters)`` (mmcv ``annealing_cos``),
+    - a FIXED target LR for the final ``num_last_epochs`` (the no-aug /
+      L1 phase the YOLOXModeSwitchHook opens).
+    """
+    warmup_iters = warmup_epochs * steps_per_epoch
+    max_iters = epochs * steps_per_epoch
+    last_iters = num_last_epochs * steps_per_epoch
+    target_lr = base_lr * min_lr_ratio
+    denom = max(max_iters - warmup_iters - last_iters, 1)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        progress = step + 1.0       # the hook evaluates at iter+1
+        frac = (progress - warmup_iters) / denom
+        cos = target_lr + 0.5 * (base_lr - target_lr) * (
+            1.0 + jnp.cos(jnp.pi * frac))
+        out = jnp.where(progress >= max_iters - last_iters, target_lr, cos)
+        # warmup scales the REGULAR lr at this iter (``warmup_lr = [_lr *
+        # k for _lr in regular_lr]``), not base_lr
+        warm = out * warmup_ratio * (progress / max(warmup_iters, 1)) ** 2
+        return jnp.where(step < warmup_iters, warm, out)
+
+    return schedule
+
+
 def build_optimizer(
     opt_name: str,
     lr_schedule: optax.Schedule,

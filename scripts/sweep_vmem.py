@@ -26,6 +26,12 @@ CASES = [
     ("vmem32MB-nbuf1", {
         "XLA_FLAGS": "--xla_tpu_scoped_vmem_limit_kib=32768",
     }),
+    # scheduling-level experiment: the latency-hiding scheduler reorders
+    # async copies/DMA against compute — the step is ~52% of the HBM
+    # roofline, so overlap (not kernels) is where the remaining time is
+    ("latency-hiding-sched", {
+        "XLA_FLAGS": "--xla_tpu_enable_latency_hiding_scheduler=true",
+    }),
 ]
 
 
