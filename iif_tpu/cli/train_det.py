@@ -347,16 +347,48 @@ def main():
 
     mngr = CheckpointManager(os.path.join(work_dir, "checkpoints"))
     start_epoch = 0
-    if args.resume_from or cfg.get("resume_from"):
-        restored = mngr.restore()
+    resumed = bool(args.resume_from or cfg.get("resume_from"))
+    if resumed:
+        # Orbax restores plain dicts without a template — resume must
+        # restore onto the live DetTrainState topology (opt_state holds
+        # optax namedtuples that a dict restore would corrupt). The
+        # checkpoint may disagree with the config about the ema field
+        # (hook added or dropped between runs): try the current
+        # topology first, then the other ema layout.
+        def _try_restore(tmpl_state):
+            return mngr.restore(
+                template={"state": jax.device_get(tmpl_state), "epoch": 0})
+
+        try:
+            restored = _try_restore(state)
+        except Exception:
+            alt = (state.replace(ema=None) if state.ema is not None
+                   else state.replace(ema=trainer._ema_init(
+                       state.params, state.batch_stats)))
+            restored = _try_restore(alt)
         state = jax.device_put(restored["state"])
         start_epoch = int(restored["epoch"]) + 1
-        if ema_cfg is not None and getattr(state, "ema", None) is not None:
+        if getattr(state, "ema", None) is not None:
             # checkpoints hold the EMA-swapped layout (see save below);
             # swap back so training resumes on the raw weights — the
-            # hook's before_train_epoch swap (ema.py:91-94)
+            # hook's before_train_epoch swap (ema.py:91-94). Done even
+            # when the current config dropped the EMA hook: otherwise the
+            # run would silently keep training on the EMA weights.
             from iif_tpu.engine.detection import ema_swapped
             state = ema_swapped(state)
+            if ema_cfg is None:
+                # hook dropped from the config: discard the stale shadow
+                # so eval/checkpoint swaps don't reinstate it
+                state = state.replace(ema=None)
+        elif ema_cfg is not None:
+            import warnings
+
+            warnings.warn(
+                "resume checkpoint has no EMA state but the config "
+                "enables an EMA hook; reinitializing the EMA shadow from "
+                "the restored weights", RuntimeWarning)
+            state = state.replace(
+                ema=trainer._ema_init(state.params, state.batch_stats))
     if args.load_from or cfg.get("load_from"):
         from iif_tpu.utils.checkpoint import load_weights
 
@@ -364,6 +396,13 @@ def main():
         state = state.replace(params=jax.device_put(w["state"]["params"]),
                               batch_stats=jax.device_put(
                                   w["state"]["batch_stats"]))
+    if ema_cfg is not None and not resumed and (
+            args.load_from or cfg.get("load_from") or pretrained_backbone):
+        # BaseEMAHook.before_run clones the shadow from the ALREADY-LOADED
+        # model (ema.py:58-65) — rebuild it from the loaded weights, not
+        # the random init that init_state copied
+        state = state.replace(
+            ema=trainer._ema_init(state.params, state.batch_stats))
 
     # log_config hooks: .log.json always, TensorBoard when configured
     # (reference log_config hooks = [TextLoggerHook, TensorboardLoggerHook])

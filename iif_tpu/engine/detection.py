@@ -59,22 +59,28 @@ class DetTrainState(struct.PyTreeNode):
 
 
 def ema_momentum(ema_cfg: Dict[str, Any], step) -> jnp.ndarray:
-    """Per-step EMA momentum (mmdet core/hook/ema.py): constant for
-    EMAHook, ``(1-m)*exp(-(1+x)/total_iter)+m`` for ExpMomentumEMAHook
-    (:108-113), ``min(m**interval, (1+x)/(warm_up+x))`` for
-    LinearMomentumEMAHook (:116-124). ``step`` is the 0-based iter the
-    update follows (the hook's ``runner.iter``)."""
+    """Per-step EMA momentum. ``step`` is the 0-based iter the update
+    follows (the hook's ``runner.iter``).
+
+    - ``exp``: mmdet ExpMomentumEMAHook (ema.py:108-113),
+      ``(1-m)*exp(-(1+x)/total_iter)+m``.
+    - ``linear``: mmdet LinearMomentumEMAHook (ema.py:116-124),
+      ``min(m**interval, (1+x)/(warm_up+x))``.
+    - ``const``: mmcv's plain ``EMAHook`` (mmcv runner/hooks/ema.py),
+      which is NOT a raw constant — it pre-raises ``m**interval`` and
+      applies the same ``min(., (1+x)/(warm_up+x))`` early ramp as the
+      linear hook, so a config naming ``EMAHook`` gets mmcv's
+      slow-starting semantics here too.
+    """
     m = float(ema_cfg.get("momentum", 0.0002))
     mode = ema_cfg.get("mode", "const")
     step = jnp.asarray(step, jnp.float32)
     if mode == "exp":
         return (1.0 - m) * jnp.exp(
             -(1.0 + step) / float(ema_cfg.get("total_iter", 2000))) + m
-    if mode == "linear":
-        wu = float(ema_cfg.get("warm_up", 100))
-        return jnp.minimum(m ** int(ema_cfg.get("interval", 1)),
-                           (1.0 + step) / (wu + step))
-    return jnp.float32(m)
+    wu = float(ema_cfg.get("warm_up", 100))
+    return jnp.minimum(m ** int(ema_cfg.get("interval", 1)),
+                       (1.0 + step) / (wu + step))
 
 
 def ema_swapped(state: DetTrainState) -> DetTrainState:
@@ -178,12 +184,16 @@ class DetectionTrainer:
 
     def _ema_init(self, params, batch_stats):
         """EMA buffers start as a copy of the live weights
-        (ema.py:55-63 ``register_buffer(..., value.data.clone())``)."""
+        (ema.py:55-63 ``register_buffer(..., value.data.clone())``).
+        A genuine copy, not an alias: the donated train step would
+        otherwise receive the same buffer twice (params and ema) and
+        abort with a double-donation error."""
         if self.ema_cfg is None:
             return None
-        ema = {"params": params}
+        ema = {"params": jax.tree_util.tree_map(jnp.copy, params)}
         if not self.ema_cfg.get("skip_buffers", False):
-            ema["batch_stats"] = batch_stats
+            ema["batch_stats"] = jax.tree_util.tree_map(jnp.copy,
+                                                        batch_stats)
         return ema
 
     def _dynamic_init(self):

@@ -92,9 +92,10 @@ def build_yolox_lr_schedule(
         cos = target_lr + 0.5 * (base_lr - target_lr) * (
             1.0 + jnp.cos(jnp.pi * frac))
         out = jnp.where(progress >= max_iters - last_iters, target_lr, cos)
-        # warmup scales the REGULAR lr at this iter (``warmup_lr = [_lr *
-        # k for _lr in regular_lr]``), not base_lr
-        warm = out * warmup_ratio * (progress / max(warmup_iters, 1)) ** 2
+        # warmup scales BASE_LR: get_warmup_lr passes self.base_lr into
+        # _get_warmup_lr (yolox_lrupdater_hook.py:36-42 — the local param
+        # is only *named* regular_lr), so warmup_lr = base_lr * k
+        warm = base_lr * warmup_ratio * (progress / max(warmup_iters, 1)) ** 2
         return jnp.where(step < warmup_iters, warm, out)
 
     return schedule

@@ -330,3 +330,75 @@ seed = 0
         cwd="/root/repo")
     assert r2.returncode == 0, r2.stdout[-3000:] + r2.stderr[-3000:]
     assert "AP" in r2.stdout
+
+
+@pytest.mark.slow
+def test_resume_and_ema_load_from(tmp_path):
+    """Checkpoint-lifecycle e2e: (a) --resume-from restores the real
+    DetTrainState topology (opt_state namedtuples intact) and continues
+    at the next epoch, re-initializing the EMA shadow with a loud warning
+    when a pre-EMA checkpoint meets an EMA config; (b) --load-from under
+    an EMA hook rebuilds the shadow from the LOADED weights (reference
+    BaseEMAHook.before_run clones the already-loaded model, ema.py:58-65)
+    rather than keeping the random-init copy."""
+    root = str(tmp_path)
+    ann = _make_dataset(root)
+    cfg1 = _write_config(root, ann)
+    env = _cpu_env()
+    work1 = os.path.join(root, "work1")
+
+    r = subprocess.run(
+        [sys.executable, "-m", "iif_tpu.cli.train_det", cfg1,
+         "--work-dir", work1, "--max-steps", "2"],
+        capture_output=True, text=True, env=env, timeout=900,
+        cwd="/root/repo")
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    ckpt1 = os.path.join(work1, "checkpoints")
+
+    # ---- (a) resume the pre-EMA checkpoint under an EMA-enabled config
+    with open(cfg1) as f:
+        base_cfg = f.read()
+    cfg2 = os.path.join(root, "resume_cfg.py")
+    with open(cfg2, "w") as f:
+        f.write(base_cfg + '\n'
+                'runner = dict(type="EpochBasedRunner", max_epochs=2)\n'
+                'custom_hooks = [dict(type="EMAHook", momentum=0.0002,'
+                ' warm_up=100)]\n')
+    r2 = subprocess.run(
+        [sys.executable, "-m", "iif_tpu.cli.train_det", cfg2,
+         "--work-dir", work1, "--resume-from", "auto", "--max-steps", "2"],
+        capture_output=True, text=True, env=env, timeout=900,
+        cwd="/root/repo")
+    assert r2.returncode == 0, r2.stdout[-3000:] + r2.stderr[-3000:]
+    assert "reinitializing the EMA shadow" in (r2.stdout + r2.stderr)
+
+    from iif_tpu.utils.checkpoint import CheckpointManager
+    m1 = CheckpointManager(ckpt1)
+    assert m1.latest_step() == 1          # epoch 1 was trained, not epoch 0
+    resumed = m1.restore()
+    m1.close()
+    assert resumed["state"]["ema"] is not None  # EMA-swapped layout saved
+
+    # ---- (b) --load-from + EMA: shadow starts from the loaded weights
+    work3 = os.path.join(root, "work3")
+    r3 = subprocess.run(
+        [sys.executable, "-m", "iif_tpu.cli.train_det", cfg2,
+         "--work-dir", work3, "--load-from", ckpt1, "--max-steps", "2"],
+        capture_output=True, text=True, env=env, timeout=900,
+        cwd="/root/repo")
+    assert r3.returncode == 0, r3.stdout[-3000:] + r3.stderr[-3000:]
+    import jax
+
+    m3 = CheckpointManager(os.path.join(work3, "checkpoints"))
+    final = m3.restore(step=0)
+    m3.close()
+    # checkpoints hold the EMA-swapped layout: params ARE the EMA weights.
+    # With m=0.0002 over 2 steps the shadow stays ~= its init, so params
+    # must match the LOADED weights (ckpt1's EMA weights), not the random
+    # init the trainer started from.
+    got = jax.tree_util.tree_leaves(final["state"]["params"])
+    want = jax.tree_util.tree_leaves(resumed["state"]["params"])
+    assert len(got) == len(want)
+    rel = max(float(np.abs(g - w).max() / (np.abs(w).max() + 1e-8))
+              for g, w in zip(got, want) if g.size)
+    assert rel < 1e-2, rel

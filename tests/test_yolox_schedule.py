@@ -36,8 +36,10 @@ def _ref_yolox_lr(it, *, base_lr, steps_per_epoch, epochs,
         regular = target_lr + 0.5 * (base_lr - target_lr) * (
             1.0 + math.cos(math.pi * frac))
     if it < warmup_iters:
+        # get_warmup_lr scales self.base_lr (yolox_lrupdater_hook.py:36-42
+        # passes base_lr; the local name regular_lr is a misnomer)
         k = warmup_ratio * ((it + 1) / float(warmup_iters)) ** 2
-        return regular * k
+        return base_lr * k
     return regular
 
 
@@ -142,11 +144,18 @@ def test_ema_momentum_matches_reference_formulas():
         want = (1 - m) * math.exp(-(1 + x) / total) + m
         got = float(ema_momentum({"momentum": m, "mode": "exp",
                                   "total_iter": total}, x))
-        assert abs(got - want) < 1e-9, (x, got, want)
+        # f32 device math: ~1e-8 abs error on the exp formula
+        assert abs(got - want) < 1e-7, (x, got, want)
         want_lin = min(m ** 1, (1 + x) / (100 + x))
         got_lin = float(ema_momentum({"momentum": m, "mode": "linear",
                                       "warm_up": 100}, x))
         assert abs(got_lin - want_lin) < 1e-9
+        # const = mmcv's plain EMAHook: momentum**interval + the same
+        # (1+x)/(warm_up+x) early ramp — NOT a raw constant
+        want_c = min(m ** 2, (1 + x) / (100 + x))
+        got_c = float(ema_momentum({"momentum": m, "mode": "const",
+                                    "interval": 2, "warm_up": 100}, x))
+        assert abs(got_c - want_c) < 1e-9
 
 
 def test_trainer_ema_tracks_and_swaps():
@@ -162,14 +171,18 @@ def test_trainer_ema_tracks_and_swaps():
     model, _, _ = build_detector({"type": "YOLOX", "num_classes": 3})
     trainer = DetectionTrainer(
         model, None, optax.sgd(1e-2), make_mesh(), train_cfg=SSTrainCfg(),
-        ema_cfg={"momentum": 0.25, "mode": "const"})
+        # warm_up=0 degenerates mmcv's min(m, (1+x)/(warm_up+x)) ramp to
+        # the raw constant, keeping the hand-EMA below exact
+        ema_cfg={"momentum": 0.25, "mode": "const", "warm_up": 0})
     state0 = trainer.init_state((H, W, 3))
     assert state0.ema is not None
     batch = _demo_batch(np.random.RandomState(1))
     p0 = jax.device_get(state0.params)
     state1, _ = trainer._train_step(state0, batch)
-    state2, _ = trainer._train_step(state1, batch)
+    # read BEFORE the next step: the train step donates its input state,
+    # so state1's buffers are dead after the second call
     p1 = jax.device_get(state1.params)
+    state2, _ = trainer._train_step(state1, batch)
     p2 = jax.device_get(state2.params)
     # hand EMA: e0 = p0; e1 = e0 + .25(p1-e0); e2 = e1 + .25(p2-e1)
     e = jax.tree_util.tree_map(lambda a: a, p0)
@@ -192,12 +205,55 @@ def test_trainer_ema_tracks_and_swaps():
 
 
 # ------------------------------------------------- n/a-by-construction
-def test_sync_random_size_deterministic_across_hosts():
+def test_sync_random_size_deterministic_across_hosts(tmp_path):
     """SyncRandomSizeHook broadcasts the random input size from rank 0
     (sync_random_size_hook.py) — our DetectionLoader derives per-step
-    scale/bucket choices from RandomState(seed + epoch), so every host
-    computes the identical schedule without any broadcast."""
-    base = np.random.RandomState(7 + 3)
-    a = base.randint(0, 1000, size=64)
-    b = np.random.RandomState(7 + 3).randint(0, 1000, size=64)
-    np.testing.assert_array_equal(a, b)
+    scale/bucket choices from RandomState(seed + epoch), so two loaders
+    (i.e. two hosts) with the same seed/epoch produce the identical
+    per-step canvas/scale schedule without any broadcast."""
+    import json
+
+    import cv2
+
+    from iif_tpu.detection.datasets import CocoStyleDataset
+    from iif_tpu.detection.pipeline import (DetectionLoader,
+                                            DetectionPipeline)
+
+    rng = np.random.RandomState(0)
+    images, anns = [], []
+    for i in range(8):
+        cv2.imwrite(str(tmp_path / f"{i}.jpg"),
+                    rng.randint(0, 255, (48, 64, 3), np.uint8))
+        images.append({"id": i, "file_name": f"{i}.jpg",
+                       "width": 64, "height": 48})
+        anns.append({"id": i + 1, "image_id": i, "category_id": 1,
+                     "bbox": [5, 5, 20, 20], "area": 400, "iscrowd": 0,
+                     "segmentation": [[5, 5, 25, 5, 25, 25, 5, 25]]})
+    ann_path = tmp_path / "ann.json"
+    ann_path.write_text(json.dumps({
+        "categories": [{"id": 1, "name": "cat"}],
+        "images": images, "annotations": anns}))
+
+    def _schedule():
+        ds = CocoStyleDataset(str(ann_path), img_prefix=str(tmp_path))
+        pipe = DetectionPipeline(
+            canvas=(256, 320), max_gt=4, canvas_buckets=True,
+            scales=[(320, 160), (320, 192), (320, 256)])
+        loader = DetectionLoader(ds, pipe, batch_size=2, seed=11,
+                                 num_workers=2, prefetch=0)
+        sched = []
+        for epoch in range(3):
+            loader.set_epoch(epoch)
+            for batch in loader:
+                sched.append((batch["image"].shape,
+                              np.asarray(batch["scale_factor"]).copy()))
+        return sched
+
+    a, b = _schedule(), _schedule()
+    assert len(a) == len(b) and len(a) >= 9
+    shapes = set()
+    for (sa, fa), (sb, fb) in zip(a, b):
+        assert sa == sb
+        np.testing.assert_array_equal(fa, fb)
+        shapes.add(sa)
+    assert len(shapes) >= 2  # the size actually varies across steps
