@@ -21,7 +21,12 @@ import sys
 import numpy as np
 
 
-def make_dataset(root, n_imgs=8, size=(96, 128), n_cats=2):
+def make_dataset(root, n_imgs=8, size=(96, 128), n_cats=2,
+                 obj_range=(20, 32)):
+    """``obj_range``: object side-length range. The default 20-32 px is a
+    "small" object at this canvas; set-prediction heads (DETR) are
+    famously slow on small objects, so their harness passes a larger
+    range."""
     import cv2
 
     h, w = size
@@ -30,10 +35,12 @@ def make_dataset(root, n_imgs=8, size=(96, 128), n_cats=2):
     rng = np.random.RandomState(0)
     images, anns = [], []
     aid = 1
+    lo, hi = obj_range
     for i in range(n_imgs):
         img = rng.randint(0, 100, (h, w, 3), np.uint8)
-        x1, y1 = rng.randint(5, w - 40), rng.randint(5, h - 40)
-        bw, bh = rng.randint(20, 32), rng.randint(20, 32)
+        x1 = rng.randint(5, max(w - hi - 8, 6))
+        y1 = rng.randint(5, max(h - hi - 8, 6))
+        bw, bh = rng.randint(lo, hi), rng.randint(lo, hi)
         img[y1:y1 + bh, x1:x1 + bw] = 230
         cv2.imwrite(os.path.join(img_dir, f"{i}.jpg"),
                     cv2.cvtColor(img, cv2.COLOR_RGB2BGR))

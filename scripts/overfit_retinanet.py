@@ -91,7 +91,12 @@ def main():
     args = ap.parse_args()
 
     os.makedirs(args.root, exist_ok=True)
-    ann = make_dataset(args.root)
+    # DETR-family: larger objects — set prediction at 20-32 px small
+    # objects converges impractically slowly even though the loss falls
+    # (the trainer-path single-image probe converges in 120 steps)
+    obj = ((48, 64) if args.model in ("DETR", "DeformableDETR")
+           else (20, 32))
+    ann = make_dataset(args.root, obj_range=obj)
     cfg = write_config(args.root, ann, args.epochs, args.batch, args.model)
     work = os.path.join(args.root, "work")
 
