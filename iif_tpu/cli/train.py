@@ -93,7 +93,13 @@ def get_args_parser(add_help: bool = True) -> argparse.ArgumentParser:
     parser.add_argument("--world-size", default=1, type=int)
     parser.add_argument("--dist-url", default="env://")
     parser.add_argument("--sync-bn", dest="sync_bn", action="store_true",
-                        help="no-op: global-batch BN is the default under jit")
+                        help="force global-batch (sync) BN statistics; "
+                        "default is the reference's per-device local BN "
+                        "(one stats group per data-parallel device)")
+    parser.add_argument("--bn-groups", default=0, type=int,
+                        help="local-BN group count along the batch axis; "
+                        "0 = auto (#data-parallel devices; 1 device => "
+                        "global). Overrides --sync-bn when > 1.")
     return parser
 
 
@@ -172,6 +178,15 @@ def main(args, qat=None):
     from iif_tpu.utils.checkpoint import CheckpointManager, load_weights
 
     initialize_distributed()
+    if args.world_size != 1 or args.dist_url != "env://":
+        import warnings
+
+        warnings.warn(
+            "--world-size/--dist-url are accepted for reference-CLI "
+            "parity but ignored: JAX discovers the process topology from "
+            "its own runtime (JAX_COORDINATOR_ADDRESS/SLURM env; see "
+            "iif_tpu/parallel/mesh.py). Process count in use: "
+            f"{jax.process_count()}", RuntimeWarning)
     mesh = make_mesh()
     if args.output_dir:
         os.makedirs(args.output_dir, exist_ok=True)
@@ -188,7 +203,29 @@ def main(args, qat=None):
         reduction=args.reduction, deferred=args.deffered)
 
     print("Creating model")
-    model = build_classifier(args.model, num_classes, args.classif_norm)
+    # BN statistics scope. The reference trains with per-GPU local BN
+    # (SyncBN is opt-in and unused in the published recipes:
+    # classification/train.py:190-191); under SPMD jit the default
+    # reduction is the global sharded batch, so we group the batch axis
+    # to recover the reference's dynamics. auto => one group per
+    # data-parallel device (1 device => global, identical to sync).
+    from iif_tpu.parallel.mesh import DATA_AXIS
+
+    dp = int(mesh.shape[DATA_AXIS])
+    bn_groups = args.bn_groups if args.bn_groups > 0 else (
+        1 if args.sync_bn else dp)
+    if args.sync_bn and args.bn_groups > 1:
+        print(f"--bn-groups {args.bn_groups} overrides --sync-bn")
+    if bn_groups > 1 and args.batch_size % bn_groups:
+        raise SystemExit(
+            f"batch_size {args.batch_size} not divisible by bn_groups "
+            f"{bn_groups}; pass --bn-groups explicitly")
+    norm_spec = "bn" if bn_groups <= 1 else f"bn@{bn_groups}"
+    if bn_groups > 1:
+        print(f"BatchNorm: local stats over {bn_groups} batch groups "
+              f"(per-device-BN semantics); --sync-bn forces global")
+    model = build_classifier(args.model, num_classes, args.classif_norm,
+                             norm=norm_spec)
     if d["kind"] == "cifar":
         mean, std = CIFAR10_MEAN, CIFAR10_STD
         use_policy = args.auto_augment == "cifar"

@@ -361,11 +361,34 @@ def main():
 
         try:
             restored = _try_restore(state)
-        except Exception:
-            alt = (state.replace(ema=None) if state.ema is not None
-                   else state.replace(ema=trainer._ema_init(
-                       state.params, state.batch_stats)))
-            restored = _try_restore(alt)
+        except Exception as first_err:
+            # Alternate ema layouts. With ema on: the checkpoint may lack
+            # the shadow. With ema off: the checkpoint may carry one (hook
+            # dropped between runs) — build the template directly from the
+            # live weights (NOT trainer._ema_init, which returns None when
+            # the current config has no hook), in both the full and the
+            # skip_buffers (batch_stats-free) layouts.
+            if state.ema is not None:
+                alts = [state.replace(ema=None)]
+            else:
+                alts = [
+                    state.replace(ema={
+                        "params": state.params,
+                        "batch_stats": state.batch_stats or {}}),
+                    state.replace(ema={"params": state.params}),
+                ]
+            restored = None
+            for alt in alts:
+                try:
+                    restored = _try_restore(alt)
+                    break
+                except Exception:
+                    continue
+            if restored is None:
+                raise RuntimeError(
+                    "resume restore failed under both the live and the "
+                    "alternate EMA checkpoint layouts; the original "
+                    "(live-layout) error is chained below") from first_err
         state = jax.device_put(restored["state"])
         start_epoch = int(restored["epoch"]) + 1
         if getattr(state, "ema", None) is not None:

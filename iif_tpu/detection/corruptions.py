@@ -1,13 +1,21 @@
 """Image corruptions for robustness benchmarking.
 
-Native numpy/cv2 rebuild of the corruption families the reference's
-``tools/analysis_tools/test_robustness.py`` applies through the
-``imagecorruptions`` package (Hendrycks & Dietterich, ICLR'19 protocol:
-each corruption at severities 1-5). The subset here covers the noise /
-blur / digital / weather-lite families; glass_blur / frost / snow /
-elastic_transform need heavy per-pixel machinery or asset images and are
-intentionally approximated or omitted (report which with
-``available_corruptions()``).
+Native numpy/cv2/scipy rebuild of the corruption families the
+reference's ``tools/analysis_tools/test_robustness.py`` applies through
+the ``imagecorruptions`` package (Hendrycks & Dietterich, ICLR'19
+protocol: each corruption at severities 1-5). The full 15-family
+benchmark set plus the 4-family holdout is implemented, using the
+published severity-constant tables. Notes on fidelity:
+
+- ``glass_blur``'s sequential local pixel swap runs in native C++
+  (iif_tpu/native/imgproc.cpp) — the algorithm is exact; the RNG stream
+  necessarily differs from the pip package (which draws from numpy's
+  global RNG).
+- ``frost`` composites a *procedural* ice texture (multi-octave noise
+  ridges + directional sparkle streaks) instead of the package's six
+  bundled photographs, with the published (image, frost) blend weights.
+- ``snow``/``motion_blur`` replace the Wand/ImageMagick motion blur with
+  an equivalent oriented Gaussian line kernel in cv2.
 
 All functions take/return uint8 RGB HxWx3.
 """
@@ -158,12 +166,186 @@ def fog(x, severity, rng):
     return _to_uint8(fogged * f.max() / max(fogged.max(), 1e-6))
 
 
+def glass_blur(x, severity, rng):
+    """Gaussian blur -> sequential local pixel swap -> Gaussian blur
+    (imagecorruptions (sigma, max_delta, iterations) table)."""
+    import cv2
+
+    from iif_tpu.native.imgproc_native import glass_shuffle
+
+    sigma, delta, iters = [(0.7, 1, 2), (0.9, 2, 1), (1, 2, 3),
+                           (1.1, 3, 2), (1.5, 4, 2)][severity - 1]
+    blurred = _to_uint8(cv2.GaussianBlur(_as_float(x), (0, 0), sigma))
+    shuffled = glass_shuffle(blurred, delta, iters,
+                             seed=int(rng.randint(1, 1 << 31)))
+    return _to_uint8(cv2.GaussianBlur(_as_float(shuffled), (0, 0), sigma))
+
+
+def _frost_texture(h, w, rng):
+    """Procedural ice texture in [0,1]: multi-octave value-noise ridges
+    (crystal boundaries) + sparse directional sparkle streaks. Replaces
+    the imagecorruptions package's six bundled frost photographs, which
+    cannot ship here."""
+    import cv2
+
+    tex = np.zeros((h, w), np.float32)
+    for scale, amp in ((64, 0.5), (32, 0.25), (16, 0.15), (8, 0.1)):
+        n = rng.rand(max(1, h // scale),
+                     max(1, w // scale)).astype(np.float32)
+        tex += amp * cv2.resize(n, (w, h),
+                                interpolation=cv2.INTER_CUBIC)
+    gx = cv2.Sobel(tex, cv2.CV_32F, 1, 0)
+    gy = cv2.Sobel(tex, cv2.CV_32F, 0, 1)
+    ridges = np.sqrt(gx * gx + gy * gy)
+    ridges /= max(float(ridges.max()), 1e-6)
+    sparkle = (rng.rand(h, w) > 0.985).astype(np.float32)
+    k = np.zeros((9, 9), np.float32)
+    k[4, :] = 1.0
+    m = cv2.getRotationMatrix2D((4.0, 4.0), float(rng.uniform(0, 180)), 1)
+    k = cv2.warpAffine(k, m, (9, 9))
+    k /= max(float(k.sum()), 1e-6)
+    streaks = cv2.filter2D(sparkle, -1, k)
+    return np.clip(0.7 * ridges + 1.6 * streaks + 0.3 * tex, 0, 1)
+
+
+def frost(x, severity, rng):
+    """image*a + frost*b with the published blend table."""
+    a, b = [(1, 0.4), (0.8, 0.6), (0.7, 0.7),
+            (0.65, 0.7), (0.6, 0.75)][severity - 1]
+    tex = _frost_texture(x.shape[0], x.shape[1], rng)[..., None]
+    return _to_uint8(a * _as_float(x) + b * tex)
+
+
+def _clipped_zoom_gray(img, z):
+    """Center-crop by 1/z and resize back (imagecorruptions
+    clipped_zoom on a single-channel field)."""
+    import cv2
+
+    h, w = img.shape[:2]
+    ch, cw = max(1, int(np.ceil(h / z))), max(1, int(np.ceil(w / z)))
+    top, left = (h - ch) // 2, (w - cw) // 2
+    return cv2.resize(img[top:top + ch, left:left + cw], (w, h),
+                      interpolation=cv2.INTER_CUBIC)
+
+
+def _oriented_motion_kernel(radius, sigma, angle):
+    """cv2 stand-in for Wand's MotionImage(radius, sigma, angle): an
+    oriented 1-D Gaussian line kernel."""
+    import cv2
+
+    size = max(3, int(2 * radius + 1))
+    k = np.zeros((size, size), np.float32)
+    xs = np.arange(size, dtype=np.float32) - (size - 1) / 2.0
+    k[size // 2, :] = np.exp(-0.5 * (xs / max(sigma, 1e-3)) ** 2)
+    m = cv2.getRotationMatrix2D(((size - 1) / 2.0, (size - 1) / 2.0),
+                                float(angle), 1)
+    k = cv2.warpAffine(k, m, (size, size))
+    s = float(k.sum())
+    return k / max(s, 1e-6)
+
+
+def snow(x, severity, rng):
+    """Zoomed/thresholded Gaussian snow field, motion-streaked, added in
+    both orientations over a whitened image (ImageNet-C constants
+    (loc, scale, zoom, thresh, radius, sigma, keep))."""
+    import cv2
+
+    loc, scale, zoom, thresh, radius, sig, keep = [
+        (0.1, 0.3, 3, 0.5, 10, 4, 0.8),
+        (0.2, 0.3, 2, 0.5, 12, 4, 0.7),
+        (0.55, 0.3, 4, 0.9, 12, 8, 0.7),
+        (0.55, 0.3, 4.5, 0.85, 12, 8, 0.65),
+        (0.55, 0.3, 2.5, 0.85, 12, 12, 0.55)][severity - 1]
+    f = _as_float(x)
+    h, w = x.shape[:2]
+    layer = rng.normal(size=(h, w), loc=loc, scale=scale).astype(np.float32)
+    layer = _clipped_zoom_gray(layer, zoom)
+    layer[layer < thresh] = 0
+    k = _oriented_motion_kernel(radius, sig,
+                                rng.uniform(-135, -45))
+    layer = cv2.filter2D(layer, -1, k)[..., None]
+    gray = cv2.cvtColor(x, cv2.COLOR_RGB2GRAY).astype(np.float32) / 255.0
+    whitened = np.maximum(f, gray[..., None] * 1.5 + 0.5)
+    out = keep * f + (1 - keep) * whitened
+    return _to_uint8(out + layer + np.rot90(layer, k=2))
+
+
+def spatter(x, severity, rng):
+    """Water droplets (severities 1-3) / mud blobs (4-5) from a
+    smoothed, thresholded Gaussian liquid layer (ImageNet-C constants
+    (loc, scale, blur_sigma, thresh, spread, mud_flag))."""
+    import cv2
+
+    loc, scale, sig, thresh, spread, is_mud = [
+        (0.65, 0.3, 4, 0.69, 0.6, 0),
+        (0.65, 0.3, 3, 0.68, 0.6, 0),
+        (0.65, 0.3, 2, 0.68, 0.5, 0),
+        (0.65, 0.3, 1, 0.65, 1.5, 1),
+        (0.67, 0.4, 1, 0.65, 1.5, 1)][severity - 1]
+    from scipy.ndimage import gaussian_filter
+
+    f = _as_float(x)
+    liquid = rng.normal(size=x.shape[:2], loc=loc,
+                        scale=scale).astype(np.float32)
+    liquid = gaussian_filter(liquid, sigma=sig)
+    liquid[liquid < thresh] = 0
+    if not is_mud:
+        # water: edge-emphasized droplet mask, pale turquoise tint
+        lu8 = np.clip(liquid * 255, 0, 255).astype(np.uint8)
+        dist = 255 - cv2.Canny(lu8, 50, 150)
+        dist = cv2.distanceTransform(dist, cv2.DIST_L2, 5)
+        dist = np.clip(dist, 0, 20)
+        dist = cv2.blur(dist, (3, 3)).astype(np.uint8)
+        dist = cv2.equalizeHist(dist).astype(np.float32) / 255.0
+        m = liquid * dist
+        m /= max(float(m.max()), 1e-6)
+        m = (m * spread)[..., None]
+        color = np.array([175, 238, 238], np.float32) / 255.0
+        return _to_uint8(np.clip(f + m * color, 0, 1))
+    mask = (liquid > thresh).astype(np.float32)
+    mask = gaussian_filter(mask, sigma=spread)
+    mask[mask < 0.8] = 0
+    mask = mask[..., None]
+    color = np.array([63, 42, 20], np.float32) / 255.0
+    return _to_uint8(f * (1 - mask) + color * mask)
+
+
+def elastic_transform(x, severity, rng):
+    """Smoothed random displacement field warp (imagecorruptions
+    size-relative parameterization: sigma = 1% of each image dim, the
+    published alpha table rescaled from its 250-px calibration)."""
+    from scipy.ndimage import gaussian_filter, map_coordinates
+
+    alpha0 = [250 * 0.05, 250 * 0.065, 250 * 0.085,
+              250 * 0.1, 250 * 0.12][severity - 1]
+    f = _as_float(x)
+    h, w = x.shape[:2]
+    alpha = alpha0 * min(h, w) / 250.0
+    sig_y, sig_x = h * 0.01, w * 0.01
+    max_d = min(h, w) * 0.005
+    dx = gaussian_filter(
+        rng.uniform(-max_d, max_d, size=(h, w)), sig_x, mode="reflect",
+        truncate=3).astype(np.float32) * alpha
+    dy = gaussian_filter(
+        rng.uniform(-max_d, max_d, size=(h, w)), sig_y, mode="reflect",
+        truncate=3).astype(np.float32) * alpha
+    xg, yg = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    coords = [(yg + dy).ravel(), (xg + dx).ravel()]
+    out = np.empty_like(f)
+    for ci in range(f.shape[2]):
+        out[..., ci] = map_coordinates(
+            f[..., ci], coords, order=1, mode="reflect").reshape(h, w)
+    return _to_uint8(out)
+
+
 CORRUPTIONS = {
     "gaussian_noise": gaussian_noise,
     "shot_noise": shot_noise,
     "impulse_noise": impulse_noise,
     "speckle_noise": speckle_noise,
     "gaussian_blur": gaussian_blur,
+    "glass_blur": glass_blur,
     "defocus_blur": defocus_blur,
     "motion_blur": motion_blur,
     "zoom_blur": zoom_blur,
@@ -173,20 +355,26 @@ CORRUPTIONS = {
     "pixelate": pixelate,
     "jpeg_compression": jpeg_compression,
     "fog": fog,
+    "frost": frost,
+    "snow": snow,
+    "spatter": spatter,
+    "elastic_transform": elastic_transform,
 }
 
-# the reference's named groups (test_robustness.py:217-245); entries not
-# implemented natively are dropped from the groups
+# the reference's named groups (test_robustness.py:217-245) — complete:
+# the 15-family Hendrycks benchmark plus the 4-family holdout
 CORRUPTION_SETS: Dict[str, List[str]] = {
     "benchmark": ["gaussian_noise", "shot_noise", "impulse_noise",
-                  "defocus_blur", "motion_blur", "zoom_blur", "fog",
-                  "brightness", "contrast", "pixelate",
+                  "defocus_blur", "glass_blur", "motion_blur",
+                  "zoom_blur", "snow", "frost", "fog", "brightness",
+                  "contrast", "elastic_transform", "pixelate",
                   "jpeg_compression"],
     "noise": ["gaussian_noise", "shot_noise", "impulse_noise"],
-    "blur": ["defocus_blur", "motion_blur", "zoom_blur", "gaussian_blur"],
-    "weather": ["fog", "brightness"],
-    "digital": ["contrast", "pixelate", "jpeg_compression"],
-    "holdout": ["speckle_noise", "gaussian_blur", "saturate"],
+    "blur": ["defocus_blur", "glass_blur", "motion_blur", "zoom_blur"],
+    "weather": ["snow", "frost", "fog", "brightness"],
+    "digital": ["contrast", "elastic_transform", "pixelate",
+                "jpeg_compression"],
+    "holdout": ["speckle_noise", "gaussian_blur", "spatter", "saturate"],
 }
 
 

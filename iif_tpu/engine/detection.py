@@ -393,7 +393,13 @@ class DetectionTrainer:
             m = ema_momentum(self.ema_cfg, state.step)
             interval = int(self.ema_cfg.get("interval", 1))
             if interval > 1:
-                m = jnp.where((state.step + 1) % interval == 0, m, 0.0)
+                # mmcv's plain EMAHook (const mode) gates on
+                # ``runner.iter % interval``; the mmdet momentum hooks
+                # (exp/linear, ema.py:72-83) fire on the (iter+1)-phase.
+                phase = (state.step
+                         if self.ema_cfg.get("mode", "const") == "const"
+                         else state.step + 1)
+                m = jnp.where(phase % interval == 0, m, 0.0)
             tgt = {"params": new_params}
             if "batch_stats" in state.ema:
                 tgt["batch_stats"] = new_stats

@@ -34,7 +34,9 @@ BatchNorm = partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5)
 
 def make_norm(norm: str, train: bool, name: str, dtype=None,
               zero_scale: bool = False):
-    """'bn' (default) or 'gn' (GroupNorm(32) — the reference's
+    """'bn' (default, global/sync batch stats), 'bn@G' (local BN over G
+    batch groups — the reference's per-GPU-BN training dynamics, see
+    iif_tpu/models/norm.py), or 'gn' (GroupNorm(32) — the reference's
     ``norm_cfg=dict(type='GN', num_groups=32)`` of configs/gn,
     configs/gn+ws and configs/scratch; GN has no running stats, so
     norm_eval/frozen-stat semantics are moot)."""
@@ -42,6 +44,13 @@ def make_norm(norm: str, train: bool, name: str, dtype=None,
     if norm == "gn":
         return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=dtype,
                             scale_init=si, name=name)
+    if norm.startswith("bn@"):
+        from iif_tpu.models.norm import LocalBatchNorm, parse_bn_spec
+
+        return LocalBatchNorm(groups=parse_bn_spec(norm),
+                              use_running_average=not train,
+                              momentum=0.9, epsilon=1e-5, dtype=dtype,
+                              scale_init=si, name=name)
     return BatchNorm(use_running_average=not train, dtype=dtype,
                      scale_init=si, name=name)
 

@@ -733,3 +733,73 @@ def test_proposal_file_through_loader(tmp_path):
     batch = next(iter(loader))
     assert batch["proposals"].shape == (2, 8, 4)
     assert batch["proposals_valid"].shape == (2, 8)
+
+
+def test_full_hendrycks_corruption_protocol():
+    """The complete ICLR'19 protocol: 15 benchmark + 4 holdout families
+    (reference test_robustness.py applies all of them through the
+    imagecorruptions package)."""
+    from iif_tpu.detection.corruptions import (CORRUPTION_SETS,
+                                               available_corruptions)
+
+    bench = CORRUPTION_SETS["benchmark"]
+    assert len(bench) == 15
+    for name in ("glass_blur", "frost", "snow", "elastic_transform"):
+        assert name in bench
+    assert set(CORRUPTION_SETS["holdout"]) == {
+        "speckle_noise", "gaussian_blur", "spatter", "saturate"}
+    # benchmark = noise + blur + weather + digital, disjointly
+    union = sum((CORRUPTION_SETS[g]
+                 for g in ("noise", "blur", "weather", "digital")), [])
+    assert sorted(union) == sorted(bench)
+    assert len(available_corruptions()) == 19
+
+
+def test_new_corruption_families_severity_monotonic():
+    from iif_tpu.detection.corruptions import corrupt
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 255, (64, 80, 3), np.uint8)
+    for name in ("glass_blur", "frost", "snow", "spatter",
+                 "elastic_transform"):
+        d = [np.abs(corrupt(img, name, s, seed=3).astype(float)
+                    - img).mean() for s in (1, 5)]
+        assert d[1] > d[0], (name, d)
+
+
+def test_glass_shuffle_is_a_permutation():
+    """The native glass swap only exchanges pixels — the multiset of
+    pixel values is exactly preserved (a strong correctness invariant
+    for the C++ path)."""
+    from iif_tpu.native.imgproc_native import (glass_shuffle,
+                                               imgproc_native_available)
+
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 255, (40, 56, 3), np.uint8)
+    out = glass_shuffle(img, delta=3, iters=2, seed=11)
+    assert out.shape == img.shape
+    assert not np.array_equal(out, img)
+    # per-channel value histograms identical
+    for c in range(3):
+        np.testing.assert_array_equal(
+            np.bincount(img[..., c].ravel(), minlength=256),
+            np.bincount(out[..., c].ravel(), minlength=256))
+    assert imgproc_native_available()  # g++ is in the image
+    # determinism
+    np.testing.assert_array_equal(out, glass_shuffle(img, 3, 2, 11))
+
+
+def test_elastic_transform_published_alpha_table():
+    """Severity constants follow the imagecorruptions table
+    alpha = 250 * {0.05, 0.065, 0.085, 0.1, 0.12}."""
+    import inspect
+
+    from iif_tpu.detection import corruptions
+
+    src = inspect.getsource(corruptions.elastic_transform)
+    for mult in ("0.05", "0.065", "0.085", "0.1", "0.12"):
+        assert mult in src
+    src = inspect.getsource(corruptions.glass_blur)
+    assert "(0.7, 1, 2)" in src and "(1.5, 4, 2)" in src
+    src = inspect.getsource(corruptions.frost)
+    assert "(1, 0.4)" in src and "(0.6, 0.75)" in src

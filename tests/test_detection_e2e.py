@@ -402,3 +402,52 @@ def test_resume_and_ema_load_from(tmp_path):
     rel = max(float(np.abs(g - w).max() / (np.abs(w).max() + 1e-8))
               for g, w in zip(got, want) if g.size)
     assert rel < 1e-2, rel
+
+
+@pytest.mark.slow
+def test_resume_ema_checkpoint_into_no_ema_config(tmp_path):
+    """The reverse checkpoint-lifecycle direction: a checkpoint WRITTEN
+    with an EMA hook is resumed under a config that DROPPED the hook.
+    The live (ema=None) template restore fails on layout, the fallback
+    must build the shadow template directly from the live weights
+    (round-4 ADVICE: ``trainer._ema_init`` returns None with no hook, so
+    the old fallback retried the identical template and crashed), swap
+    the raw weights back in, and discard the stale shadow — so the next
+    checkpoint is EMA-free."""
+    root = str(tmp_path)
+    ann = _make_dataset(root)
+    cfg_plain = _write_config(root, ann)
+    with open(cfg_plain) as f:
+        base_cfg = f.read()
+    cfg_ema = os.path.join(root, "ema_cfg.py")
+    with open(cfg_ema, "w") as f:
+        f.write(base_cfg + '\n'
+                'custom_hooks = [dict(type="EMAHook", momentum=0.0002,'
+                ' warm_up=100)]\n')
+    env = _cpu_env()
+    work = os.path.join(root, "work")
+
+    r = subprocess.run(
+        [sys.executable, "-m", "iif_tpu.cli.train_det", cfg_ema,
+         "--work-dir", work, "--max-steps", "2"],
+        capture_output=True, text=True, env=env, timeout=900,
+        cwd="/root/repo")
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+
+    cfg2 = os.path.join(root, "resume_noema_cfg.py")
+    with open(cfg2, "w") as f:
+        f.write(base_cfg +
+                '\nrunner = dict(type="EpochBasedRunner", max_epochs=2)\n')
+    r2 = subprocess.run(
+        [sys.executable, "-m", "iif_tpu.cli.train_det", cfg2,
+         "--work-dir", work, "--resume-from", "auto", "--max-steps", "2"],
+        capture_output=True, text=True, env=env, timeout=900,
+        cwd="/root/repo")
+    assert r2.returncode == 0, r2.stdout[-3000:] + r2.stderr[-3000:]
+
+    from iif_tpu.utils.checkpoint import CheckpointManager
+    m = CheckpointManager(os.path.join(work, "checkpoints"))
+    assert m.latest_step() == 1
+    final = m.restore()
+    m.close()
+    assert final["state"]["ema"] is None      # stale shadow dropped

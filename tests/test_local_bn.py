@@ -1,0 +1,147 @@
+"""LocalBatchNorm (per-group batch statistics — the reference's per-GPU
+BN training dynamics; reference classification/train.py:190-191 keeps
+SyncBN opt-in and the published recipes never enable it)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from iif_tpu.models.norm import LocalBatchNorm, parse_bn_spec
+
+
+def _init_apply(mod, x, train=True):
+    v = mod.init(jax.random.PRNGKey(0), x)
+    if train:
+        y, upd = mod.apply(v, x, mutable=["batch_stats"])
+        return y, {**v, **upd}
+    return mod.apply(v, x), v
+
+
+def test_parse_bn_spec():
+    assert parse_bn_spec("bn") == 0
+    assert parse_bn_spec("bn@4") == 4
+    with pytest.raises(ValueError):
+        parse_bn_spec("gn")
+    with pytest.raises(ValueError):
+        parse_bn_spec("bn@0")
+
+
+def test_groups1_matches_flax_batchnorm():
+    """groups=1 is exactly flax BatchNorm (sync/global semantics):
+    same output, same running-stat update, same variable layout."""
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 4, 4, 3)) * 2 + 1
+    ours = LocalBatchNorm(groups=1, use_running_average=False)
+    ref = nn.BatchNorm(use_running_average=False, momentum=0.9,
+                       epsilon=1e-5)
+    y1, v1 = _init_apply(ours, x)
+    y2, v2 = _init_apply(ref, x)
+    assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v2)
+    np.testing.assert_allclose(y1, y2, atol=1e-5)
+    np.testing.assert_allclose(v1["batch_stats"]["mean"],
+                               v2["batch_stats"]["mean"], atol=1e-6)
+    np.testing.assert_allclose(v1["batch_stats"]["var"],
+                               v2["batch_stats"]["var"], atol=1e-5)
+
+
+def test_grouped_matches_manual_split():
+    """bn@G == running each batch group through its own BatchNorm — the
+    literal per-GPU computation."""
+    g, per = 4, 3
+    x = jax.random.normal(jax.random.PRNGKey(2), (g * per, 5, 5, 8))
+    # make the groups statistically distinct
+    shift = jnp.repeat(jnp.arange(g, dtype=jnp.float32), per)
+    x = x + shift[:, None, None, None]
+    y, _ = _init_apply(LocalBatchNorm(groups=g, use_running_average=False), x)
+    ref = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+    for i in range(g):
+        yi, _ = _init_apply(ref, x[i * per:(i + 1) * per])
+        np.testing.assert_allclose(y[i * per:(i + 1) * per], yi, atol=1e-4)
+
+
+def test_local_stats_differ_per_group_sync_do_not():
+    """The VERDICT invariant: with statistically distinct batch groups,
+    local BN normalizes each group to ~zero mean (its own statistics)
+    while sync BN leaves per-group means displaced (shared statistics)."""
+    g, per = 2, 8
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(g * per, 4, 4, 6).astype(np.float32))
+    x = x.at[per:].add(5.0)     # second group shifted
+    y_local, _ = _init_apply(
+        LocalBatchNorm(groups=g, use_running_average=False), x)
+    y_sync, _ = _init_apply(
+        LocalBatchNorm(groups=1, use_running_average=False), x)
+    for i in range(g):
+        grp = y_local[i * per:(i + 1) * per]
+        assert abs(float(grp.mean())) < 1e-4
+    # sync: group means displaced symmetrically, far from zero
+    m0 = float(y_sync[:per].mean())
+    m1 = float(y_sync[per:].mean())
+    assert abs(m0) > 0.5 and abs(m1) > 0.5 and abs(m0 + m1) < 1e-3
+
+
+def test_running_stats_are_group_average():
+    x = jax.random.normal(jax.random.PRNGKey(3), (8, 2, 2, 4)) * 3
+    _, v = _init_apply(LocalBatchNorm(groups=4, use_running_average=False), x)
+    xf = np.asarray(x, np.float64).reshape(4, 2, 2, 2, 4)
+    gmean = xf.mean(axis=(1, 2, 3))
+    gvar = (xf ** 2).mean(axis=(1, 2, 3)) - gmean ** 2
+    np.testing.assert_allclose(v["batch_stats"]["mean"],
+                               0.1 * gmean.mean(0), atol=1e-5)
+    np.testing.assert_allclose(v["batch_stats"]["var"],
+                               1.0 * 0.9 + 0.1 * gvar.mean(0), atol=1e-4)
+
+
+def test_eval_mode_matches_flax():
+    """use_running_average path is grouping-independent and identical to
+    flax (so eval/inference never depends on the training BN scope)."""
+    x = jax.random.normal(jax.random.PRNGKey(4), (6, 3, 3, 5))
+    v = nn.BatchNorm(use_running_average=True).init(jax.random.PRNGKey(0), x)
+    v = jax.tree_util.tree_map(
+        lambda a: a + 0.3 if a.ndim else a, v)  # non-trivial stats
+    y_ref = nn.BatchNorm(use_running_average=True, momentum=0.9,
+                         epsilon=1e-5).apply(v, x)
+    y_ours = LocalBatchNorm(groups=4, use_running_average=True).apply(v, x)
+    np.testing.assert_allclose(y_ours, y_ref, atol=1e-5)
+
+
+def test_classifier_builds_with_local_bn_and_trains():
+    """norm='bn@2' flows through the model factories with an identical
+    variable tree to norm='bn' (checkpoint compatibility) and supports a
+    grad step."""
+    from iif_tpu.models import build_classifier
+
+    for name in ("resnet20", "resnet18"):
+        m_local = build_classifier(name, 7, None, norm="bn@2")
+        m_sync = build_classifier(name, 7, None)
+        x = jnp.ones((4, 32, 32, 3))
+        v1 = jax.jit(m_local.init)(jax.random.PRNGKey(0), x)
+        v2 = jax.jit(m_sync.init)(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(v1)
+                == jax.tree_util.tree_structure(v2))
+
+        def loss(p):
+            logits, _ = m_local.apply(
+                {"params": p, "batch_stats": v1["batch_stats"]}, x,
+                train=True, mutable=["batch_stats"])
+            return (logits ** 2).mean()
+
+        g = jax.jit(jax.grad(loss))(v1["params"])
+        assert all(np.isfinite(l).all()
+                   for l in jax.tree_util.tree_leaves(g))
+
+
+def test_local_bn_on_dp_mesh(mesh):
+    """bn@8 on the 8-device dp mesh: the grouped reshape aligns with the
+    batch sharding, compiles, and matches the unsharded computation."""
+    from iif_tpu.parallel.mesh import data_sharding
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (16, 4, 4, 8))
+    mod = LocalBatchNorm(groups=8, use_running_average=False)
+    v = mod.init(jax.random.PRNGKey(0), x)
+    y_host, _ = mod.apply(v, x, mutable=["batch_stats"])
+    xs = jax.device_put(x, data_sharding(mesh, x.ndim))
+    y_mesh, _ = jax.jit(
+        lambda vv, xx: mod.apply(vv, xx, mutable=["batch_stats"]))(v, xs)
+    np.testing.assert_allclose(np.asarray(y_mesh), np.asarray(y_host),
+                               atol=1e-5)
