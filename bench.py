@@ -412,6 +412,15 @@ def main():
     if args.metric == "both":
         print(json.dumps(bench_classification()), file=sys.stderr)
         print(json.dumps(bench_detection()))
+    elif args.metric == "detection":
+        # default driver-captured line: detection headline + the
+        # classification number folded in as extra keys, so BOTH
+        # round-to-round regression guards ride the one JSON line
+        cls = bench_classification()
+        det = bench_detection()
+        det["classification_img_per_sec_per_chip"] = cls["value"]
+        det["classification_vs_baseline"] = cls["vs_baseline"]
+        print(json.dumps(det))
     elif args.metric == "classification":
         print(json.dumps(bench_classification()))
     elif args.metric == "detection_e2e":
@@ -420,8 +429,6 @@ def main():
         print(json.dumps(bench_retinanet()))
     elif args.metric == "yolox":
         print(json.dumps(bench_yolox()))
-    else:
-        print(json.dumps(bench_detection()))
 
 
 if __name__ == "__main__":

@@ -139,7 +139,8 @@ def run_inference(model, variables, loader, loss_cls, test_cfg, cat_ids,
 
                 pasted = np.asarray(paste_masks(
                     jnp.asarray(out["masks"][b]), jnp.asarray(boxes[b]),
-                    (h, w)))
+                    (h, w),
+                    threshold=getattr(test_cfg, "mask_thr_binary", 0.5)))
                 for k in range(pasted.shape[0]):
                     per_img.append(rle_encode(pasted[k].astype(np.uint8)))
                 masks_rle.append(per_img)
@@ -216,7 +217,8 @@ def run_inference_tta(model, variables, dataset, pipeline, views, loss_cls,
         if with_mask and "masks" in out:
             pasted = np.asarray(paste_masks(
                 jnp.asarray(out["masks"]), jnp.asarray(boxes[0]),
-                (ann["height"], ann["width"])))
+                (ann["height"], ann["width"]),
+                threshold=getattr(test_cfg, "mask_thr_binary", 0.5)))
             masks_rle = [[rle_encode(pasted[k].astype(np.uint8))
                           for k in range(pasted.shape[0])]]
         results.extend(detections_to_coco_results(

@@ -184,6 +184,14 @@ class Config:
 
 
 def _parse_option_value(v: str) -> Any:
+    # Bracketed python literals first, so nested values with commas
+    # ("[(256,192)]", "dict(a=1,b=2)"-style tuples) survive intact;
+    # bare "a,b,c" keeps the mmdet list convention.
+    if v.lstrip().startswith(("[", "(", "{")):
+        try:
+            return ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            pass
     if "," in v:
         return [_parse_option_value(x) for x in v.split(",") if x != ""]
     try:

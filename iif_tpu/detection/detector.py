@@ -340,6 +340,9 @@ class DetTestCfg(NamedTuple):
     #                                   fwd-only, 1.75-2x) | "flat"
     nms_kind: str = "nms"            # "nms" (exact greedy) | "fast"
     #                                   (YOLACT fast NMS, bbox_nms.py:98)
+    mask_thr_binary: float = 0.5     # paste-mask binarization threshold
+    #   (reference rcnn test_cfg; the published 26.3 LVIS number uses
+    #   0.4 at inference — README "Note" under Pretrained Models)
 
 
 def build_backbone(backbone_type: str, depth: int = 50,

@@ -164,7 +164,8 @@ def _postprocess(detector: Detector, sample: Dict[str, np.ndarray], out,
     }
     if "masks" in out and with_masks:
         result["masks"] = np.asarray(paste_masks(
-            jnp.asarray(out["masks"][idx]), jnp.asarray(boxes), (h, w)))
+            jnp.asarray(out["masks"][idx]), jnp.asarray(boxes), (h, w),
+            threshold=getattr(detector.test_cfg, "mask_thr_binary", 0.5)))
     return result
 
 

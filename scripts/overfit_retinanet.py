@@ -20,7 +20,7 @@ import sys
 from overfit_cascade import make_dataset  # same synthetic dataset
 
 
-def write_config(root, ann_path, epochs, batch, mtype):
+def write_config(root, ann_path, epochs, batch, mtype, flip=0.5):
     extra = {
         "RetinaNet": "gamma=2.0, alpha=0.25",
         "FCOS": "gamma=2.0, alpha=0.25, center_sampling=False",
@@ -53,7 +53,8 @@ data = dict(
     test=dict(type="CocoDataset", ann_file="{ann_path}",
               img_prefix="{root}"),
 )
-pipeline = dict(canvas=(96, 128), scales=[(128, 96)], max_gt=4)
+pipeline = dict(canvas=(96, 128), scales=[(128, 96)], max_gt=4,
+                flip_prob={flip})
 # adamw: focal-from-scratch on a tiny corpus barely moves under SGD
 # (validated: 30ep sgd 0.005 plateaus at loss_cls 1.06 / AP 0).
 # DETR-family set-prediction heads are lr-sensitive: the reference
@@ -88,6 +89,8 @@ def main():
     ap.add_argument("--root", default="/tmp/retina_overfit")
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--noflip", action="store_true",
+                    help="disable flip aug (DETR probes)")
     args = ap.parse_args()
 
     os.makedirs(args.root, exist_ok=True)
@@ -97,7 +100,8 @@ def main():
     obj = ((48, 64) if args.model in ("DETR", "DeformableDETR")
            else (20, 32))
     ann = make_dataset(args.root, obj_range=obj)
-    cfg = write_config(args.root, ann, args.epochs, args.batch, args.model)
+    cfg = write_config(args.root, ann, args.epochs, args.batch, args.model,
+                   flip=0.0 if args.noflip else 0.5)
     work = os.path.join(args.root, "work")
 
     r = subprocess.run(

@@ -39,3 +39,51 @@ def single_mesh():
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running end-to-end test")
+    config.addinivalue_line(
+        "markers", "e2e: subprocess CLI end-to-end test")
+    config.addinivalue_line(
+        "markers", "overfit: per-family learning/overfit test "
+        "(minutes each on the CPU mesh)")
+    config.addinivalue_line(
+        "markers", "fast: unit-tier test (the <10-min smoke tier; "
+        "run with `pytest -m fast`)")
+
+
+# Test tiers (VERDICT round-4 item 7). Tests are auto-marked:
+#   e2e     — subprocess CLI modules
+#   overfit — learning-check tests (name-matched) and measured-slow
+#             node ids listed in tests/slow_tests.txt
+#   fast    — everything else; `pytest -m fast` is the smoke tier
+# slow_tests.txt is generated from a full --durations=0 run (see the
+# header of that file); regenerate when adding heavyweight tests.
+_E2E_MODULES = {"test_detection_e2e", "test_repro_scripts"}
+_OVERFIT_NAME_RE = ("overfit", "learns", "learning", "converge")
+
+
+def _load_slow_ids():
+    path = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    if not os.path.exists(path):
+        return set()
+    with open(path) as f:
+        return {ln.strip() for ln in f
+                if ln.strip() and not ln.startswith("#")}
+
+
+def pytest_collection_modifyitems(config, items):
+    slow_ids = _load_slow_ids()
+    for item in items:
+        mod = item.nodeid.split("::")[0].rsplit("/", 1)[-1]
+        mod = mod[:-3] if mod.endswith(".py") else mod
+        tiered = False
+        if mod in _E2E_MODULES or item.get_closest_marker("slow"):
+            item.add_marker(pytest.mark.e2e)
+            tiered = True
+        name = item.name.lower()
+        if (any(k in name for k in _OVERFIT_NAME_RE)
+                or item.nodeid.split("::", 1)[-1] in slow_ids
+                or f"{mod}.py::" + item.nodeid.split("::", 1)[-1]
+                in slow_ids or item.nodeid in slow_ids):
+            item.add_marker(pytest.mark.overfit)
+            tiered = True
+        if not tiered:
+            item.add_marker(pytest.mark.fast)
