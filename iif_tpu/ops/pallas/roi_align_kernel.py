@@ -366,7 +366,16 @@ ML_WX = 64
 
 
 def _tap_weights(boxes_ref, i, oy, ox, out_size, samples,
-                 wy=None, wx=None):
+                 wy=None, wx=None, fold_pool=False):
+    """Per-axis bilinear tap weight matrices for RoI ``i``.
+
+    ``fold_pool=True`` returns the SAMPLE-AVERAGED weights
+    ``(out_size, wy)`` / ``(out_size, wx)`` instead of the per-tap
+    ``(out_size*samples, ·)`` ones: avg-pool RoIAlign is separable, so
+    ``mean_{sy,sx} row[sy] ⊗ col[sx] = (mean_sy row)(mean_sx col)`` —
+    folding the pool into the weights halves both matmuls, shrinks the
+    output relayout 4x, and removes the pool pass (same math, f32
+    reassociation only)."""
     import jax.numpy as jnp
 
     wy = ML_WY if wy is None else wy
@@ -394,6 +403,9 @@ def _tap_weights(boxes_ref, i, oy, ox, out_size, samples,
     cols1 = jax.nn.one_hot(x1i, wx, dtype=jnp.float32)
     row_w = rows0 * (1.0 - ly) + rows1 * ly
     col_w = cols0 * (1.0 - lx) + cols1 * lx
+    if fold_pool:
+        row_w = row_w.reshape(out_size, samples, wy).mean(axis=1)
+        col_w = col_w.reshape(out_size, samples, wx).mean(axis=1)
     return row_w, col_w
 
 
@@ -468,23 +480,22 @@ def _make_ml_kernel(out_size: int, samples: int, channels: int,
                 scratch_b.at[cur], sem.at[cur]).wait()
 
         def _compute(scr, wy, wx):
+            # pool folded into the weights (see _tap_weights): two
+            # (out_size, ·) matmuls, output (out, C, out) -> relayout
             row_w, col_w = _tap_weights(boxes_ref, i, oy, ox, out_size,
-                                        samples, wy, wx)
+                                        samples, wy, wx, fold_pool=True)
             feat = scr[cur].astype(jnp.float32)
             flat = feat.reshape(wy, wx * channels)
             rowsel = jnp.dot(row_w, flat,
                              preferred_element_type=jnp.float32,
                              precision=precision)
-            rowsel = rowsel.reshape(n_taps, wx, channels)
+            rowsel = rowsel.reshape(out_size, wx, channels)
             vals = jax.lax.dot_general(
                 rowsel, col_w,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=precision)
-            vals = vals.transpose(0, 2, 1)
-            vals = vals.reshape(out_size, samples, out_size, samples,
-                                channels)
-            out_ref[0] = vals.mean(axis=(1, 3)).astype(out_ref.dtype)
+            out_ref[0] = vals.transpose(0, 2, 1).astype(out_ref.dtype)
 
         @pl.when(small_ref[i] == 1)
         def _small():
@@ -530,17 +541,18 @@ def _make_ml_bwd_kernel(out_size: int, samples: int, channels: int):
                     dma.start()
                     dma.wait()
 
+            # pool folded into the weights (mean over samples — see
+            # _tap_weights): dF = row_w2^T g col_w2 directly, no
+            # tap-repeat of g and half-size transposed matmuls
             row_w, col_w = _tap_weights(boxes_ref, i, oy, ox, out_size,
-                                        samples, wy, wx)
-            g = g_ref[0].astype(jnp.float32) / float(samples * samples)
-            g_taps = jnp.repeat(jnp.repeat(g, samples, axis=0), samples,
-                                axis=1)
+                                        samples, wy, wx, fold_pool=True)
+            g = g_ref[0].astype(jnp.float32)        # (out, out, C)
             a = jax.lax.dot_general(
-                row_w, g_taps.reshape(n_taps, n_taps * channels),
+                row_w, g.reshape(out_size, out_size * channels),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
-            a = a.reshape(wy, n_taps, channels)
+            a = a.reshape(wy, out_size, channels)
             dw = jax.lax.dot_general(
                 col_w, a,
                 dimension_numbers=(((0,), (1,)), ((), ())),

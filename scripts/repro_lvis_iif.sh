@@ -23,29 +23,43 @@ CFG=configs/iif/iif_r50_rfs_1x.py
 # equivalence is tested in tests/test_grad_accum.py).  On >=2 chips the
 # dp mesh takes over and grad_accum drops out automatically.
 NCHIPS=$(python -c 'import jax; print(len(jax.devices()))')
-if [ "${NCHIPS}" -ge 2 ]; then ACCUM=1; B=8; else ACCUM=2; B=8; fi
+if [ "${NCHIPS}" -ge 2 ]; then ACCUM=1; else ACCUM=2; fi
+B=8
 
-SMOKE_ARGS=()
+TRAIN_ARGS=()
+SMOKE_OPTS=()
 if [ "${IIF_SMOKE:-0}" = "1" ]; then
   DATA_ROOT=$(python scripts/make_synthetic_lvis.py --out /tmp/iif_smoke_lvis)
-  SMOKE_ARGS=(--max-steps 2 --cfg-options runner.max_epochs=1 \
-              pipeline.scales="[(256,192)]" pipeline.canvas="(192,256)" \
-              model.depth=18 evaluation.interval=1)
+  TRAIN_ARGS=(--max-steps 2)
+  # e2e-test scale: tiny canvas + small static caps so the 1-core CPU
+  # compile stays in CI budget (the full-scale program is minutes)
+  SMOKE_OPTS=(runner.max_epochs=1 "pipeline.scales=[(128,96)]"
+              "pipeline.canvas=(96,128)" pipeline.max_gt=8
+              model.depth=18 model.num_classes=24
+              train_cfg.rpn_nms_pre=128 train_cfg.rpn_max_per_img=64
+              train_cfg.rcnn_num_samples=64 train_cfg.num_mask_rois=16
+              test_cfg.rpn_nms_pre=128 test_cfg.rpn_max_per_img=64
+              test_cfg.max_per_img=10 evaluation.interval=12)
   B=2; ACCUM=1
 fi
 : "${DATA_ROOT:?set DATA_ROOT to the lvis_v1 root}"
 
+DATA_OPTS=(
+  data.train.ann_file="$DATA_ROOT/annotations/lvis_v1_train.json"
+  data.train.img_prefix="$DATA_ROOT/"
+  data.val.ann_file="$DATA_ROOT/annotations/lvis_v1_val.json"
+  data.val.img_prefix="$DATA_ROOT/"
+  data.test.ann_file="$DATA_ROOT/annotations/lvis_v1_val.json"
+  data.test.img_prefix="$DATA_ROOT/"
+)
+
 python -m iif_tpu.cli.train_det "$CFG" \
   --work-dir "$WORK" --seed 0 \
+  ${TRAIN_ARGS[@]+"${TRAIN_ARGS[@]}"} \
   --cfg-options \
     data.samples_per_gpu=$B data.grad_accum=$ACCUM \
-    data.train.ann_file="$DATA_ROOT/annotations/lvis_v1_train.json" \
-    data.train.img_prefix="$DATA_ROOT/" \
-    data.val.ann_file="$DATA_ROOT/annotations/lvis_v1_val.json" \
-    data.val.img_prefix="$DATA_ROOT/" \
-    data.test.ann_file="$DATA_ROOT/annotations/lvis_v1_val.json" \
-    data.test.img_prefix="$DATA_ROOT/" \
-    "${SMOKE_ARGS[@]:+${SMOKE_ARGS[@]}}"
+    "${DATA_OPTS[@]}" \
+    ${SMOKE_OPTS[@]+"${SMOKE_OPTS[@]}"}
 
 # Reference inference settings: mask_thr_binary=0.4 (README note: 0.5
 # lowers mask AP by ~0.1), score_thr 1e-4, 300 dets/img, single-scale
@@ -54,9 +68,8 @@ python -m iif_tpu.cli.test_det "$CFG" "$WORK/checkpoints" \
   --eval bbox segm \
   --cfg-options \
     test_cfg.mask_thr_binary=0.4 \
-    data.test.ann_file="$DATA_ROOT/annotations/lvis_v1_val.json" \
-    data.test.img_prefix="$DATA_ROOT/" \
-    ${IIF_SMOKE:+pipeline.scales="[(256,192)]" pipeline.canvas="(192,256)" model.depth=18} \
+    "${DATA_OPTS[@]}" \
+    ${SMOKE_OPTS[@]+"${SMOKE_OPTS[@]}"} \
   | tee "$WORK/eval.log"
 
 if [ "${IIF_SMOKE:-0}" != "1" ]; then

@@ -30,15 +30,31 @@ TWO_STAGE = ["FasterRCNN", "MaskScoringRCNN", "HybridTaskCascade",
              "FasterRCNNC4", "DetectoRS", "CascadeRPN"]
 
 
+# Family-specific harness settings (root-caused round 5):
+# - DETR: set prediction learns the 8-image corpus perfectly but NMS-free
+#   duplicate queries are counted as FPs at this scale (max_per_img=1 in
+#   write_config), and flip aug doubles the effective corpus a 20-query
+#   head cannot amortize here -> train without flip, longer schedule.
+# - YOLOF: single C5 level (stride 32) has ~12 anchor positions at this
+#   canvas; 20-32 px objects fail the 0.15 pos-IoU pair filter -> the
+#   harness uses the 48-64 px object range (overfit_retinanet.py) and a
+#   longer schedule.
+SLOW_CONVERGERS = {"DETR": 400, "YOLOF": 600}
+NOFLIP = {"DETR"}
+
+
 def run_one(model, epochs, batch):
     root = f"/tmp/family_overfit/{model}"
     os.makedirs(root, exist_ok=True)
     script = ("scripts/overfit_twostage.py" if model in TWO_STAGE
               else "scripts/overfit_retinanet.py")
+    epochs = max(epochs, SLOW_CONVERGERS.get(model, 0))
+    extra = ["--noflip"] if model in NOFLIP else []
     t0 = time.time()
     p = subprocess.run(
         [sys.executable, script, "--model", model,
-         "--root", root, "--epochs", str(epochs), "--batch", str(batch)],
+         "--root", root, "--epochs", str(epochs), "--batch", str(batch)]
+        + extra,
         cwd="/root/repo", capture_output=True, text=True, timeout=3600)
     dt = time.time() - t0
     out = p.stdout + p.stderr
