@@ -45,6 +45,10 @@ NOFLIP = {"DETR"}
 
 def run_one(model, epochs, batch):
     root = f"/tmp/family_overfit/{model}"
+    # stale state from a previous sweep (old checkpoints/datasets) can
+    # poison the eval — always start clean
+    import shutil
+    shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
     script = ("scripts/overfit_twostage.py" if model in TWO_STAGE
               else "scripts/overfit_retinanet.py")
