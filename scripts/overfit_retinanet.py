@@ -43,7 +43,8 @@ model = dict(type="{mtype}", depth=18, num_classes=2, with_mask=False,
              frozen_stages=-1{model_extra})
 loss_cls = dict(type="FocalLossDet")
 train_cfg = dict({extra})
-test_cfg = dict(nms_pre=256, score_thr=0.02, max_per_img={5 if mtype != "DETR" else 1})
+test_cfg = dict(nms_pre=256, score_thr=0.02,
+                max_per_img={1 if mtype in ("DETR", "DeformableDETR") else 5})
 data = dict(
     samples_per_gpu={batch},
     train=dict(type="CocoDataset", ann_file="{ann_path}",

@@ -39,8 +39,8 @@ TWO_STAGE = ["FasterRCNN", "MaskScoringRCNN", "HybridTaskCascade",
 #   canvas; 20-32 px objects fail the 0.15 pos-IoU pair filter -> the
 #   harness uses the 48-64 px object range (overfit_retinanet.py) and a
 #   longer schedule.
-SLOW_CONVERGERS = {"DETR": 400, "YOLOF": 600}
-NOFLIP = {"DETR"}
+SLOW_CONVERGERS = {"DETR": 400, "YOLOF": 600, "DeformableDETR": 400}
+NOFLIP = {"DETR", "DeformableDETR"}
 
 
 def run_one(model, epochs, batch):
