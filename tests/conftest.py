@@ -51,13 +51,24 @@ def pytest_configure(config):
 
 # Test tiers (VERDICT round-4 item 7). Tests are auto-marked:
 #   e2e     — subprocess CLI modules
-#   overfit — learning-check tests (name-matched) and measured-slow
-#             node ids listed in tests/slow_tests.txt
-#   fast    — everything else; `pytest -m fast` is the smoke tier
-# slow_tests.txt is generated from a full --durations=0 run (see the
-# header of that file); regenerate when adding heavyweight tests.
+#   overfit — learning-check tests (name-matched) and slow node ids
+#             listed in tests/slow_tests.txt
+#   fast    — the <10-min smoke tier: a CURATED module allowlist of
+#             pure-math / oracle-differential / data / config tests
+#             (no model-training loops, no multi-minute jit compiles).
+#             Everything outside the allowlist is the default (unmarked)
+#             per-family tier, run by a plain `pytest tests/`.
 _E2E_MODULES = {"test_detection_e2e", "test_repro_scripts"}
 _OVERFIT_NAME_RE = ("overfit", "learns", "learning", "converge")
+# Modules that complete in seconds each on the 1-core 8-device CPU mesh
+_FAST_MODULES = {
+    "test_iif_loss", "test_losses", "test_losses_extra", "test_ops",
+    "test_geometry_oracle", "test_detection_data", "test_data",
+    "test_configs", "test_core", "test_fasa", "test_yolox_schedule",
+    "test_eval_native", "test_native_rle", "test_mask_structures",
+    "test_samplers_extra", "test_augment", "test_local_bn",
+    "test_eval_parity", "test_panoptic_eval",
+}
 
 
 def _load_slow_ids():
@@ -74,16 +85,15 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         mod = item.nodeid.split("::")[0].rsplit("/", 1)[-1]
         mod = mod[:-3] if mod.endswith(".py") else mod
+        rel = f"{mod}.py::" + item.nodeid.split("::", 1)[-1]
         tiered = False
         if mod in _E2E_MODULES or item.get_closest_marker("slow"):
             item.add_marker(pytest.mark.e2e)
             tiered = True
         name = item.name.lower()
         if (any(k in name for k in _OVERFIT_NAME_RE)
-                or item.nodeid.split("::", 1)[-1] in slow_ids
-                or f"{mod}.py::" + item.nodeid.split("::", 1)[-1]
-                in slow_ids or item.nodeid in slow_ids):
+                or rel in slow_ids or item.nodeid in slow_ids):
             item.add_marker(pytest.mark.overfit)
             tiered = True
-        if not tiered:
+        if not tiered and mod in _FAST_MODULES:
             item.add_marker(pytest.mark.fast)
