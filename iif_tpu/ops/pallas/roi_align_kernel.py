@@ -532,14 +532,16 @@ def _make_ml_bwd_kernel(out_size: int, samples: int, channels: int):
         outs = (o0, o1, o2, o3)
 
         def _accumulate(scr, wy, wx):
+            # start the accumulator read, then compute dw while the DMA
+            # is in flight: dw depends only on g (already in VMEM) and
+            # the box scalars, not on the loaded window — the wait sits
+            # right before the add
             for l, o in enumerate(outs):
                 @pl.when(lvl == l)
                 def _load(o=o):
-                    dma = pltpu.make_async_copy(
+                    pltpu.make_async_copy(
                         o.at[b, pl.ds(oy, wy), pl.ds(ox, wx), :],
-                        scr, sem_in)
-                    dma.start()
-                    dma.wait()
+                        scr, sem_in).start()
 
             # pool folded into the weights (mean over samples — see
             # _tap_weights): dF = row_w2^T g col_w2 directly, no
@@ -559,6 +561,11 @@ def _make_ml_bwd_kernel(out_size: int, samples: int, channels: int):
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
             dw = dw.transpose(1, 0, 2)
+            # wait on the read started above (descriptor carries only
+            # the byte count — same trick as the forward's wait)
+            pltpu.make_async_copy(
+                o0.at[0, pl.ds(0, wy), pl.ds(0, wx), :],
+                scr, sem_in).wait()
             scr[:] = scr[:] + dw
             for l, o in enumerate(outs):
                 @pl.when(lvl == l)
@@ -724,15 +731,15 @@ def _pallas_ml_call(padded, boxes, oy, ox, bidx, lvl, small, output_size,
     r = boxes.shape[0]
     out_h = output_size[0]
     s = sampling_ratio if sampling_ratio > 0 else 2
-    # double-buffer the window DMA only at 7x7: the 14x14 variant's
-    # Mosaic temporaries already run the ~16 MB scoped-VMEM budget to
-    # ~14 MB (measured), so the second slot OOMs there under the default
-    # budget. IIF_ROI_ML_NBUF14=2 opts in when XLA_FLAGS raises it
-    # (--xla_tpu_scoped_vmem_limit_kib=32768; scripts/sweep_vmem.py)
+    # double-buffered window DMA at both sizes: pool folding shrank the
+    # 14x14 variant's Mosaic temporaries (pre-folding the second slot
+    # overflowed the ~16 MB scoped-VMEM budget); measured 14.8 -> 14.3
+    # ms isolated fwd at R=512. IIF_ROI_ML_NBUF14=1 is the escape hatch
+    # if a future shape/budget combination OOMs scoped VMEM again.
     import os
 
     n_buf = (2 if out_h <= 7
-             else int(os.environ.get("IIF_ROI_ML_NBUF14", "1")))
+             else int(os.environ.get("IIF_ROI_ML_NBUF14", "2")))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,     # boxes, oy, ox, bidx, lvl, small
         grid=(r,),
